@@ -1,0 +1,61 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": <sf>}
+
+Execution is measured with the `noop` sink (full plan runs, no driver
+collect), which is what a cluster deployment would look like — results
+land in a sink, not on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_batch_spark.queries import QUERIES
+from etl_batch_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warm up the JVM + parquet footers once so per-query numbers measure
+    # the queries, not session bootstrap
+    spark.range(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        if not q.bench:
+            continue
+        t0 = time.perf_counter()
+        df = q.build(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": infer_sf(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

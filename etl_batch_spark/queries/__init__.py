@@ -1,0 +1,11 @@
+"""Query registry — single source of truth for the engine's query surface.
+
+``__spark_entry__.py`` (driver contract), ``bench.py`` and the test suite
+all consume :data:`QUERIES`.  Importing this package registers every
+query module.
+"""
+
+from etl_batch_spark.queries.registry import QUERIES, Query, query  # noqa: F401
+
+# import for registration side effects
+from etl_batch_spark.queries import llmq, relational, scalarq  # noqa: E402,F401
