@@ -1,0 +1,15 @@
+"""LLM-data-pipeline operators (BASELINE.json north star).
+
+First-class, reusable operators over arbitrary DataFrames — the query
+registry (``queries/llmq.py``) exposes oracle-checked instantiations of
+these over the fixture tables.
+
+- ``dedup``      — exact / fingerprint / n-gram Jaccard / MinHash-LSH /
+  SimHash deduplication
+- ``similarity`` — embedding cosine top-k (brute force + LSH-bucketed)
+- ``text``       — stats, language-ID, token counting, quality scoring
+- ``multimodal`` — opaque binary columns with typed metadata and
+  Arrow-batched decode/transform plumbing
+"""
+
+from etl_batch_spark.llmops import dedup, multimodal, similarity, text  # noqa: F401

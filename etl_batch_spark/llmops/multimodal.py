@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a typed
+metadata struct (modality, mime, width/height/duration, sha256,
+n_bytes).  Decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` transforms — the right shape for 100 TB:
+payloads never pass through the driver, batches stream per partition,
+and the Python stage is a narrow map (no shuffle).
+
+The actual codec step is STUBBED (no image/audio libraries in this
+environment): ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic md5-derived fake decoder
+exercises the full plumbing (schema, batching, partitioning) end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, *, text_col: str = "text", modality: str = "image", mime: str = "image/png"
+) -> DataFrame:
+    """Turn a text column into an opaque binary payload + metadata struct
+    (fixture adapter: real pipelines read payloads from object storage)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+            F.sha2(payload, 256).alias("sha256"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for an image codec: md5-derived dimensions
+    and an 8-dim 'feature vector'.  Replaces PIL/ffmpeg in this container."""
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    feature = [round(b / 255.0, 6) for b in digest[2:10]]
+    return width, height, feature
+
+
+def decode_image(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = False
+) -> DataFrame:
+    """Decode payloads to (id, width, height, n_pixels, feature).
+
+    ``fake=False`` raises NotImplementedError from the executors (no
+    codec libraries here); ``fake=True`` runs the deterministic stub so
+    the Spark-side plumbing (Arrow batches, schema, partition streaming)
+    is fully exercised and testable.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires a codec library (PIL/libvips); "
+                    "run with fake=True to exercise the pipeline plumbing"
+                )
+            rows = [_fake_decode(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_pixels": [r[0] * r[1] for r in rows],
+                    "feature": [r[2] for r in rows],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+def resize_plan(
+    df: DataFrame, *, max_side: int = 224
+) -> DataFrame:
+    """Pure-SQL resize planning over decoded dims: target size + scale
+    factor per row (the codec-side resize consumes this plan)."""
+    scale = F.least(
+        F.lit(1.0), F.lit(max_side) / F.greatest("width", "height").cast("double")
+    )
+    return df.withColumn("scale", F.round(scale, 6)).withColumn(
+        "target_width", F.ceil(F.col("width") * scale).cast("int")
+    ).withColumn("target_height", F.ceil(F.col("height") * scale).cast("int"))
+
+
+def frame_sample_plan(
+    df: DataFrame, *, id_col: str = "doc_id", fps: float = 1.0, duration_col: str = "duration_s"
+) -> DataFrame:
+    """Explode a video row into per-frame sample timestamps at ``fps`` —
+    array+explode, no UDF; downstream codec extracts the frames."""
+    n_frames = F.greatest(F.lit(1), F.floor(F.col(duration_col) * fps)).cast("int")
+    return (
+        df.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .withColumn("frame_ts", F.round(F.col("frame_idx") / fps, 3))
+        .select(id_col, "frame_idx", "frame_ts")
+    )

@@ -1,0 +1,84 @@
+"""Text analysis operators: stats, language-ID, token counting, quality.
+
+All native Spark array / higher-order / regex functions — the hot path
+never enters Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_batch_spark.llmops.dedup import tokens
+
+# BPE-ish lexer: letter runs, digit runs, single punctuation.  The Spark
+# variant is double-escaped (passes through a SQL string literal).
+TOK_RE_SPARK = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "fr": ("le", "la", "et", "de", "un", "une", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+}
+
+
+def text_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_uniq, ttr, avg_token_len) per document."""
+    d = df.withColumn("toks", tokens(text_col))
+    n_tokens = F.size("toks").cast("long")
+    n_uniq = F.size(F.array_distinct("toks")).cast("long")
+    total_len = F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+    denom = F.nullif(n_tokens, F.lit(0)).cast("double")
+    return d.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        F.round(n_uniq / denom, 4).alias("ttr"),
+        F.round(total_len / denom, 4).alias("avg_token_len"),
+    )
+
+
+def _stop_count(lang: str) -> Column:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(f"size(filter(toks, x -> x IN ({words})))")
+
+
+def lang_scores(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Adds per-language stopword-vote columns (<lang>_n) + toks."""
+    d = df.withColumn("toks", tokens(text_col))
+    for lang in STOPWORDS:
+        d = d.withColumn(f"{lang}_n", _stop_count(lang))
+    return d
+
+
+def lang_pred_col() -> Column:
+    """Argmax with deterministic preference order en > fr > de."""
+    return (
+        F.when(
+            (F.col("en_n") >= F.col("fr_n")) & (F.col("en_n") >= F.col("de_n")) & (F.col("en_n") > 0),
+            "en",
+        )
+        .when((F.col("fr_n") >= F.col("de_n")) & (F.col("fr_n") > 0), "fr")
+        .when(F.col("de_n") > 0, "de")
+        .otherwise("unknown")
+    )
+
+
+def token_counts(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Adds ws_tokens (whitespace) and bpe_tokens (regex lexer) columns."""
+    d = df.withColumn("toks", tokens(text_col))
+    bpe = F.expr(f"size(regexp_extract_all(lower({text_col}), '{TOK_RE_SPARK}', 0))").cast("long")
+    return d.withColumn("ws_tokens", F.size("toks").cast("long")).withColumn("bpe_tokens", bpe)
+
+
+def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, quality): length saturation + lexical diversity + alphabetic
+    purity — the standard pretraining-data quality triple."""
+    d = df.withColumn("toks", tokens(text_col))
+    n_tokens = F.size("toks")
+    diversity = F.size(F.array_distinct("toks")) / F.nullif(n_tokens, F.lit(0)).cast("double")
+    alpha = F.length(F.regexp_replace(F.lower(text_col), "[^a-z]", "")) / F.nullif(
+        F.length(text_col), F.lit(0)
+    ).cast("double")
+    quality = 0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)) + 0.3 * diversity + 0.3 * alpha
+    return d.select(id_col, F.round(quality, 4).alias("quality"))

@@ -1,62 +1,30 @@
-"""LLM-data-pipeline operators (north star, BASELINE.json), oracle-checked.
+"""LLM-data-pipeline queries (north star, BASELINE.json), oracle-checked.
 
-Dedup (exact, fingerprint, n-gram Jaccard, MinHash-LSH, SimHash),
-similarity search (brute-force cosine top-k + LSH-bucketed ANN) and text
-analysis (stats, language-ID heuristic, token counting, quality score)
-over the ``documents`` / ``embeddings`` fixtures.
+Thin instantiations of the first-class operators in
+``etl_batch_spark.llmops`` over the fixture tables, each paired with a
+DuckDB oracle.  See llmops/dedup.py, similarity.py, text.py for the
+operator implementations and their 100 TB-scale design notes.
 
-Design rules for 100 TB scale, applied throughout:
-- everything is expressed with native Spark array/higher-order functions
-  (JVM-side, codegen) — zero Python UDFs;
-- pairwise operators (Jaccard, LSH) go through shingle/band **join keys**,
-  never an O(n²) cross join; brute-force cosine is quadratic by definition
-  and is kept as the small-query-set baseline with the LSH-bucketed
-  variant as the scale path;
-- hash functions are md5-derived so Spark and the DuckDB oracle agree
-  bit-for-bit (Spark's murmur `hash()` has no DuckDB twin).
+The oracles re-express the operators in DuckDB's dialect; hash functions
+are md5-derived on both sides so results agree bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_batch_spark.catalog import load_table
+from etl_batch_spark.llmops import dedup, similarity, text
 from etl_batch_spark.queries.registry import query
 
-# Portable 60-bit hash: first 15 hex chars of md5, identical in both engines.
-_SPARK_H60 = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+# DuckDB twins of the shared building blocks (Spark forms live in llmops)
 _DUCK_H60 = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
-
-# Tokenization (shared contract): lowercase, split on whitespace, drop empties.
-_SPARK_TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
 _DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
-
-# Word 3-gram shingles over the token array (empty when < 3 tokens).
-_SPARK_SHINGLES = (
-    "case when size(toks) >= 3 then "
-    "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
-    "else array() end"
-)
 _DUCK_SHINGLES = (
     "list_transform(generate_series(1, len(toks) - 2), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
 )
-
-
-def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKENS))
-
-
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the input to Jaccard and MinHash."""
-    return (
-        _docs_tokens(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
-        .distinct()
-    )
-
-
 _DUCK_DOC_SHINGLES = f"""
     SELECT DISTINCT doc_id, shingle
     FROM (SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS shingle
@@ -64,14 +32,17 @@ _DUCK_DOC_SHINGLES = f"""
 """
 
 
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
 # ---------------------------------------------------------------------------
-# dd01 — exact dedup by content hash: keep the lowest doc_id per identical
-# text.  Scale: one shuffle on a 128-bit hash — the canonical exact-dedup
-# plan at any scale (hash first, never groupBy raw text).
+# dedup
 # ---------------------------------------------------------------------------
 @query(
     "dd01_dedup_exact",
     bench=True,
+    doc="exact dedup via content-hash groupBy (llmops.dedup.exact_groups)",
     oracle="""
     SELECT md5(text) AS content_hash,
            MIN(doc_id) AS keeper_doc_id,
@@ -81,19 +52,12 @@ _DUCK_DOC_SHINGLES = f"""
     """,
 )
 def dd01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
-        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-    )
+    return dedup.exact_groups(_documents(spark, sf_dir))
 
 
-# ---------------------------------------------------------------------------
-# dd02 — normalized fingerprint dedup: lowercase + whitespace-collapse
-# before hashing, so cosmetic variants collide.
-# ---------------------------------------------------------------------------
 @query(
     "dd02_fingerprint",
+    doc="normalized-fingerprint dedup (llmops.dedup.fingerprint_groups)",
     oracle="""
     SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
            MIN(doc_id) AS keeper_doc_id,
@@ -103,24 +67,13 @@ def dd01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd02_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")))
-    return (
-        d.groupBy(fp.alias("fingerprint"))
-        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-    )
+    return dedup.fingerprint_groups(_documents(spark, sf_dir))
 
 
-# ---------------------------------------------------------------------------
-# dd03 — n-gram Jaccard near-dup: word-3-gram shingle sets, pair candidates
-# generated by a JOIN ON SHARED SHINGLE (not a cross join), Jaccard =
-# |A∩B| / (|A|+|B|-|A∩B|).  Scale: hot shingles fan out — production adds
-# a document-frequency cap on shingles; here the vocabulary is tiny so the
-# join is exercised as-is.
-# ---------------------------------------------------------------------------
 @query(
     "dd03_ngram_jaccard",
     bench=True,
+    doc="word-3-gram Jaccard near-dup pairs (llmops.dedup.jaccard_pairs)",
     oracle=f"""
     WITH sh AS ({_DUCK_DOC_SHINGLES}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
@@ -139,33 +92,9 @@ def dd02_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd03_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.03)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return dedup.jaccard_pairs(_documents(spark, sf_dir), threshold=0.03)
 
 
-# ---------------------------------------------------------------------------
-# dd04 — MinHash-LSH near-dup candidates: 8 md5-seeded hash functions,
-# per-doc minhash signature, candidates = pairs agreeing on ≥1 signature
-# position (b=8, r=1 OR-amplification).  Scale: candidate generation is a
-# join on (position, minhash) — linear shuffle, no cross join; the
-# signature replaces the full shingle set (8 longs per doc).
-# ---------------------------------------------------------------------------
 _DUCK_MINHASH_SIG = f"""
     SELECT doc_id, i,
            MIN({_DUCK_H60.format(expr="CAST(i AS VARCHAR) || '|' || shingle")}) AS minh
@@ -178,6 +107,7 @@ _DUCK_MINHASH_SIG = f"""
 @query(
     "dd04_minhash_lsh",
     bench=True,
+    doc="MinHash-LSH candidate pairs, b=8/r=1 (llmops.dedup.minhash_*)",
     oracle=f"""
     WITH sig AS ({_DUCK_MINHASH_SIG})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -189,39 +119,14 @@ _DUCK_MINHASH_SIG = f"""
     """,
 )
 def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
-    seeds = spark.range(8).select(F.col("id").cast("int").alias("i"))
-    h = F.expr(_SPARK_H60.format(expr="concat(cast(i as string), '|', shingle)"))
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "i")
-        .agg(F.min(h).alias("minh"))
-    )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.minh") == F.col("b.minh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_hash_agree"),
-            F.round(F.count(F.lit(1)) / 8.0, 4).alias("est_jaccard"),
-        )
-    )
+    sh = dedup.shingles(_documents(spark, sf_dir))
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    return dedup.minhash_candidate_pairs(sig, num_hashes=8)
 
 
-# ---------------------------------------------------------------------------
-# dd05 — SimHash (16-bit) document signatures: per-token md5-derived bits
-# vote +1/-1 per position; sign of the vote becomes the signature bit.
-# Near-dups then differ in few bits (Hamming).  Scale: explode(tokens) ×16
-# positions, one aggregation — all JVM-side.
-# ---------------------------------------------------------------------------
 @query(
     "dd05_simhash",
+    doc="16-bit SimHash signatures (llmops.dedup.simhash)",
     oracle=f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, tok
@@ -240,36 +145,16 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = (
-        _docs_tokens(spark, sf_dir)
-        .select("doc_id", F.explode("toks").alias("tok"))
-        .distinct()
-    )
-    bits = spark.range(16).select(F.col("id").cast("int").alias("j"))
-    h = F.expr(_SPARK_H60.format(expr="tok"))
-    vote = F.sum(
-        F.when(F.expr(f"(({_SPARK_H60.format(expr='tok')}) >> j) & 1 = 1"), 1).otherwise(-1)
-    ).alias("vote")
-    votes = toks.crossJoin(F.broadcast(bits)).groupBy("doc_id", "j").agg(vote)
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("vote") >= 0, F.expr("shiftleft(1, j)")).otherwise(0))
-            .cast("long")
-            .alias("simhash16")
-        )
-    )
+    return dedup.simhash(_documents(spark, sf_dir), bits=16)
 
 
 # ---------------------------------------------------------------------------
-# ss01 — brute-force cosine top-k (baseline ANN): 10 query vectors × all
-# candidates, exact cosine, top-5 each.  Scale: the query set is broadcast
-# (tiny); candidates stream through one scan.  Quadratic only in
-# |queries|×|corpus| — the LSH variant (ss02) is the full-corpus scale path.
+# similarity search
 # ---------------------------------------------------------------------------
 @query(
     "ss01_cosine_topk",
     bench=True,
+    doc="brute-force cosine top-5 for 10 query vectors (llmops.similarity.cosine_topk)",
     oracle="""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -290,58 +175,20 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-    )
-    emb = emb.withColumn(
-        "nrm", F.sqrt(F.expr("aggregate(e, cast(0.0 as double), (acc, x) -> acc + x * x)"))
-    )
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
-    )
-    dot = F.expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)")
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-# ---------------------------------------------------------------------------
-# ss02 — LSH-bucketed ANN (the scale path): bucket = sign bits of the
-# first 6 dimensions (a fixed random-hyperplane surrogate); candidates are
-# generated by an equi-join on the bucket key, cosine only within bucket.
-# At 100 TB this is the shape that works: equi-join shuffle on a key,
-# O(n·bucket_size) instead of O(n²).
-# ---------------------------------------------------------------------------
 _DUCK_BUCKET = (
     "(CASE WHEN e[1] > 0 THEN 1 ELSE 0 END + CASE WHEN e[2] > 0 THEN 2 ELSE 0 END"
     " + CASE WHEN e[3] > 0 THEN 4 ELSE 0 END + CASE WHEN e[4] > 0 THEN 8 ELSE 0 END"
     " + CASE WHEN e[5] > 0 THEN 16 ELSE 0 END + CASE WHEN e[6] > 0 THEN 32 ELSE 0 END)"
 )
-_SPARK_BUCKET = (
-    "(case when e[0] > 0 then 1 else 0 end + case when e[1] > 0 then 2 else 0 end"
-    " + case when e[2] > 0 then 4 else 0 end + case when e[3] > 0 then 8 else 0 end"
-    " + case when e[4] > 0 then 16 else 0 end + case when e[5] > 0 then 32 else 0 end)"
-)
 
 
 @query(
     "ss02_lsh_bucketed_ann",
+    doc="sign-bit LSH-bucketed ANN top-3 (llmops.similarity.bucketed_topk)",
     oracle=f"""
     WITH v AS (
       SELECT vec_id, e, {_DUCK_BUCKET} AS bucket,
@@ -362,51 +209,17 @@ _SPARK_BUCKET = (
     """,
 )
 def ss02_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
-    )
-    v = emb.select(
-        "vec_id",
-        "e",
-        F.expr(_SPARK_BUCKET).alias("bucket"),
-        F.sqrt(F.expr("aggregate(e, cast(0.0 as double), (acc, x) -> acc + x * x)")).alias("nrm"),
-    )
-    q = v.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("bucket").alias("qbucket"),
-        F.col("nrm").alias("qn"),
-    )
-    c = v.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("ce"),
-        F.col("bucket").alias("cbucket"),
-        F.col("nrm").alias("cn"),
-    )
-    dot = F.expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)")
-    pairs = (
-        c.join(F.broadcast(q), (F.col("cbucket") == F.col("qbucket")) & (F.col("neighbor_id") != F.col("query_id")))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bucketed_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, n_bits=6)
 
 
 # ---------------------------------------------------------------------------
-# tx01 — per-document text statistics: token counts, type-token ratio,
-# average token length.  All array/higher-order functions, no UDFs.
+# text analysis
 # ---------------------------------------------------------------------------
 @query(
     "tx01_text_stats",
     bench=True,
+    doc="per-document token stats (llmops.text.text_stats)",
     oracle=f"""
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -418,31 +231,17 @@ def ss02_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tx01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_tokens(spark, sf_dir)
-    n_tokens = F.size("toks").cast("long")
-    n_uniq = F.size(F.array_distinct("toks")).cast("long")
-    total_len = F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
-    denom = F.nullif(n_tokens, F.lit(0)).cast("double")
-    return d.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_uniq.alias("n_uniq"),
-        F.round(n_uniq / denom, 4).alias("ttr"),
-        F.round(total_len / denom, 4).alias("avg_token_len"),
-    )
+    return text.text_stats(_documents(spark, sf_dir))
 
 
-# ---------------------------------------------------------------------------
-# tx02 — language-ID heuristic: stopword votes per language family over the
-# token set; argmax with a deterministic preference order.
-# ---------------------------------------------------------------------------
-_EN = "('the', 'a', 'of', 'and', 'is', 'to', 'in')"
-_FR = "('le', 'la', 'et', 'de', 'un', 'une', 'est')"
-_DE = "('der', 'die', 'das', 'und', 'ist', 'ein')"
+_EN = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+_FR = ", ".join(f"'{w}'" for w in text.STOPWORDS["fr"])
+_DE = ", ".join(f"'{w}'" for w in text.STOPWORDS["de"])
 
 
 @query(
     "tx02_langid",
+    doc="stopword-vote language-ID heuristic (llmops.text.lang_scores)",
     oracle=f"""
     SELECT lang,
            CASE WHEN en_n >= fr_n AND en_n >= de_n AND en_n > 0 THEN 'en'
@@ -452,41 +251,28 @@ _DE = "('der', 'die', 'das', 'und', 'ist', 'ein')"
            COUNT(*) AS n_docs
     FROM (
       SELECT lang,
-             len(list_filter(toks, x -> x IN {_EN})) AS en_n,
-             len(list_filter(toks, x -> x IN {_FR})) AS fr_n,
-             len(list_filter(toks, x -> x IN {_DE})) AS de_n
+             len(list_filter(toks, x -> x IN ({_EN}))) AS en_n,
+             len(list_filter(toks, x -> x IN ({_FR}))) AS fr_n,
+             len(list_filter(toks, x -> x IN ({_DE}))) AS de_n
       FROM (SELECT lang, {_DUCK_TOKENS} AS toks FROM documents)
     )
     GROUP BY 1, 2
     """,
 )
 def tx02_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_tokens(spark, sf_dir)
-    en_n = F.expr(f"size(filter(toks, x -> x IN {_EN}))")
-    fr_n = F.expr(f"size(filter(toks, x -> x IN {_FR}))")
-    de_n = F.expr(f"size(filter(toks, x -> x IN {_DE}))")
-    scored = d.select("lang", en_n.alias("en_n"), fr_n.alias("fr_n"), de_n.alias("de_n"))
-    pred = (
-        F.when((F.col("en_n") >= F.col("fr_n")) & (F.col("en_n") >= F.col("de_n")) & (F.col("en_n") > 0), "en")
-        .when((F.col("fr_n") >= F.col("de_n")) & (F.col("fr_n") > 0), "fr")
-        .when(F.col("de_n") > 0, "de")
-        .otherwise("unknown")
+    scored = text.lang_scores(_documents(spark, sf_dir))
+    return (
+        scored.groupBy("lang", text.lang_pred_col().alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    return scored.groupBy("lang", pred.alias("lang_pred")).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-# ---------------------------------------------------------------------------
-# tx03 — token counting: whitespace tokens vs a BPE-ish regex lexer
-# (letters / digits / single punctuation), rolled up per source.
-# ---------------------------------------------------------------------------
-# BPE-ish lexer regex; the Spark variant is double-escaped because it passes
-# through a SQL string literal inside F.expr (SQL eats one backslash level).
 _TOK_RE_DUCK = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
-_TOK_RE_SPARK = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
 
 
 @query(
     "tx03_token_count",
+    doc="whitespace vs BPE-ish token counts per source (llmops.text.token_counts)",
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
@@ -498,25 +284,20 @@ _TOK_RE_SPARK = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
     """,
 )
 def tx03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_tokens(spark, sf_dir)
-    bpe = F.expr(f"size(regexp_extract_all(lower(text), '{_TOK_RE_SPARK}', 0))").cast("long")
-    ws = F.size("toks").cast("long")
+    counted = text.token_counts(_documents(spark, sf_dir))
     return (
-        d.groupBy("source")
+        counted.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(bpe).alias("bpe_tokens"),
-            F.sum(ws).alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.sum("ws_tokens").alias("ws_tokens"),
         )
     )
 
 
-# ---------------------------------------------------------------------------
-# tx04 — composite quality score: length saturation + lexical diversity +
-# alphabetic purity, the standard pretraining-data quality triple.
-# ---------------------------------------------------------------------------
 @query(
     "tx04_quality_score",
+    doc="composite quality score (llmops.text.quality_score)",
     oracle=f"""
     SELECT doc_id,
            ROUND(0.4 * LEAST(1.0, len(toks) / 100.0)
@@ -527,13 +308,4 @@ def tx03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tx04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_tokens(spark, sf_dir)
-    n_tokens = F.size("toks")
-    diversity = F.size(F.array_distinct("toks")) / F.nullif(n_tokens, F.lit(0)).cast("double")
-    alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")) / F.nullif(
-        F.length("text"), F.lit(0)
-    ).cast("double")
-    quality = (
-        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)) + 0.3 * diversity + 0.3 * alpha
-    )
-    return d.select("doc_id", F.round(quality, 4).alias("quality"))
+    return text.quality_score(_documents(spark, sf_dir))

@@ -1,0 +1,138 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference's notion of "streaming" is scheduled batches gated by
+DAILY000 (SURVEY.md §2.D); the engine adds real Structured Streaming:
+
+- :func:`read_events_stream`       — file-source stream with the same
+  nanos→micros ts handling as the batch catalog
+- :func:`windowed_event_counts`    — watermarked tumbling-window aggs
+  (late data dropped past the watermark)
+- :func:`sessionize_stateful`      — custom stateful operator via
+  ``applyInPandasWithState`` (per-user session tracking with a gap
+  timeout), the pattern for operators Spark lacks natively
+
+Tests run with ``trigger(availableNow=True)`` against the fixture
+parquet and assert equivalence with the batch semantics.  At production
+scale the same code points at a Kafka/object-store source; state is
+checkpointed per trigger.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from etl_batch_spark.catalog import DATA_TABLES
+
+_RAW_EVENTS = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in DATA_TABLES["events"].fields
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-source streams require a directory: stream the sf dir with a
+    # glob filter selecting only the events file
+    return (
+        spark.readStream.schema(_RAW_EVENTS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts+sums per event_type with late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("session_count", T.LongType()),
+        T.StructField("event_count", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_count", T.LongType()),
+        T.StructField("event_count", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(stream: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user session/event counters with a
+    gap rule, kept across triggers in GroupState.  This is the engine's
+    template for operators the built-in surface can't express."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            sessions, events, last_us = state.get
+        else:
+            sessions, events, last_us = 0, 0, None
+        ts_list: list[int] = []
+        for pdf in batches:
+            ts_list.extend(int(v) for v in pdf["ts_us"])
+        for ts_us in sorted(ts_list):
+            if last_us is None or ts_us - last_us > gap_us:
+                sessions += 1
+            events += 1
+            last_us = ts_us
+        state.update((sessions, events, last_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "session_count": [sessions], "event_count": [events]}
+        )
+
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, _SESSION_OUT, _SESSION_STATE, "Update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, *, query_name: str, output_mode: str = "update"
+) -> None:
+    """Drain the stream into an in-memory table with availableNow (test /
+    backfill harness; production uses a real sink + checkpoint)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

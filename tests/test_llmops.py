@@ -1,0 +1,130 @@
+"""Operator-level tests for the llmops modules: dedup corpus semantics,
+hot-shingle cap, multimodal plumbing (Arrow-batched decode, resize /
+frame-sample plans)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_batch_spark.llmops import dedup, multimodal, similarity
+from etl_batch_spark.catalog import load_table
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "THE  QUICK brown fox jumps over the lazy dog"),  # cosmetic variant
+        (4, "a completely different document about spark engines"),
+        (5, "the quick brown fox jumps over the sleepy dog"),  # near-dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_groups_and_drop(self, corpus):
+        groups = {r["keeper_doc_id"]: r["n_copies"] for r in dedup.exact_groups(corpus).collect()}
+        assert groups[1] == 2  # docs 1+2 identical
+        deduped = dedup.drop_exact_duplicates(corpus)
+        ids = {r["doc_id"] for r in deduped.collect()}
+        assert ids == {1, 3, 4, 5}  # doc 2 dropped, keeper kept
+
+    def test_fingerprint_collapses_cosmetic_variants(self, corpus):
+        groups = {r["keeper_doc_id"]: r["n_copies"] for r in dedup.fingerprint_groups(corpus).collect()}
+        assert groups[1] == 3  # 1, 2 and the case/whitespace variant 3
+
+    def test_jaccard_finds_near_dup(self, corpus):
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+                 dedup.jaccard_pairs(corpus, threshold=0.5).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 5) in pairs and 0.5 <= pairs[(1, 5)] < 1.0
+        assert not any(4 in p for p in pairs)
+
+    def test_jaccard_df_cap_prunes_hot_shingles(self, corpus):
+        # cap=1 keeps only shingles unique to one doc → no shared shingles
+        assert dedup.jaccard_pairs(corpus, threshold=0.01, df_cap=1).count() == 0
+
+    def test_minhash_candidates_include_true_dups(self, corpus):
+        sh = dedup.shingles(corpus)
+        sig = dedup.minhash_signatures(sh, num_hashes=8)
+        pairs = {(r["doc_a"], r["doc_b"]): r["n_hash_agree"] for r in
+                 dedup.minhash_candidate_pairs(sig, num_hashes=8).collect()}
+        assert pairs[(1, 2)] == 8  # identical docs agree on every position
+
+    def test_simhash_identical_docs_equal_signatures(self, corpus):
+        sigs = {r["doc_id"]: r["simhash16"] for r in dedup.simhash(corpus).collect()}
+        assert sigs[1] == sigs[2]
+        assert 0 <= sigs[1] < 2**16
+        # near-dup differs in few bits; unrelated doc differs in more
+        ham_near = bin(sigs[1] ^ sigs[5]).count("1")
+        ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+        assert ham_near <= ham_far
+
+
+class TestSimilarity:
+    def test_topk_self_best_match(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        res = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=2)
+        rows = res.collect()
+        assert {r["query_id"] for r in rows} == {0, 1, 2}
+        for r in rows:
+            assert r["neighbor_id"] != r["query_id"]
+            assert -1.0001 <= r["cosine"] <= 1.0001
+
+    def test_bucketed_is_subset_of_bruteforce_candidates(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        bucketed = similarity.bucketed_topk(emb, q, k=50, n_bits=4)
+        # every bucketed neighbor must share the query's bucket
+        v = emb.select("vec_id", similarity.signbit_bucket(
+            "transform(embedding, x -> cast(x as double))", 4).alias("b"))
+        buckets = {r["vec_id"]: r["b"] for r in v.collect()}
+        for r in bucketed.collect():
+            assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+
+
+class TestMultimodal:
+    def test_attach_payload_metadata(self, spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents").limit(10)
+        m = multimodal.attach_payload(d)
+        row = m.select("media_meta", F.length("text").alias("n")).first()
+        assert row["media_meta"]["modality"] == "image"
+        assert row["media_meta"]["n_bytes"] == row["n"]  # ascii fixture text
+        assert len(row["media_meta"]["sha256"]) == 64
+
+    def test_decode_image_fake_roundtrip(self, spark, sf_dir):
+        d = multimodal.attach_payload(load_table(spark, sf_dir, "documents").limit(20))
+        out = multimodal.decode_image(d, fake=True)
+        rows = out.collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+            assert r["n_pixels"] == r["width"] * r["height"]
+            assert len(r["feature"]) == 8
+
+    def test_decode_image_unstubbed_raises(self, spark, sf_dir):
+        d = multimodal.attach_payload(load_table(spark, sf_dir, "documents").limit(2))
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            multimodal.decode_image(d, fake=False).collect()
+
+    def test_resize_plan_caps_max_side(self, spark, sf_dir):
+        d = multimodal.attach_payload(load_table(spark, sf_dir, "documents").limit(20))
+        planned = multimodal.resize_plan(multimodal.decode_image(d, fake=True), max_side=128)
+        for r in planned.collect():
+            assert max(r["target_width"], r["target_height"]) <= 128
+            if max(r["width"], r["height"]) <= 128:
+                assert r["scale"] == 1.0
+
+    def test_frame_sample_plan(self, spark):
+        vids = spark.createDataFrame(
+            [(1, 3.5), (2, 0.2)], "doc_id long, duration_s double"
+        )
+        frames = multimodal.frame_sample_plan(vids, fps=2.0).collect()
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r["doc_id"], []).append(r["frame_ts"])
+        assert len(by_doc[1]) == 7  # floor(3.5 * 2) = 7 frames
+        assert by_doc[2] == [0.0]  # short clip → at least one frame
+        assert by_doc[1][:3] == [0.0, 0.5, 1.0]
