@@ -96,6 +96,28 @@ def drop_exact_duplicates(df: DataFrame, *, id_col: str = "doc_id", text_col: st
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def _pairs_from_groups(df: DataFrame, group_cols: list[str], id_col: str) -> DataFrame:
+    """(doc_a, doc_b) for every unordered id pair sharing a group key.
+
+    One aggregation + an array-combinations explode instead of a
+    self-join: the self-join shape shuffles the exploded table twice and
+    recomputes its lineage for each side; this shape scans once and
+    shuffles once before the pair explode.  Group fanout is quadratic in
+    group size — callers bound it (df_cap / minhash bands) so arrays
+    stay small; that bound is what makes the operator safe at 100 TB.
+    """
+    groups = (
+        df.groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return groups.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
+
+
 def jaccard_pairs(
     df: DataFrame,
     *,
@@ -117,12 +139,13 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle", "left_semi")
+    # the shingle table feeds both the size agg and the pair generation —
+    # persist so tokenize+shingle+distinct runs once
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        _pairs_from_groups(sh, ["shingle"], id_col)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -159,16 +182,12 @@ def minhash_candidate_pairs(
     sig: DataFrame, *, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
     """(doc_a, doc_b, n_hash_agree, est_jaccard) for pairs agreeing on ≥1
-    signature position (b=num_hashes, r=1 OR-amplification)."""
-    a, b = sig.alias("a"), sig.alias("b")
+    signature position (b=num_hashes, r=1 OR-amplification).  Pair
+    generation groups by (position, minhash) — a band bucket is a set of
+    near-identical docs, so bucket sizes are naturally small."""
     return (
-        a.join(
-            b,
-            (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.minh") == F.col("b.minh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        _pairs_from_groups(sig, ["i", "minh"], id_col)
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("n_hash_agree"),
             F.round(F.count(F.lit(1)) / float(num_hashes), 4).alias("est_jaccard"),

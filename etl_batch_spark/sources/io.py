@@ -1,0 +1,95 @@
+"""Sources & sinks with 100 TB partitioning discipline.
+
+The reference ingests loader files resolved by name
+(func_get_loader_file_name, body.sql:1163-1251) and leaves all IO to
+Oracle.  The engine's IO layer makes the scale decisions explicit:
+
+- **explicit schemas** on every read (no inference jobs over 100 TB);
+- **date-partitioned writes** (``write_partitioned``) so downstream
+  control-date queries prune partitions instead of scanning history;
+- **target file sizing** via a pre-write repartition on the partition
+  columns (avoids the many-small-files and one-giant-file failure modes);
+- loader-file template integration: ``resolve_loader_paths`` turns the
+  control table's ``${DAY}`` entries into concrete read paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_batch_spark.orchestration.loader import get_loader_file_name
+from etl_batch_spark.orchestration.store import ControlStore
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV with explicit schema + corrupt-record capture in PERMISSIVE
+    mode — bad rows land in ``_corrupt_record`` instead of failing the
+    job (the batch-ETL default; use FAILFAST for strict loads)."""
+    if mode == "PERMISSIVE" and "_corrupt_record" not in schema.fieldNames():
+        schema = T.StructType([*schema.fields, T.StructField("_corrupt_record", T.StringType())])
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    day_column: str | None = None,
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write with date-partition discipline.
+
+    ``day_column`` derives a ``day`` partition column with
+    ``date_trunc('day')`` (the engine's control-date convention —
+    Oracle-DATE semantics, SURVEY.md §1.3).  The pre-write repartition on
+    the partition key bounds output file counts: without it every task
+    writes a file into every partition (tasks × partitions small files).
+    """
+    cols = list(partition_by or [])
+    if day_column is not None:
+        df = df.withColumn("day", F.date_trunc("day", F.col(day_column)).cast("date"))
+        cols.append("day")
+    if cols:
+        df = df.repartition(files_per_partition, *[F.col(c) for c in cols])
+        df.write.partitionBy(*cols).mode(mode).format(fmt).save(path)
+    else:
+        df.write.mode(mode).format(fmt).save(path)
+
+
+def resolve_loader_paths(
+    store: ControlStore, batch_name: str, run_day: str, *, base_dir: str = ""
+) -> list[str]:
+    """Concrete input paths for a load batch from the ``tmp_run_loader``
+    control table (``'0'`` sentinel → empty list)."""
+    joined = get_loader_file_name(store, batch_name, run_day)
+    if joined in ("0", "1"):
+        return []
+    prefix = base_dir.rstrip("/") + "/" if base_dir else ""
+    return [prefix + name for name in joined.split(" ")]

@@ -1,0 +1,45 @@
+"""Physical-plan contract tests: the performance properties the engine
+relies on at 100 TB (pushdown, pruning, broadcast) are asserted, not
+assumed."""
+
+from __future__ import annotations
+
+from etl_batch_spark import plans
+from etl_batch_spark.queries import QUERIES
+
+
+def test_q01_filter_pushed_and_columns_pruned(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"].build(spark, sf_dir)
+    plans.assert_filter_pushed(df, "l_shipdate")
+    # lineitem has 11 columns; q01 needs 7
+    plans.assert_columns_pruned(df, table_width=11)
+
+
+def test_q09_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["q09_multiway_join_revenue"].build(spark, sf_dir)
+    plans.assert_broadcast(df, at_least=2)  # nation + region at minimum
+    plans.assert_filter_pushed(df, "o_orderdate")
+
+
+def test_q02_point_lookup_pushdown(spark, sf_dir):
+    df = QUERIES["q02_point_lookup"].build(spark, sf_dir)
+    # the segment equality is pushable (upper() folds on literal side
+    # is not — but IsNotNull + custkey arithmetic guard the scan)
+    assert plans.pushed_filters(df), "point lookup should push something to the scan"
+
+
+def test_q12_topk_uses_take_ordered(spark, sf_dir):
+    df = QUERIES["q12_topk_orders"].build(spark, sf_dir)
+    assert plans.count_ops(df, "TakeOrderedAndProject") == 1
+
+
+def test_semi_and_anti_join_operators(spark, sf_dir):
+    semi = QUERIES["q07_exists_semi_join"].build(spark, sf_dir)
+    anti = QUERIES["q08_not_exists_anti_join"].build(spark, sf_dir)
+    assert "LeftSemi" in plans.formatted_plan(semi)
+    assert "LeftAnti" in plans.formatted_plan(anti)
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    df = QUERIES["q23_range_join_bands"].build(spark, sf_dir)
+    assert plans.count_ops(df, "BroadcastNestedLoopJoin") == 1
