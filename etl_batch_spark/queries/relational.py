@@ -791,3 +791,161 @@ def q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("session_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q35 — shipping-priority top-k (TPC-H Q3 shape): selective dimension
+# filter + fact join + agg + TakeOrdered.  Scale: customer filter cuts the
+# build side before the join; top-k never globally sorts.
+# ---------------------------------------------------------------------------
+@query(
+    "q35_shipping_priority",
+    bench=True,
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — forecasting-revenue scan (TPC-H Q6 shape): the pure
+# filter-aggregate — every predicate must reach the parquet scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q36_forecast_revenue",
+    bench=True,
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q36_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — from_json to typed MapType (vs q20's get_json_object path):
+# schema-on-read for the events.props payload.
+# ---------------------------------------------------------------------------
+@query(
+    "q37_from_json_map",
+    oracle="""
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q37_from_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    props = F.from_json("props", "map<string,bigint>")
+    k = props.getItem("k")
+    return (
+        e.groupBy((F.col("user_id") % 10).cast("long").alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — approximate aggregates (SURVEY §2.D): HLL distinct + quantile
+# sketch.  No SQL oracle — sketch implementations differ per engine by
+# design; the rows-only check applies, and tests/test_queries_extra.py
+# asserts closeness to the exact answers.
+# ---------------------------------------------------------------------------
+@query(
+    "q38_approx_aggregates",
+    oracle=None,
+    doc="HLL approx_count_distinct + quantile sketch; sketch outputs are engine-specific, so rows-only check + closeness test",
+)
+def q38_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — exact decimal aggregation: money math without float drift
+# (DecimalType end-to-end, matching scale on both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q39_decimal_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q39_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
