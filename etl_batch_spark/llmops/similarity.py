@@ -81,6 +81,116 @@ def signbit_bucket(vec_expr: str = "e", n_bits: int = 6) -> Column:
     return F.expr(f"({terms})")
 
 
+def neardup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.35,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine ≥ threshold.
+
+    Candidates come from a self-equi-join on the sign-bit bucket — true
+    near-dups (cosine → 1) agree on every sign bit, so recall for actual
+    duplicates is high while the join stays linear: with ``n_bits`` b the
+    expected bucket size is n/2^b, so raise b as the corpus grows to keep
+    per-bucket fanout bounded.  The threshold is applied to the *rounded*
+    cosine so boundary behavior is identical across engines.
+    """
+    v = _normed(df, id_col=id_col, vec_col=vec_col).withColumn(
+        "bucket", signbit_bucket("e", n_bits)
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"), "bucket"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"), "bucket"
+    )
+    cos = F.round(
+        F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), round_to
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, probe the query's ``nprobe`` nearest lists.
+
+    Centroids here are the first ``n_centroids`` corpus vectors by id — a
+    deterministic seed pick that keeps the operator engine-portable and
+    oracle-checkable; a production index would train them with
+    ``pyspark.ml.clustering.KMeans`` and the rest of the plan is
+    unchanged.  Costs at scale: assignment is one broadcast of C
+    centroids against a single corpus scan (C cosine folds per row, no
+    shuffle), search is an equi-join on the centroid id — never a cross
+    join against the corpus.
+    """
+    c = _normed(corpus, id_col=id_col, vec_col=vec_col)
+    cents = (
+        c.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn"))
+    )
+    sim = F.round(
+        F.expr(DOT.format(a="e", b="ce")) / (F.col("nrm") * F.col("cn")), round_to
+    )
+    rn_w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cent_id"))
+    assign = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "e", "nrm", "cent_id")
+    )
+    q = _normed(queries, id_col=id_col, vec_col=vec_col)
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cent_id",
+        )
+    )
+    dot = F.expr(DOT.format(a="qe", b="e"))
+    pairs = (
+        assign.join(F.broadcast(qprobe), "cent_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dot / (F.col("qn") * F.col("nrm")), round_to).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

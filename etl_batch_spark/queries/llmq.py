@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_batch_spark.catalog import load_table
-from etl_batch_spark.llmops import dedup, similarity, text
+from etl_batch_spark.llmops import dedup, multimodal, similarity, text
 from etl_batch_spark.queries.registry import query
 
 # DuckDB twins of the shared building blocks (Spark forms live in llmops)
@@ -148,6 +148,33 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_documents(spark, sf_dir), bits=16)
 
 
+_DUCK_BUCKET = (
+    "(CASE WHEN e[1] > 0 THEN 1 ELSE 0 END + CASE WHEN e[2] > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN e[3] > 0 THEN 4 ELSE 0 END + CASE WHEN e[4] > 0 THEN 8 ELSE 0 END"
+    " + CASE WHEN e[5] > 0 THEN 16 ELSE 0 END + CASE WHEN e[6] > 0 THEN 32 ELSE 0 END)"
+)
+
+
+@query(
+    "dd06_embedding_neardup",
+    doc="embedding-cosine near-dup pairs via sign-bit buckets (llmops.similarity.neardup_pairs)",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, e, {_DUCK_BUCKET} AS bucket,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35
+    """,
+)
+def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(emb, threshold=0.35, n_bits=6)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -179,13 +206,6 @@ def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-_DUCK_BUCKET = (
-    "(CASE WHEN e[1] > 0 THEN 1 ELSE 0 END + CASE WHEN e[2] > 0 THEN 2 ELSE 0 END"
-    " + CASE WHEN e[3] > 0 THEN 4 ELSE 0 END + CASE WHEN e[4] > 0 THEN 8 ELSE 0 END"
-    " + CASE WHEN e[5] > 0 THEN 16 ELSE 0 END + CASE WHEN e[6] > 0 THEN 32 ELSE 0 END)"
-)
-
-
 @query(
     "ss02_lsh_bucketed_ann",
     doc="sign-bit LSH-bucketed ANN top-3 (llmops.similarity.bucketed_topk)",
@@ -211,6 +231,120 @@ _DUCK_BUCKET = (
 def ss02_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.bucketed_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, n_bits=6)
+
+
+_DUCK_IVF_ASSIGN = """
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT vec_id, e, nrm, cent_id FROM (
+        SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS rn
+        FROM v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, e AS qe, nrm AS qn, cent_id FROM (
+        SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) DESC,
+                          c.cent_id
+               ) AS rn
+        FROM v CROSS JOIN cents c WHERE v.vec_id < 20
+      ) WHERE rn <= 2
+    )
+"""
+
+
+@query(
+    "ss03_ivf_ann",
+    doc="IVF-Flat ANN top-3, 16 seed centroids, nprobe=2 (llmops.similarity.ivf_topk)",
+    oracle=f"""
+    WITH {_DUCK_IVF_ASSIGN},
+    pairs AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qe, a.e) / (q.qn * a.nrm), 6) AS cosine
+      FROM qprobe q JOIN assign a
+        ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def ss03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, n_centroids=16, nprobe=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns (llmops.multimodal): binary payload + mapInPandas
+# decode plumbing; the codec is a deterministic md5-derived stub, so the
+# full Arrow-batched pipeline is oracle-checkable value-for-value.
+# ---------------------------------------------------------------------------
+@query(
+    "mm01_decode_resize",
+    doc="binary payload → mapInPandas fake-decode → resize plan (llmops.multimodal)",
+    oracle="""
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(ceil(width * least(1.0, 224.0 / greatest(width, height))) AS INT)
+             AS target_width,
+           CAST(ceil(height * least(1.0, 224.0 / greatest(width, height))) AS INT)
+             AS target_height
+    FROM (
+      SELECT doc_id,
+             CAST(64 + (('0x' || substr(md5(text), 1, 2))::BIGINT % 192) AS INT) AS width,
+             CAST(64 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 192) AS INT) AS height
+      FROM documents
+    )
+    """,
+)
+def mm01_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(_documents(spark, sf_dir))
+    decoded = multimodal.decode_image(docs, fake=True)
+    return multimodal.resize_plan(decoded).select(
+        "doc_id", "width", "height", "n_pixels", "target_width", "target_height"
+    )
+
+
+@query(
+    "mm02_frame_sample",
+    doc="video frame-sample plan: duration → per-frame timestamps via sequence+explode (llmops.multimodal.frame_sample_plan)",
+    oracle="""
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           ROUND(frame_idx / 2.0, 3) AS frame_ts
+    FROM (
+      SELECT doc_id, UNNEST(generate_series(0, n_frames - 1)) AS frame_idx
+      FROM (
+        SELECT doc_id,
+               greatest(1, CAST(floor(length(text) / 500.0 * 2.0) AS BIGINT)) AS n_frames
+        FROM documents
+      )
+    )
+    """,
+)
+def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", (F.length("text") / 500.0).alias("duration_s")
+    )
+    return multimodal.frame_sample_plan(docs, fps=2.0)
 
 
 # ---------------------------------------------------------------------------

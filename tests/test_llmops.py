@@ -84,6 +84,32 @@ class TestSimilarity:
         for r in bucketed.collect():
             assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
 
+    def test_neardup_pairs_flags_planted_duplicate(self, spark):
+        base = [round(((i * 37) % 101 - 50) / 50.0, 3) for i in range(16)]
+        near = list(base)
+        near[0] += 0.01  # same sign bits, cosine ≈ 1
+        opposite = [-x for x in base]
+        emb = spark.createDataFrame(
+            [(0, base), (1, near), (2, opposite)],
+            "vec_id long, embedding array<float>",
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+                 for r in similarity.neardup_pairs(emb, threshold=0.9, n_bits=4).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+        assert not any(2 in p for p in pairs)  # opposite vector never pairs
+
+    def test_ivf_recall_vs_bruteforce(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in similarity.cosine_topk(emb, q, k=3).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in similarity.ivf_topk(emb, q, k=3, n_centroids=16, nprobe=4).collect()}
+        # IVF with 4-of-16 probes should recover a meaningful share of the
+        # exact top-3 — and must return k rows per query
+        assert len(approx) == len(exact)
+        assert len(exact & approx) / len(exact) >= 0.3
+
 
 class TestMultimodal:
     def test_attach_payload_metadata(self, spark, sf_dir):
