@@ -157,6 +157,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(DATA_TABLES[name]).parquet(table_path(sf_dir, name))
 
 
+def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Repartition a narrow input so per-row-heavy stages (tokenize,
+    shingle, hash, vector folds) use every core.
+
+    No-op when the input already has ≥ the target partitions — the
+    cluster/100 TB case, where corpora arrive in thousands of splits.
+    The guard matters because single-file fixtures (one parquet row
+    group) are unsplittable: without this, every narrow stage downstream
+    of the scan runs on one core regardless of cluster size.
+    """
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in DATA_TABLES}
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_batch_spark.catalog import fan_out
+
 # 60-bit portable hash: first 15 hex chars of md5 (same construction is
 # expressible in DuckDB/Trino/Flink SQL for cross-engine validation)
 H60 = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
@@ -50,12 +52,23 @@ def shingle_array(toks_expr: str = "toks", n: int = 3) -> Column:
     return F.expr(SHINGLES_EXPR.format(toks=toks_expr, n=n, parts=parts))
 
 
+def shingle_sets(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) — the *distinct* shingle set per document,
+    built entirely per-row (tokenize → shingle → array_distinct).  No
+    shuffle: dedup within a document never needs to leave the row, so the
+    global ``distinct()`` an explode-first design would pay is avoided."""
+    return fan_out(df).withColumn("toks", tokens(text_col)).select(
+        id_col, F.array_distinct(shingle_array("toks", n)).alias("sh")
+    )
+
+
 def shingles(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs — the substrate for Jaccard/MinHash."""
     return (
-        df.withColumn("toks", tokens(text_col))
-        .select(id_col, F.explode(shingle_array("toks", n)).alias("shingle"))
-        .distinct()
+        shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
+        .select(id_col, F.explode("sh").alias("shingle"))
     )
 
 
@@ -130,7 +143,8 @@ def jaccard_pairs(
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥
     threshold.  ``df_cap`` drops shingles occurring in more than that
     many documents (hot-key guard for web-scale corpora)."""
-    sh = shingles(df, id_col=id_col, text_col=text_col, n=n)
+    ss = shingle_sets(df, id_col=id_col, text_col=text_col, n=n).persist()
+    sh = ss.select(id_col, F.explode("sh").alias("shingle"))
     if df_cap is not None:
         rare = (
             sh.groupBy("shingle")
@@ -139,10 +153,11 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle", "left_semi")
-    # the shingle table feeds both the size agg and the pair generation —
-    # persist so tokenize+shingle+distinct runs once
-    sh = sh.persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        # sizes must count post-cap shingles, so aggregate the capped table
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        # set size is a per-row map over the array — no aggregation shuffle
+        sizes = ss.select(id_col, F.size("sh").alias("n_sh"))
     common = (
         _pairs_from_groups(sh, ["shingle"], id_col)
         .groupBy("doc_a", "doc_b")
@@ -164,12 +179,22 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(
-    sh: DataFrame, *, id_col: str = "doc_id", num_hashes: int = 8
+    ss: DataFrame, *, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
-    """(id, i, minh): position-i minhash per document over its shingles.
-    Seeded family: h_i(s) = md5-60bit of "i|s"."""
-    spark = sh.sparkSession
+    """(id, i, minh): position-i minhash per document over its shingle
+    set (from :func:`shingle_sets`).  Seeded family: h_i(s) = md5-60bit
+    of "i|s".
+
+    Shape: explode the per-row shingle set, fan out ``num_hashes`` seeds
+    via a broadcast cross join, groupBy(id, seed) min.  The min is
+    map-side combined, so the shuffle carries ~``num_hashes`` longs per
+    document — not the exploded table.  (A fully per-row nested
+    higher-order-function form was benchmarked and lost: lambda
+    expressions are interpreted, while this shape stays inside
+    whole-stage codegen.)"""
+    spark = ss.sparkSession
     seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("i"))
+    sh = ss.select(id_col, F.explode("sh").alias("shingle"))
     h = F.expr(H60.format(expr="concat(cast(i as string), '|', shingle)"))
     return (
         sh.crossJoin(F.broadcast(seeds))
@@ -203,22 +228,23 @@ def simhash(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """(id, simhash): bit-vote signature over distinct tokens; near-dups
-    differ in few bits (compare with Hamming distance downstream)."""
-    spark = df.sparkSession
-    toks = (
-        df.withColumn("toks", tokens(text_col))
-        .select(id_col, F.explode("toks").alias("tok"))
-        .distinct()
+    differ in few bits (compare with Hamming distance downstream).
+
+    The signature is a pure per-row fold (hash each distinct token once,
+    then vote each bit over the hash array) — a narrow map over the
+    corpus with zero shuffles, versus the crossJoin(bit positions) +
+    double groupBy a relational formulation would pay."""
+    df = fan_out(df)
+    h = H60.format(expr="t")
+    sig = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + "
+        "case when aggregate(hs, 0, (a, hv) -> "
+        "a + case when (hv >> j) & 1 = 1 then 1 else -1 end) >= 0 "
+        "then shiftleft(1, j) else 0 end)"
     )
-    positions = spark.range(bits).select(F.col("id").cast("int").alias("j"))
-    h = H60.format(expr="tok")
-    vote = F.sum(F.when(F.expr(f"(({h}) >> j) & 1 = 1"), 1).otherwise(-1)).alias("vote")
-    votes = toks.crossJoin(F.broadcast(positions)).groupBy(id_col, "j").agg(vote)
     return (
-        votes.groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("vote") >= 0, F.expr("shiftleft(1, j)")).otherwise(0))
-            .cast("long")
-            .alias(f"simhash{bits}")
-        )
+        df.withColumn("toks", F.array_distinct(tokens(text_col)))
+        .filter(F.size("toks") >= 1)
+        .withColumn("hs", F.expr(f"transform(toks, t -> {h})"))
+        .select(id_col, sig.alias(f"simhash{bits}"))
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from etl_batch_spark.catalog import fan_out
+
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
 
 
@@ -31,7 +33,9 @@ def l2_norm(col: str = "e") -> Column:
 
 
 def _normed(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(
+    # fan_out: the cosine folds downstream are per-row CPU — a
+    # single-split corpus file must not serialize them on one core
+    return fan_out(df).select(
         F.col(id_col), as_double(vec_col).alias("e")
     ).withColumn("nrm", l2_norm("e"))
 

@@ -119,8 +119,8 @@ _DUCK_MINHASH_SIG = f"""
     """,
 )
 def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup.shingles(_documents(spark, sf_dir))
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    ss = dedup.shingle_sets(_documents(spark, sf_dir))
+    sig = dedup.minhash_signatures(ss, num_hashes=8)
     return dedup.minhash_candidate_pairs(sig, num_hashes=8)
 
 

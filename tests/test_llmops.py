@@ -47,8 +47,8 @@ class TestDedup:
         assert dedup.jaccard_pairs(corpus, threshold=0.01, df_cap=1).count() == 0
 
     def test_minhash_candidates_include_true_dups(self, corpus):
-        sh = dedup.shingles(corpus)
-        sig = dedup.minhash_signatures(sh, num_hashes=8)
+        ss = dedup.shingle_sets(corpus)
+        sig = dedup.minhash_signatures(ss, num_hashes=8)
         pairs = {(r["doc_a"], r["doc_b"]): r["n_hash_agree"] for r in
                  dedup.minhash_candidate_pairs(sig, num_hashes=8).collect()}
         assert pairs[(1, 2)] == 8  # identical docs agree on every position
