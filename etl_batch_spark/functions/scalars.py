@@ -176,3 +176,42 @@ def string_to_number_col(col: Column) -> Column:
         .otherwise(digits.cast("long"))
         .cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL registration: the package's public scalar surface under its
+# reference names (pkg_batch_util_spec.sql:28-91), callable from
+# spark.sql for API parity.  These are row-at-a-time Python UDFs by
+# design — they exist so a PL/SQL caller's SQL translates verbatim; all
+# engine hot paths use the native *_col builders above, which stay
+# JVM-side inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+
+def register_sql_functions(spark) -> list[str]:
+    """Register func_datediff / func_check_date / func_field_counter /
+    func_get_nth_field / func_string_to_number / func_atol as SQL
+    functions on this session; returns the registered names."""
+    from pyspark.sql import types as T
+
+    regs = {
+        "func_datediff": (lambda a, b: datediff_hms(a, b), T.StringType()),
+        "func_check_date": (lambda s: check_date(s)[0], T.IntegerType()),
+        "func_field_counter": (
+            lambda s, unterminated=False, delim=",": field_counter(
+                s, bool(unterminated), delim or ","
+            ),
+            T.IntegerType(),
+        ),
+        "func_get_nth_field": (
+            lambda s, n, unterminated=True, delim=",": get_nth_field(
+                s, int(n), bool(unterminated), delim or ","
+            ),
+            T.StringType(),
+        ),
+        "func_string_to_number": (string_to_number, T.LongType()),
+        "func_atol": (atol, T.LongType()),
+    }
+    for name, (fn, rt) in regs.items():
+        spark.udf.register(name, fn, rt)
+    return sorted(regs)

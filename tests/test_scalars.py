@@ -114,3 +114,37 @@ class TestStringToNumber:
 
     def test_atol_alias(self):
         assert atol("77x") == 77
+
+
+class TestSqlRegistration:
+    def test_registered_names_callable_from_sql(self, spark):
+        from etl_batch_spark.functions.scalars import register_sql_functions
+
+        names = register_sql_functions(spark)
+        assert names == [
+            "func_atol",
+            "func_check_date",
+            "func_datediff",
+            "func_field_counter",
+            "func_get_nth_field",
+            "func_string_to_number",
+        ]
+        row = spark.sql(
+            """
+            SELECT func_string_to_number('12ab7') AS a,
+                   func_atol('  42  ') AS b,
+                   func_check_date('01-JAN-2024') AS c,
+                   func_check_date('bad') AS c_bad,
+                   func_field_counter('a,b,c', false, ',') AS d,
+                   func_get_nth_field('a,b,c', 2, true, ',') AS e,
+                   func_datediff(TIMESTAMP '2024-01-01 00:00:00',
+                                 TIMESTAMP '2024-01-02 01:02:03') AS f
+            """
+        ).collect()[0]
+        assert row["a"] == 12
+        assert row["b"] == 42
+        assert row["c"] == 0
+        assert row["c_bad"] == -1
+        assert row["d"] == 2
+        assert row["e"] == "b"
+        assert row["f"] == "25:2:3"
