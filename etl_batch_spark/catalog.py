@@ -169,7 +169,16 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # probe with inputFiles(), not rdd.getNumPartitions(): the RDD probe
+    # forces a full plan->RDD compile (~1 s of driver time per query),
+    # while file listing is metadata-only.  Files under-count partitions
+    # for multi-row-group files — the worst case is one redundant shuffle
+    # on inputs that were already parallel enough, never lost parallelism.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_files < target:
         return df.repartition(target)
     return df
 
