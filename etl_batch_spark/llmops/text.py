@@ -82,3 +82,46 @@ def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     ).cast("double")
     quality = 0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)) + 0.3 * diversity + 0.3 * alpha
     return d.select(id_col, F.round(quality, 4).alias("quality"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Document fingerprints by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every word ``k``-gram in positional order, then keep
+    the minimum hash of each sliding window of ``w`` consecutive k-gram
+    hashes.  Any shared run of ≥ w+k-1 tokens between two documents is
+    guaranteed to share a fingerprint, so plagiarism/containment
+    detection becomes an equi-join on (fingerprint) — the same
+    linear-shuffle shape as the other dedup operators, with a corpus-
+    size-independent ~1/w sampling of positions per document.
+
+    Entirely per-row higher-order functions (order-preserving, unlike
+    the set-shaped :func:`~etl_batch_spark.llmops.dedup.shingle_sets`);
+    output is the distinct (id, fingerprint) table.  Documents with
+    fewer than k tokens have no fingerprints; those with fewer than w
+    k-grams contribute their single minimum (standard fallback).
+    """
+    from etl_batch_spark.catalog import fan_out
+    from etl_batch_spark.llmops.dedup import H60
+
+    gram = " , ".join(f"toks[i+{j}]" for j in range(k))
+    h = H60.format(expr=f"concat_ws(' ', {gram})")
+    hs = f"transform(sequence(0, size(toks) - {k}), i -> {h})"
+    fps = (
+        f"case when size(hs) >= {w} then "
+        f"array_distinct(transform(sequence(0, size(hs) - {w}), i -> array_min(slice(hs, i + 1, {w})))) "
+        "else array(array_min(hs)) end"
+    )
+    return (
+        fan_out(df)
+        .withColumn("toks", tokens(text_col))
+        .filter(F.size("toks") >= k)
+        .withColumn("hs", F.expr(hs))
+        .select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
+    )

@@ -430,6 +430,34 @@ def tx03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx05_winnow_fingerprints",
+    doc="winnowing document fingerprints, k=3 w=4 (llmops.text.winnow_fingerprints)",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> {_DUCK_H60.format(expr="toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}) AS hs
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT doc_id, UNNEST(fps) AS fingerprint
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                                                    i -> list_min(hs[i:i+3])))
+                  ELSE [list_min(hs)] END AS fps
+      FROM h
+    )
+    """,
+)
+def tx05_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(_documents(spark, sf_dir), k=3, w=4)
+
+
+@query(
     "tx04_quality_score",
     doc="composite quality score (llmops.text.quality_score)",
     oracle=f"""

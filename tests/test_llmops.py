@@ -111,6 +111,33 @@ class TestSimilarity:
         assert len(exact & approx) / len(exact) >= 0.3
 
 
+class TestWinnowing:
+    def test_shared_run_guarantees_shared_fingerprint(self, spark):
+        from etl_batch_spark.llmops import text
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens > w+k-1=6
+        rows = [
+            (1, f"one two three {shared} four five"),
+            (2, f"{shared} completely different tail words here"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = text.winnow_fingerprints(df, k=3, w=4)
+        by_doc = {i: set() for i in (1, 2, 3)}
+        for r in fps.collect():
+            by_doc[r["doc_id"]].add(r["fingerprint"])
+        assert by_doc[1] & by_doc[2]  # winnowing guarantee
+        assert not (by_doc[1] & by_doc[3])
+
+    def test_short_doc_single_fingerprint(self, spark):
+        from etl_batch_spark.llmops import text
+
+        df = spark.createDataFrame([(1, "just three tokens"), (2, "too few")],
+                                   "doc_id long, text string")
+        out = text.winnow_fingerprints(df, k=3, w=4).collect()
+        assert len(out) == 1 and out[0]["doc_id"] == 1
+
+
 class TestMultimodal:
     def test_attach_payload_metadata(self, spark, sf_dir):
         d = load_table(spark, sf_dir, "documents").limit(10)
