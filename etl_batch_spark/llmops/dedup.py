@@ -142,36 +142,56 @@ def jaccard_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥
     threshold.  ``df_cap`` drops shingles occurring in more than that
-    many documents (hot-key guard for web-scale corpora)."""
-    ss = shingle_sets(df, id_col=id_col, text_col=text_col, n=n).persist()
-    sh = ss.select(id_col, F.explode("sh").alias("shingle"))
-    if df_cap is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= df_cap)
-            .select("shingle")
+    many documents (hot-key guard for web-scale corpora).
+
+    Shape (df_cap=None): each exploded (id, shingle) row carries the
+    document's set size, and the per-shingle ``collect_set`` collects
+    (id, n_sh) structs — so the pair explode already knows both set
+    sizes and the Jaccard needs **no size joins**: two shuffles total
+    (by shingle, then by pair), versus four (plus a persist) for the
+    join-back formulation.  With ``df_cap`` sizes must count *post-cap*
+    shingles, so the capped path re-aggregates sizes and joins them."""
+    ss = shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    out = ["doc_a", "doc_b", F.round(jac, 4).alias("jaccard")]
+    if df_cap is None:
+        sh = ss.select(
+            F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
-        # sizes must count post-cap shingles, so aggregate the capped table
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    else:
-        # set size is a per-row map over the array — no aggregation shuffle
-        sizes = ss.select(id_col, F.size("sh").alias("n_sh"))
+        groups = (
+            sh.groupBy("shingle")
+            .agg(F.array_sort(F.collect_set(F.struct(id_col, "n_sh"))).alias("ds"))
+            .filter(F.size("ds") >= 2)
+        )
+        pairs = F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
+            f"struct(x.{id_col} AS doc_a, x.n_sh AS n_a, y.{id_col} AS doc_b, y.n_sh AS n_b))))"
+        )
+        common = (
+            groups.select(F.explode(pairs).alias("p"))
+            .select("p.*")
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return common.filter(jac >= threshold).select(*out)
+    sh = ss.select(id_col, F.explode("sh").alias("shingle")).persist()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    capped = sh.join(rare, "shingle", "left_semi")
+    sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
-        _pairs_from_groups(sh, ["shingle"], id_col)
+        _pairs_from_groups(capped, ["shingle"], id_col)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return common.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= threshold).select(*out)
 
 
 # ---------------------------------------------------------------------------
