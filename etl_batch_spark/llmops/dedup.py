@@ -241,6 +241,78 @@ def minhash_candidate_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components (near-dup clustering over candidate-pair graphs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component
+    is the minimum node id reachable.  This turns near-dup candidate
+    *pairs* (MinHash/SimHash/embedding buckets) into dedup *clusters* —
+    the step a training-data pipeline needs before picking one keeper
+    per cluster.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    in O(log n) rounds even on chain graphs, where naive min-label
+    propagation needs O(diameter).  Each round is two groupBy/join
+    shuffles keyed on node id, so the per-round cost is linear in the
+    (shrinking) edge count.  ``localCheckpoint`` truncates lineage every
+    round; without it the iterative plan grows without bound and the
+    optimizer re-plans the whole history each round.  Convergence is
+    detected with an order-independent edge-set signature
+    (count + bit_xor of pair hashes) — one tiny action per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        # large-star: every neighbor v > u links to min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges now point big→small; every smaller neighbor
+        # (and u itself) links to min(N(u) ∪ {u})
+        smin = large.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        e = (
+            large.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).first()
+        if prev_sig == sig:
+            break
+        prev_sig = sig
+    # fixed point is a star per component: u → component-min v
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.union(roots)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

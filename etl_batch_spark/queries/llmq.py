@@ -175,6 +175,52 @@ def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs(emb, threshold=0.35, n_bits=6)
 
 
+@query(
+    "dd07_neardup_clusters",
+    doc="near-dup clusters: MinHash pairs (≥4/8 bands) → connected components "
+    "(llmops.dedup.connected_components, large-star/small-star)",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_DUCK_MINHASH_SIG}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.i = b.i AND a.minh = b.minh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 4
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def dd07_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs agreeing on ≥4 of 8 minhash positions (est Jaccard
+    ≥ 0.5) become edges; components give one cluster id per document.
+    The oracle computes the same clusters via transitive closure
+    (recursive CTE) — tractable at sf0.01, while the Spark side's
+    large-star/small-star is the O(log n)-round 100 TB path."""
+    sig = dedup.minhash_signatures(
+        dedup.shingle_sets(_documents(spark, sf_dir)), num_hashes=8
+    )
+    edges = (
+        dedup.minhash_candidate_pairs(sig, num_hashes=8)
+        .filter(F.col("n_hash_agree") >= 4)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return dedup.connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

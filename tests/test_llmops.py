@@ -181,3 +181,44 @@ class TestMultimodal:
         assert len(by_doc[1]) == 7  # floor(3.5 * 2) = 7 frames
         assert by_doc[2] == [0.0]  # short clip → at least one frame
         assert by_doc[1][:3] == [0.0, 0.5, 1.0]
+
+
+class TestConnectedComponents:
+    @staticmethod
+    def _brute_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def _check(self, spark, edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["component"] for r in dedup.connected_components(df).collect()}
+        assert got == self._brute_components(edges)
+
+    def test_chain_and_clusters(self, spark):
+        # a long chain (worst case for naive propagation), a triangle,
+        # a duplicate-edge pair, and an isolated pair
+        chain = [(i, i + 1) for i in range(10, 25)]
+        self._check(spark, chain + [(1, 2), (2, 3), (3, 1), (40, 41), (41, 40), (50, 60)])
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+        edges = [(a, b) for a, b in edges if a != b]
+        self._check(spark, edges)
+
+    def test_star_already_converged(self, spark):
+        self._check(spark, [(5, 1), (6, 1), (7, 1)])
