@@ -125,3 +125,29 @@ def winnow_fingerprints(
         .withColumn("hs", F.expr(hs))
         .select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
     )
+
+
+# Redaction patterns, applied in order.  Kept RE2-compatible (no
+# backrefs/lookaround) so the same patterns run in DuckDB/Trino oracles.
+REDACTIONS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("long_digits", "[0-9]{6,}", "<NUM>"),
+)
+
+
+def redact(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, clean_text, n_redactions): scrub emails / URLs / long digit
+    runs — the standard pre-training hygiene pass.  Pure
+    ``regexp_replace`` chain, JVM-side; n_redactions is measured from
+    the marker count so filtering 'heavily redacted' docs needs no
+    second pass."""
+    clean = F.col(text_col)
+    for _, pattern, marker in REDACTIONS:
+        clean = F.regexp_replace(clean, pattern, marker)
+    d = df.select(F.col(id_col), clean.alias("clean_text"))
+    n = sum(
+        (F.size(F.split(F.col("clean_text"), F.lit(marker), -1)) - 1)
+        for _, _, marker in REDACTIONS
+    )
+    return d.select(id_col, "clean_text", n.cast("long").alias("n_redactions"))

@@ -504,6 +504,60 @@ def tx05_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx06_redact_pii",
+    doc="email/URL/long-digit redaction scrub (llmops.text.redact); "
+    "fixture docs are clean, so 1-in-7 docs get deterministic synthetic "
+    "PII appended on both sides before the scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(aug,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+           CAST(len(string_split(regexp_replace(regexp_replace(regexp_replace(aug,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g'), '<EMAIL>')) - 1
+           + len(string_split(regexp_replace(regexp_replace(regexp_replace(aug,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g'), '<URL>')) - 1
+           + len(string_split(regexp_replace(regexp_replace(regexp_replace(aug,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g'), '<NUM>')) - 1 AS BIGINT) AS n_redactions
+    FROM (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || doc_id || '@example.com or ' ||
+                    'https://site.example/p?id=' || doc_id || ' ref 1234567'
+               ELSE '' END AS aug
+      FROM documents
+    )
+    """,
+)
+def tx06_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or https://site.example/p?id="),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" ref 1234567"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.redact(aug)
+
+
+@query(
     "tx04_quality_score",
     doc="composite quality score (llmops.text.quality_score)",
     oracle=f"""

@@ -10,6 +10,10 @@ DAILY000 (SURVEY.md §2.D); the engine adds real Structured Streaming:
 - :func:`sessionize_stateful`      — custom stateful operator via
   ``applyInPandasWithState`` (per-user session tracking with a gap
   timeout), the pattern for operators Spark lacks natively
+- :func:`dedup_stream`             — bounded-state exact dedup via
+  ``dropDuplicatesWithinWatermark`` (at-least-once → exactly-once)
+- :func:`purchase_attribution_join` — stream-stream interval join with
+  two-sided watermarks (evictable join state)
 
 Tests run with ``trigger(availableNow=True)`` against the fixture
 parquet and assert equivalence with the batch semantics.  At production
@@ -120,6 +124,58 @@ def sessionize_stateful(stream: DataFrame, *, gap_minutes: int = 30) -> DataFram
         .applyInPandasWithState(
             update, _SESSION_OUT, _SESSION_STATE, "Update", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame, *, id_col: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same ``id_col``
+    arriving within the watermark horizon.  State is bounded — ids older
+    than the watermark are evicted — which is the only dedup that can
+    run forever on an unbounded stream (an unwatermarked
+    ``dropDuplicates`` grows state without limit).  Ingest-side
+    at-least-once sources (Kafka redeliveries, file re-lists) become
+    exactly-once rows for everything downstream."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([id_col])
+
+
+def purchase_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to same-user
+    clicks in the preceding ``attribution_window``.  Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    state for both streams is evictable — the canonical funnel /
+    attribution shape.  Inputs are pre-filtered event streams (e.g.
+    ``stream.filter(event_type == 'click')``)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return c.join(p, cond).select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
     )
 
 

@@ -1,0 +1,76 @@
+"""Operator-level tests: salted skew join equivalence, bucketed
+co-located joins (exchange-free plan contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_batch_spark import plans
+from etl_batch_spark.operators import bucketed_join_tables, salted_join, write_bucketed
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 10k rows on one hot key + a long tail; dim with 50 keys
+    big = spark.range(12_000).select(
+        F.when(F.col("id") < 10_000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), F.col("id")).alias("name")
+    )
+    return big, dim
+
+
+def _multiset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestSaltedJoin:
+    def test_inner_matches_plain_join(self, skewed):
+        big, dim = skewed
+        got = salted_join(big, dim, "k", n_salts=8)
+        want = big.join(dim, "k")
+        assert _multiset(got.select("k", "payload", "name")) == _multiset(
+            want.select("k", "payload", "name")
+        )
+
+    def test_left_keeps_unmatched(self, skewed):
+        big, dim = skewed
+        dim_missing_hot = dim.filter(F.col("k") != 7)
+        got = salted_join(big, dim_missing_hot, "k", n_salts=8, how="left")
+        want = big.join(dim_missing_hot, "k", "left")
+        assert _multiset(got.select("k", "payload", "name")) == _multiset(
+            want.select("k", "payload", "name")
+        )
+
+    def test_rejects_right_join(self, skewed):
+        big, dim = skewed
+        with pytest.raises(ValueError):
+            salted_join(big, dim, "k", how="right")
+
+
+class TestBucketedJoin:
+    def test_join_is_exchange_free(self, spark, tmp_path):
+        left = spark.range(2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(1_500).select(
+            F.col("id").alias("k"), (F.col("id") * 5).alias("b")
+        )
+        write_bucketed(left, "t_bleft", keys="k", n_buckets=8, path=str(tmp_path / "l"))
+        write_bucketed(right, "t_bright", keys="k", n_buckets=8, path=str(tmp_path / "r"))
+        try:
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = bucketed_join_tables(spark, "t_bleft", "t_bright", "k")
+                assert plans.count_ops(joined, "Exchange") == 0
+                assert plans.count_ops(joined, "SortMergeJoin") == 1
+                assert joined.count() == 1_500
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bleft")
+            spark.sql("DROP TABLE IF EXISTS t_bright")

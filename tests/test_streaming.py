@@ -64,3 +64,56 @@ def test_stateful_sessionizer_counts_match_batch_sessionization(spark, sf_dir):
     )
     expected = {r["user_id"]: (r["sessions"], r["events"]) for r in batch.collect()}
     assert streamed == expected
+
+
+def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
+    # simulate at-least-once delivery: the same events land twice (two
+    # files in the streamed dir)
+    events = load_table(spark, sf_dir, "events").limit(200)
+    events.write.mode("overwrite").parquet(str(tmp_path / "dup"))
+    events.write.mode("append").parquet(str(tmp_path / "dup"))
+
+    from etl_batch_spark.streaming import dedup_stream
+
+    stream = spark.readStream.schema(events.schema).parquet(str(tmp_path / "dup"))
+    run_stream_to_memory(
+        dedup_stream(stream, watermark="2 hours"),
+        query_name="deduped",
+        output_mode="append",
+    )
+    got = spark.sql("select event_id from deduped").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 200
+
+
+def test_attribution_join_matches_batch(spark, sf_dir):
+    from etl_batch_spark.streaming import purchase_attribution_join
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = purchase_attribution_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        attribution_window="1 hour",
+        watermark="2 hours",
+    )
+    run_stream_to_memory(joined, query_name="attrib", output_mode="append")
+    streamed = {
+        (r["purchase_id"], r["click_id"]) for r in spark.sql("select * from attrib").collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+    )
+    expected = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert streamed == expected
+    assert len(expected) > 0
