@@ -7,6 +7,12 @@ Prints exactly ONE JSON line:
 Execution is measured with the `noop` sink (full plan runs, no driver
 collect), which is what a cluster deployment would look like — results
 land in a sink, not on the driver.
+
+Methodology: steady-state timing.  Each query first runs once at
+sf0.001 (unrecorded) so JVM class-loading / JIT / codegen warm-up —
+fixed per-process costs that vanish over a long-lived cluster
+session — don't land in whichever query happens to run first.  The
+recorded sf-target runs then measure data-proportional work.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ from etl_batch_spark.queries import QUERIES
 from etl_batch_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
 
 def infer_sf(sf_dir: str) -> float:
@@ -34,14 +41,19 @@ def infer_sf(sf_dir: str) -> float:
 
 def main() -> None:
     spark = get_spark("bench")
-    # warm up the JVM + parquet footers once so per-query numbers measure
-    # the queries, not session bootstrap
     spark.range(1).collect()
+    bench_queries = {name: q for name, q in QUERIES.items() if q.bench}
+
+    # steady-state warm-up: run every benched plan once at the tiny SF
+    # (see module docstring); failures here surface at timing time
+    for q in bench_queries.values():
+        try:
+            q.build(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
-    for name, q in QUERIES.items():
-        if not q.bench:
-            continue
+    for name, q in bench_queries.items():
         t0 = time.perf_counter()
         df = q.build(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
