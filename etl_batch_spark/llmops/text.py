@@ -81,7 +81,12 @@ def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
         F.length(text_col), F.lit(0)
     ).cast("double")
     quality = 0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)) + 0.3 * diversity + 0.3 * alpha
-    return d.select(id_col, F.round(quality, 4).alias("quality"))
+    # +1e-9 before rounding: the weights make exact .xxxx5 values common
+    # (e.g. 0.53275), and engines disagree on double half-boundaries
+    # (decimal-string HALF_UP vs raw-double compare).  The nudge pushes
+    # boundary values consistently up on every engine and is far below
+    # the score's meaningful resolution.
+    return d.select(id_col, F.round(quality + F.lit(1e-9), 4).alias("quality"))
 
 
 def winnow_fingerprints(

@@ -565,7 +565,7 @@ def tx06_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(0.4 * LEAST(1.0, len(toks) / 100.0)
                  + 0.3 * (len(list_distinct(toks)) / CAST(NULLIF(len(toks), 0) AS DOUBLE))
                  + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                          / CAST(NULLIF(length(text), 0) AS DOUBLE)), 4) AS quality
+                          / CAST(NULLIF(length(text), 0) AS DOUBLE)) + 1e-9, 4) AS quality
     FROM (SELECT doc_id, text, {_DUCK_TOKENS} AS toks FROM documents)
     """,
 )
