@@ -43,3 +43,34 @@ def test_semi_and_anti_join_operators(spark, sf_dir):
 def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
     df = QUERIES["q23_range_join_bands"].build(spark, sf_dir)
     assert plans.count_ops(df, "BroadcastNestedLoopJoin") == 1
+
+
+def test_q42_broadcasts_filtered_part_side(spark, sf_dir):
+    df = QUERIES["q42_small_qty_revenue"].build(spark, sf_dir)
+    plans.assert_broadcast(df)
+    plans.assert_filter_pushed(df, "p_brand")
+
+
+def test_q45_broadcasts_region_nation(spark, sf_dir):
+    df = QUERIES["q45_local_supplier_volume"].build(spark, sf_dir)
+    assert plans.count_ops(df, "BroadcastHashJoin") >= 2
+    plans.assert_filter_pushed(df, "r_name")
+
+
+def test_q47_plans_semi_and_anti(spark, sf_dir):
+    df = QUERIES["q47_multi_supplier_returns"].build(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Global invariant: candidate pairs, salts and seeds always fan out
+    via broadcast or equi-join keys — a CartesianProduct of two big
+    sides would be quadratic at any scale."""
+    offenders = []
+    for name, q in QUERIES.items():
+        df = q.build(spark, sf_dir)
+        if plans.count_ops(df, "CartesianProduct") > 0:
+            offenders.append(name)
+    assert offenders == []
