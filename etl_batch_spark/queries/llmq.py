@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_batch_spark.catalog import load_table
-from etl_batch_spark.llmops import dedup, multimodal, similarity, text
+from etl_batch_spark.llmops import dedup, multimodal, sampling, similarity, text
 from etl_batch_spark.queries.registry import query
 
 # DuckDB twins of the shared building blocks (Spark forms live in llmops)
@@ -391,6 +391,56 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.length("text") / 500.0).alias("duration_s")
     )
     return multimodal.frame_sample_plan(docs, fps=2.0)
+
+
+# ---------------------------------------------------------------------------
+# reproducible sampling (llmops.sampling): membership is a pure function
+# of (salt, key) — partition-independent, engine-replayable
+# ---------------------------------------------------------------------------
+_DUCK_BUCKET_OF = (
+    "(('0x' || substr(md5('{salt}' || '|' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+    " % 1000000)"
+)
+
+
+@query(
+    "sm01_hash_sample",
+    doc="deterministic 10% corpus sample by doc_id hash (llmops.sampling.hash_sample)",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_DUCK_BUCKET_OF.format(salt="s0", key="doc_id")} < 100000
+    """,
+)
+def sm01_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select("doc_id", "source")
+    return sampling.hash_sample(docs, key_col="doc_id", fraction=0.10)
+
+
+@query(
+    "sm02_stratified_sample",
+    doc="training-mix stratified sample: src0 100%, src1 50%, src2 10%, rest 0% "
+    "(llmops.sampling.stratified_hash_sample)",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs
+    FROM documents
+    WHERE {_DUCK_BUCKET_OF.format(salt="s0", key="doc_id")} <
+          CASE source WHEN 'src0' THEN 1000000
+                      WHEN 'src1' THEN 500000
+                      WHEN 'src2' THEN 100000
+                      ELSE 0 END
+    GROUP BY source
+    """,
+)
+def sm02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    kept = sampling.stratified_hash_sample(
+        docs,
+        key_col="doc_id",
+        strata_col="source",
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 # ---------------------------------------------------------------------------

@@ -222,3 +222,38 @@ class TestConnectedComponents:
 
     def test_star_already_converged(self, spark):
         self._check(spark, [(5, 1), (6, 1), (7, 1)])
+
+
+class TestSampling:
+    def test_partition_independent_and_nested(self, spark):
+        from etl_batch_spark.llmops import sampling
+
+        df = spark.range(5_000).select(F.col("id").alias("doc_id"))
+        s10 = {r["doc_id"] for r in
+               sampling.hash_sample(df, key_col="doc_id", fraction=0.10).collect()}
+        s10_repart = {r["doc_id"] for r in
+                      sampling.hash_sample(df.repartition(7), key_col="doc_id",
+                                           fraction=0.10).collect()}
+        s30 = {r["doc_id"] for r in
+               sampling.hash_sample(df, key_col="doc_id", fraction=0.30).collect()}
+        assert s10 == s10_repart            # partitioning never changes membership
+        assert s10 <= s30                   # nested samples for ablation ladders
+        assert 0.07 < len(s10) / 5_000 < 0.13
+        assert 0.26 < len(s30) / 5_000 < 0.34
+
+    def test_stratified_fractions(self, spark):
+        from etl_batch_spark.llmops import sampling
+
+        df = spark.range(9_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+        )
+        kept = sampling.stratified_hash_sample(
+            df, key_col="doc_id", strata_col="source",
+            fractions={"src0": 1.0, "src1": 0.2},
+        )
+        counts = {r["source"]: r["n"] for r in
+                  kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts["src0"] == 3_000      # full stratum retained exactly
+        assert 450 < counts.get("src1", 0) < 750
+        assert "src2" not in counts         # default fraction 0
