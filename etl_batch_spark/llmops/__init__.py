@@ -7,9 +7,17 @@ these over the fixture tables.
 - ``dedup``      — exact / fingerprint / n-gram Jaccard / MinHash-LSH /
   SimHash deduplication
 - ``similarity`` — embedding cosine top-k (brute force + LSH-bucketed)
-- ``text``       — stats, language-ID, token counting, quality scoring
+- ``text``       — stats, language-ID, token counting, quality scoring,
+  winnowing fingerprints, PII/URL redaction
+- ``sampling``   — reproducible hash / stratified training-mix sampling
 - ``multimodal`` — opaque binary columns with typed metadata and
   Arrow-batched decode/transform plumbing
 """
 
-from etl_batch_spark.llmops import dedup, multimodal, similarity, text  # noqa: F401
+from etl_batch_spark.llmops import (  # noqa: F401
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)

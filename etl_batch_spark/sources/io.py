@@ -93,3 +93,85 @@ def resolve_loader_paths(
         return []
     prefix = base_dir.rstrip("/") + "/" if base_dir else ""
     return [prefix + name for name in joined.split(" ")]
+
+
+# ---------------------------------------------------------------------------
+# raw-corpus ingestion (LLM-data pipelines): text / JSONL directories →
+# the engine's ``documents`` shape (doc_id, text, source)
+# ---------------------------------------------------------------------------
+
+def _doc_id_col() -> "F.Column":
+    # content+provenance derived 60-bit id: stable across re-runs and
+    # re-partitioning (input_file_name + line content), no driver-side
+    # id assignment, no zipWithIndex barrier
+    return F.expr(
+        "cast(conv(substr(md5(concat(_source_file, '|', text)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, *, whole_files: bool = False
+) -> DataFrame:
+    """Directory of ``.txt`` → (doc_id, text, source).
+
+    ``whole_files=False`` (default): one document per line — the layout
+    of sharded corpora; splittable, parallel per file-split.
+    ``whole_files=True``: one document per file (``wholetext``) — each
+    file is one task; only for corpora of many small files.
+    Empty/blank lines are dropped.  doc_id is a content+provenance hash:
+    deterministic under re-partitioning, unlike monotonically_increasing
+    or zipWithIndex schemes.
+    """
+    return (
+        spark.read.text(path, wholetext=whole_files)
+        .select(
+            F.col("value").alias("text"),
+            F.input_file_name().alias("_source_file"),
+        )
+        .filter(F.trim("text") != "")
+        .select(
+            _doc_id_col().alias("doc_id"),
+            "text",
+            F.element_at(F.split("_source_file", "/"), -1).alias("source"),
+        )
+    )
+
+
+def read_jsonl_documents(
+    spark: SparkSession,
+    path: str,
+    *,
+    text_field: str = "text",
+    keep_fields: list[str] | None = None,
+) -> DataFrame:
+    """JSONL corpus → (doc_id, text, source, <keep_fields...>, _corrupt).
+
+    Schema is explicit (text + requested metadata as strings — no
+    inference pass over the corpus); malformed lines land in
+    ``_corrupt`` instead of killing the job (PERMISSIVE), so one bad
+    shard can't sink a 100 TB backfill."""
+    fields = [T.StructField(text_field, T.StringType())]
+    for name in keep_fields or []:
+        fields.append(T.StructField(name, T.StringType()))
+    fields.append(T.StructField("_corrupt", T.StringType()))
+    schema = T.StructType(fields)
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .withColumn("_source_file", F.input_file_name())
+    )
+    good = raw.filter(F.col("_corrupt").isNull() & F.col(text_field).isNotNull())
+    out = good.select(
+        F.col(text_field).alias("text"),
+        "_source_file",
+        *[F.col(n) for n in (keep_fields or [])],
+    )
+    return out.select(
+        _doc_id_col().alias("doc_id"),
+        "text",
+        F.element_at(F.split("_source_file", "/"), -1).alias("source"),
+        *[F.col(n) for n in (keep_fields or [])],
+    )
