@@ -177,6 +177,7 @@ def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd07_neardup_clusters",
+    bench=True,
     doc="near-dup clusters: MinHash pairs (≥4/8 bands) → connected components "
     "(llmops.dedup.connected_components, large-star/small-star)",
     oracle=f"""
@@ -419,6 +420,7 @@ def sm01_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sm02_stratified_sample",
+    bench=True,
     doc="training-mix stratified sample: src0 100%, src1 50%, src2 10%, rest 0% "
     "(llmops.sampling.stratified_hash_sample)",
     oracle=f"""

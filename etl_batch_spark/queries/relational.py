@@ -1147,6 +1147,7 @@ def q44_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q45_local_supplier_volume",
+    bench=True,
     oracle="""
     SELECT n.n_name,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -1250,6 +1251,7 @@ def q46_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q47_multi_supplier_returns",
+    bench=True,
     oracle="""
     SELECT s.s_name, COUNT(*) AS numwait
     FROM supplier s
@@ -1368,6 +1370,7 @@ def q49_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q50_ranking_windows",
+    bench=True,
     oracle="""
     SELECT o_orderkey, o_custkey,
            NTILE(4) OVER w AS price_quartile,
