@@ -1392,3 +1392,108 @@ def q50_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.dense_rank().over(w).alias("drank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q51 — calendar densification (gap fill): one row per (priority, day)
+# for a month even when no orders landed.  The calendar is a per-row
+# `sequence()` explode crossed with the tiny priority dim — generated,
+# never scanned; the left join fills gaps with 0.  At 100 TB the
+# calendar side stays O(days × dims) — broadcast — while the fact agg
+# shuffles once.
+# ---------------------------------------------------------------------------
+@query(
+    "q51_daily_gap_fill",
+    oracle="""
+    WITH cal AS (
+      SELECT p.o_orderpriority, d.day
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+      CROSS JOIN (SELECT UNNEST(generate_series(DATE '1996-01-01',
+                                                DATE '1996-01-31',
+                                                INTERVAL 1 DAY))::DATE AS day) d
+    ),
+    rev AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-02-01'
+      GROUP BY 1, 2
+    )
+    SELECT cal.o_orderpriority, cal.day,
+           COALESCE(rev.revenue, 0.0) AS revenue,
+           COALESCE(rev.n_orders, 0) AS n_orders
+    FROM cal LEFT JOIN rev
+      ON rev.o_orderpriority = cal.o_orderpriority AND rev.day = cal.day
+    """,
+)
+def q51_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cal = (
+        o.select("o_orderpriority")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit("1996-01-01").cast("date"),
+                        F.lit("1996-01-31").cast("date"),
+                    )
+                ).alias("day")
+            )
+        )
+    )
+    rev = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        cal.join(rev, ["o_orderpriority", "day"], "left")
+        .select(
+            "o_orderpriority",
+            "day",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — forward fill (LAST_VALUE ... IGNORE NULLS): carry the most
+# recent finalized price forward across each customer's order history.
+# One shuffle+sort on (custkey, date) serves the running frame.
+# ---------------------------------------------------------------------------
+@query(
+    "q52_forward_fill",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(LAST_VALUE(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS last_final_price
+    FROM orders
+    """,
+)
+def q52_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    final_price = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.last(final_price, ignorenulls=True).over(w), 2).alias(
+            "last_final_price"
+        ),
+    )
