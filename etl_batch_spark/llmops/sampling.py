@@ -57,3 +57,72 @@ def stratified_hash_sample(
             F.col(strata_col) == stratum, F.lit(int(frac * _BUCKETS))
         ).otherwise(thresh)
     return df.filter(hash_bucket(key_col, salt=salt) < thresh)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    total_fraction: float = 0.5,
+    salt: str = "s0",
+) -> DataFrame:
+    """Temperature-reweighted training mixture: per-stratum keep rates
+    ∝ n_s^alpha (alpha < 1 upweights small/rare sources, alpha = 1 is
+    natural proportions — the multilingual/data-mixture trick from
+    mBERT/T5/PaLM), scaled so the expected kept volume is
+    ``total_fraction`` of the corpus, capped at 100% per stratum.
+
+    The stratum sizes are a tiny aggregate joined back by broadcast —
+    no collect, no second pass over the data; membership stays the
+    pure (salt, key) hash, so re-running with a different alpha never
+    reshuffles which rows of an unchanged-rate stratum are kept.
+    """
+    # sqrt for the canonical alpha=0.5: exactly rounded per IEEE-754 in
+    # every engine, unlike pow(x, 0.5) — keeps thresholds replayable.
+    sizes = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    weight = (
+        F.sqrt(F.col("n_s").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_s").cast("double"), F.lit(alpha))
+    )
+    rates = (
+        sizes.withColumn("w_s", weight)
+        .crossJoin(
+            F.broadcast(
+                sizes.agg(
+                    F.sum("n_s").cast("double").alias("n_total"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    (
+                        F.sqrt(F.col("n_s").cast("double"))
+                        if alpha == 0.5
+                        else F.pow(F.col("n_s").cast("double"), F.lit(alpha))
+                    ).alias("w")
+                ).agg(F.sum("w").alias("w_total"))
+            )
+        )
+        .select(
+            strata_col,
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(total_fraction)
+                    * F.col("n_total")
+                    * (F.col("w_s") / F.col("w_total"))
+                    / F.col("n_s"),
+                )
+                * _BUCKETS
+            )
+            .cast("long")
+            .alias("threshold"),
+        )
+    )
+    return df.join(F.broadcast(rates), strata_col).filter(
+        hash_bucket(key_col, salt=salt) < F.col("threshold")
+    )

@@ -156,3 +156,137 @@ def redact(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> 
         for _, _, marker in REDACTIONS
     )
     return d.select(id_col, "clean_text", n.cast("long").alias("n_redactions"))
+
+
+def ngram_repetition(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(id, n_grams, dup_gram_frac, top_gram_frac) — the Gopher-style
+    repetition signals (Rae et al. 2021 §A1.1): fraction of duplicated
+    word n-grams and the share held by the single most frequent one.
+
+    One shuffle on (doc, gram) does all three aggregates map-side-
+    partial; no per-row O(len²) scan, so pathological repeated docs
+    cost the same as clean ones.  Documents shorter than ``n`` tokens
+    have no n-grams and drop out (consistent with the SQL twin).
+    """
+    from etl_batch_spark.llmops.dedup import shingle_array, tokens
+
+    grams = (
+        df.withColumn("toks", tokens(text_col))
+        .select(id_col, F.explode(shingle_array("toks", n=n)).alias("gram"))
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").cast("double")
+    # +1e-9 before rounding: same half-boundary determinism nudge as
+    # quality_score — ratios of small integers can land exactly on
+    # .xxxx5 where engines round double halves differently.
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.round(1 - F.count(F.lit(1)) / total + F.lit(1e-9), 4).alias(
+            "dup_gram_frac"
+        ),
+        F.round(F.max("c") / total + F.lit(1e-9), 4).alias("top_gram_frac"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, entropy) — Shannon entropy (nats) of the token
+    distribution, a cheap gibberish/boilerplate signal: near-zero for
+    pathologically repetitive docs, ~ln(vocab) for diverse ones.
+
+    H = ln(N) - Σ c·ln(c) / N over per-token counts c: one shuffle on
+    (doc, token), then a partial-aggregated fold per doc.
+    """
+    from etl_batch_spark.llmops.dedup import tokens
+
+    toks = (
+        df.withColumn("toks", tokens(text_col))
+        .select(id_col, F.explode("toks").alias("tok"))
+    )
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").cast("double")
+    return counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n + F.lit(1e-9), 4
+        ).alias("entropy"),
+    )
+
+
+def contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many distinct
+    word ``n``-grams it shares with the held-out ``bench`` corpus and
+    how many bench docs it collides with (the standard n-gram-overlap
+    test-set leak check, cf. GPT-3 appx C / PaLM §8).
+
+    Both sides reduce to *distinct* (doc, gram) pairs built row-local
+    (tokenize → shingle → array_distinct → explode), so the join key is
+    the gram: shuffles stay linear and the bench side — eval sets are
+    tiny next to training corpora — broadcasts.
+    """
+    from etl_batch_spark.llmops.dedup import shingle_sets
+
+    t = shingle_sets(train, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col), F.explode("sh").alias("gram")
+    )
+    b = shingle_sets(bench, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col).alias("bench_id"), F.explode("sh").alias("gram")
+    )
+    return (
+        t.join(F.broadcast(b), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    ``order_col`` order within each ``part_col`` stream and split into
+    fixed ``capacity``-token training chunks (the GPT-style packing
+    layout).  Emits each doc's span: (doc, part, n_tokens, chunk_start,
+    chunk_end) — a doc crossing a boundary spans several chunks.
+
+    Pure integer window math: one shuffle+sort per stream, no Python.
+    At 100 TB the stream key keeps state bounded per partition; skewed
+    sources can be pre-split by a salted sub-stream key upstream.
+    """
+    from pyspark.sql import Window
+    from etl_batch_spark.llmops.dedup import tokens
+
+    d = df.withColumn("n_tokens", F.size(tokens(text_col)).cast("long"))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        id_col,
+        part_col,
+        "n_tokens",
+        F.floor(offset / capacity).cast("long").alias("chunk_start"),
+        F.floor((offset + F.col("n_tokens") - 1) / capacity)
+        .cast("long")
+        .alias("chunk_end"),
+    )

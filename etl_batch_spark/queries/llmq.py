@@ -623,3 +623,148 @@ def tx06_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# quality / decontamination / packing (llmops.text) — the Gopher-style
+# repetition signals, entropy scoring, benchmark-leak check, and
+# concat-and-chunk training layout
+# ---------------------------------------------------------------------------
+_DUCK_2GRAMS = (
+    "list_transform(generate_series(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1])"
+)
+_DUCK_4GRAMS = (
+    "list_transform(generate_series(1, len(toks) - 3), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
+)
+
+
+@query(
+    "tx07_repetition_stats",
+    doc="Gopher-style duplicate/top 2-gram fractions (llmops.text.ngram_repetition)",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_DUCK_2GRAMS}) AS gram
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE) + 1e-9, 4) AS dup_gram_frac,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE) + 1e-9, 4) AS top_gram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def tx07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_repetition(_documents(spark, sf_dir), n=2)
+
+
+@query(
+    "tx08_token_entropy",
+    doc="token-distribution Shannon entropy per doc (llmops.text.token_entropy)",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(toks) AS tok
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+    ),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)
+                 + 1e-9, 4) AS entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def tx08_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_entropy(_documents(spark, sf_dir))
+
+
+@query(
+    "tx09_decontaminate",
+    doc="n-gram-overlap benchmark leak check: train (source<>src0) vs held-out "
+    "src0 (llmops.text.contamination)",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_4GRAMS})) AS gram
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+            WHERE source <> 'src0')
+    ),
+    b AS (
+      SELECT doc_id AS bench_id, unnest(list_distinct({_DUCK_4GRAMS})) AS gram
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+            WHERE source = 'src0')
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.gram) AS n_shared_grams,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM t JOIN b ON t.gram = b.gram
+    GROUP BY t.doc_id
+    """,
+)
+def tx09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return text.contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=4,
+    )
+
+
+@query(
+    "tx10_sequence_packing",
+    doc="concat-and-chunk 512-token packing spans per source stream "
+    "(llmops.text.pack_chunks)",
+    oracle=f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(off // 512 AS BIGINT) AS chunk_start,
+           CAST((off + n_tokens - 1) // 512 AS BIGINT) AS chunk_end
+    FROM (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             SUM(CAST(len(toks) AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - len(toks) AS off
+      FROM (SELECT doc_id, source, {_DUCK_TOKENS} AS toks FROM documents)
+    )
+    """,
+)
+def tx10_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pack_chunks(_documents(spark, sf_dir), capacity=512)
+
+
+@query(
+    "sm03_temperature_mix",
+    doc="alpha=0.5 temperature-reweighted language mixture at 50% volume "
+    "(llmops.sampling.temperature_mixture_sample)",
+    oracle=f"""
+    WITH sizes AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_s) AS DOUBLE) AS n_total,
+             SUM(sqrt(CAST(n_s AS DOUBLE))) AS w_total
+      FROM sizes
+    ),
+    rates AS (
+      SELECT lang,
+             CAST(FLOOR(LEAST(1.0,
+               0.5 * n_total * (sqrt(CAST(n_s AS DOUBLE)) / w_total)
+               / CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS threshold
+      FROM sizes, tot
+    )
+    SELECT d.lang, COUNT(*) AS n_kept
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_DUCK_BUCKET_OF.format(salt="s0", key="doc_id")} < r.threshold
+    GROUP BY d.lang
+    """,
+)
+def sm03_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = sampling.temperature_mixture_sample(
+        _documents(spark, sf_dir),
+        key_col="doc_id",
+        strata_col="lang",
+        alpha=0.5,
+        total_fraction=0.5,
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

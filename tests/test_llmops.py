@@ -257,3 +257,101 @@ class TestSampling:
         assert counts["src0"] == 3_000      # full stratum retained exactly
         assert 450 < counts.get("src1", 0) < 750
         assert "src2" not in counts         # default fraction 0
+
+
+class TestTextQuality:
+    def test_repetition_flags_repeated_doc(self, spark):
+        from etl_batch_spark.llmops import text
+
+        rows = [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six seven"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in text.ngram_repetition(df, n=2).collect()}
+        # doc 1: five identical "spam spam" 2-grams
+        assert out[1]["n_grams"] == 5
+        assert out[1]["dup_gram_frac"] == pytest.approx(0.8, abs=1e-6)
+        assert out[1]["top_gram_frac"] == pytest.approx(1.0, abs=1e-6)
+        # doc 2: all 2-grams distinct
+        assert out[2]["dup_gram_frac"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_entropy_extremes(self, spark):
+        from etl_batch_spark.llmops import text
+        import math
+
+        rows = [(1, "a a a a"), (2, "a b c d")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["entropy"] for r in text.token_entropy(df).collect()}
+        assert out[1] == pytest.approx(0.0, abs=1e-6)  # degenerate
+        assert out[2] == pytest.approx(math.log(4), abs=1e-3)  # uniform
+
+    def test_contamination_detects_planted_leak(self, spark):
+        from etl_batch_spark.llmops import text
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "noise noise alpha beta gamma delta more noise"),
+                (2, "totally unrelated training text with no overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        hits = {r["doc_id"]: r for r in
+                text.contamination(train, bench, n=4).collect()}
+        assert 1 in hits and hits[1]["n_bench_docs"] == 1
+        assert 2 not in hits
+
+    def test_packing_spans_are_contiguous_per_stream(self, spark):
+        from etl_batch_spark.llmops import text
+
+        rows = [(i, "s0", "tok " * 300) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = sorted(
+            text.pack_chunks(df, capacity=512).collect(), key=lambda r: r["doc_id"]
+        )
+        # 300-token docs: doc k occupies offsets [300k, 300k+300)
+        offset = 0
+        for r in out:
+            assert r["chunk_start"] == offset // 512
+            assert r["chunk_end"] == (offset + 299) // 512
+            offset += 300
+        # streams never skip a chunk: union of spans covers 0..last
+        covered = set()
+        for r in out:
+            covered.update(range(r["chunk_start"], r["chunk_end"] + 1))
+        assert covered == set(range(max(covered) + 1))
+
+
+class TestTemperatureSampling:
+    def test_alpha_one_is_flat_and_small_strata_upweighted(self, spark):
+        from etl_batch_spark.llmops import sampling
+
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        kept = sampling.temperature_mixture_sample(
+            df, key_col="doc_id", strata_col="src", alpha=0.5, total_fraction=0.5
+        )
+        counts = {r["src"]: r["n"] for r in
+                  kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # alpha=0.5 pulls the mixture toward the small stratum: its keep
+        # *rate* must exceed the big stratum's
+        assert counts["small"] / 100 > counts["big"] / 900
+        # overall volume lands near the requested 50%
+        assert 0.35 <= (counts["small"] + counts["big"]) / 1000 <= 0.65
+
+    def test_membership_stable_across_alpha(self, spark):
+        from etl_batch_spark.llmops import sampling
+
+        rows = [(i, "a" if i % 2 else "b") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        k1 = {r["doc_id"] for r in sampling.temperature_mixture_sample(
+            df, key_col="doc_id", strata_col="src", alpha=0.5, total_fraction=0.3
+        ).collect()}
+        k2 = {r["doc_id"] for r in sampling.temperature_mixture_sample(
+            df, key_col="doc_id", strata_col="src", alpha=0.5, total_fraction=0.6
+        ).collect()}
+        assert k1 <= k2  # nested: smaller budget is a subset
