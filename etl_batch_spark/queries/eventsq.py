@@ -1,0 +1,216 @@
+"""Product-analytics operators over the events stream: funnel, cohort
+retention, rolling active users, top event paths.
+
+The reference's control tables track batch runs, not user events, but an
+analytics engine at 100 TB lives on exactly these shapes (ClickHouse's
+``windowFunnel``/``retention``, every product warehouse's DAU/WAU).  All
+are expressed as one-or-two-shuffle DataFrame plans keyed on ``user_id``
+— the natural partitioning for an event log — so consecutive stages
+reuse the same exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_batch_spark.catalog import load_table
+from etl_batch_spark.queries.registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# ev01 — ordered conversion funnel view → click → purchase: users whose
+# first click follows their first view, and first purchase follows that
+# click.  The chain-of-first-occurrence semantics make every stage an
+# aggregate on user_id — three aggs, one exchange key, no sequential
+# scan state.  (ClickHouse windowFunnel(strict_order-less) analogue.)
+# ---------------------------------------------------------------------------
+@query(
+    "ev01_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS step1_view,
+           (SELECT COUNT(*) FROM s2) AS step2_click,
+           (SELECT COUNT(*) FROM s3) AS step3_purchase
+    """,
+)
+def ev01_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("step1_view"))
+        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("step2_click"))))
+        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("step3_purchase"))))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev02 — cohort retention: users grouped by first-activity day; how many
+# return exactly 1 / 7 days later.  First-day is an agg on user_id; the
+# (user, active-day) grid is a distinct on the same key; conditional
+# distinct counts finish per cohort.  Day arithmetic stays integer.
+# ---------------------------------------------------------------------------
+@query(
+    "ev02_retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           COUNT(DISTINCT f.user_id) AS cohort_size,
+           COUNT(DISTINCT CASE WHEN a.day = f.cohort_day + 1
+                               THEN a.user_id END) AS retained_d1,
+           COUNT(DISTINCT CASE WHEN a.day = f.cohort_day + 7
+                               THEN a.user_id END) AS retained_d7
+    FROM firstday f
+    JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort_day
+    """,
+)
+def ev02_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    firstday = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        firstday.join(activity, "user_id")
+        .groupBy("cohort_day")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(
+                F.when(F.col("day") == F.date_add(F.col("cohort_day"), 1),
+                       F.col("user_id"))
+            ).alias("retained_d1"),
+            F.countDistinct(
+                F.when(F.col("day") == F.date_add(F.col("cohort_day"), 7),
+                       F.col("user_id"))
+            ).alias("retained_d7"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev03 — DAU + trailing-7-day WAU: rolling COUNT(DISTINCT) over days is
+# not window-expressible, so it becomes a range join of the (tiny) day
+# spine against the distinct (user, day) grid — the spine broadcasts;
+# the grid is the only shuffle.  At 100 TB the grid is already orders
+# of magnitude smaller than the raw log.
+# ---------------------------------------------------------------------------
+@query(
+    "ev03_active_users",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM activity)
+    SELECT s.day,
+           COUNT(DISTINCT CASE WHEN a.day = s.day THEN a.user_id END) AS dau,
+           COUNT(DISTINCT a.user_id) AS wau
+    FROM spine s
+    JOIN activity a ON a.day BETWEEN s.day - 6 AND s.day
+    GROUP BY s.day
+    """,
+)
+def ev03_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    activity = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    spine = activity.select(F.col("day").alias("s_day")).distinct()
+    return (
+        activity.join(
+            F.broadcast(spine),
+            (F.col("day") >= F.date_sub(F.col("s_day"), 6))
+            & (F.col("day") <= F.col("s_day")),
+        )
+        .groupBy(F.col("s_day").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("s_day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev04 — top event trigrams: the 10 most common consecutive 3-event
+# paths across user timelines.  Two leads on the user_id/ts sort give
+# the path per row; a global count + TakeOrdered top-k finishes.  Ties
+# broken on the path string so the limit is deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "ev04_top_paths",
+    oracle="""
+    SELECT path, COUNT(*) AS n
+    FROM (
+      SELECT event_type || '>' ||
+             LEAD(event_type, 1) OVER w || '>' ||
+             LEAD(event_type, 2) OVER w AS path
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def ev04_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    return (
+        e.select(path.alias("path"),
+                 F.lead("event_type", 2).over(w).alias("third"))
+        .filter(F.col("third").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(10)
+    )
