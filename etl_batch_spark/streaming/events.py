@@ -192,3 +192,58 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+_FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("step", T.LongType()),
+        T.StructField("step_ts_us", T.LongType()),
+    ]
+)
+
+_FUNNEL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("step", T.LongType()),
+    ]
+)
+
+
+def funnel_stateful(
+    stream: DataFrame, *, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Streaming conversion funnel: per-user furthest step reached, with
+    chain-of-first-occurrence semantics matching the batch ``ev01``
+    query — step k+1 counts only strictly after the event that completed
+    step k.  State per user is two longs (step, its event time), never a
+    buffer of events; each trigger folds its micro-batch in event-time
+    order.  Cross-batch stragglers older than the completed step's
+    timestamp are ignored — the standard streaming-funnel approximation;
+    an exact replay lives one batch query away (``eventsq.ev01_funnel``).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        step, step_ts = state.get if state.exists else (0, -1)
+        rows: list[tuple[int, str]] = []
+        for pdf in batches:
+            rows.extend(zip((int(v) for v in pdf["ts_us"]), pdf["event_type"]))
+        for ts_us, etype in sorted(rows):
+            if step < len(steps) and etype == steps[step] and ts_us > step_ts:
+                step += 1
+                step_ts = ts_us
+        state.update((step, step_ts))
+        yield pd.DataFrame({"user_id": [key[0]], "step": [step]})
+
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, _FUNNEL_OUT, _FUNNEL_STATE, "Update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -117,3 +117,25 @@ def test_attribution_join_matches_batch(spark, sf_dir):
     expected = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
     assert streamed == expected
     assert len(expected) > 0
+
+
+def test_streaming_funnel_matches_batch_ev01(spark, sf_dir):
+    from etl_batch_spark.streaming import funnel_stateful
+    from etl_batch_spark.queries.eventsq import ev01_funnel
+
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(
+        funnel_stateful(stream), query_name="funnel", output_mode="update"
+    )
+    # latest state per user (memory sink keeps every update emission)
+    steps = {
+        r["user_id"]: r["mx"]
+        for r in spark.sql(
+            "select user_id, max(step) as mx from funnel group by user_id"
+        ).collect()
+    }
+    batch = ev01_funnel(spark, sf_dir).collect()[0]
+    reached = [sum(1 for s in steps.values() if s >= k) for k in (1, 2, 3)]
+    assert reached == [
+        batch["step1_view"], batch["step2_click"], batch["step3_purchase"]
+    ]
