@@ -8,4 +8,4 @@ query module.
 from etl_batch_spark.queries.registry import QUERIES, Query, query  # noqa: F401
 
 # import for registration side effects
-from etl_batch_spark.queries import eventsq, llmq, relational, scalarq  # noqa: E402,F401
+from etl_batch_spark.queries import etlq, eventsq, llmq, relational, scalarq  # noqa: E402,F401

@@ -1,0 +1,177 @@
+"""Warehouse-ETL operator queries: SCD2 dimension merge, column
+profiling, referential-integrity checks.
+
+These are the load-side operations the reference's control plane
+(`func_batch_startup` → module run → `proc_batch_endup`) exists to
+schedule — expressed as oracle-checked DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_batch_spark.catalog import load_table
+from etl_batch_spark.operators.scd import scd2_merge
+from etl_batch_spark.queries.registry import query
+
+
+# ---------------------------------------------------------------------------
+# et01 — SCD2 merge: the customer dimension snapshot (all rows open since
+# 1995-01-01) receives a deterministic update batch — every customer
+# whose custkey ends in 0 gets a new market segment.  Output is the
+# post-merge version set: closed old rows, opened new versions,
+# untouched pass-through.  One key-join shuffle drives all branches.
+# ---------------------------------------------------------------------------
+@query(
+    "et01_scd2_merge",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             DATE '1995-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, 'REASSIGNED' AS c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    changed AS (
+      SELECT cur.c_custkey,
+             cur.c_mktsegment AS old_seg, cur.c_acctbal AS old_bal,
+             upd.c_mktsegment AS new_seg, upd.c_acctbal AS new_bal
+      FROM cur JOIN upd ON cur.c_custkey = upd.c_custkey
+      WHERE cur.c_mktsegment IS DISTINCT FROM upd.c_mktsegment
+         OR cur.c_acctbal IS DISTINCT FROM upd.c_acctbal
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           valid_from, valid_to, is_current
+    FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, old_seg, old_bal,
+           DATE '1995-01-01', DATE '1997-06-01', FALSE
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, new_seg, new_bal,
+           DATE '1997-06-01', CAST(NULL AS DATE), TRUE
+    FROM changed
+    """,
+)
+def et01_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("REASSIGNED").alias("c_mktsegment"),
+        "c_acctbal",
+    )
+    return scd2_merge(
+        current,
+        updates,
+        key="c_custkey",
+        attrs=("c_mktsegment", "c_acctbal"),
+        effective_date="1997-06-01",
+    )
+
+
+# ---------------------------------------------------------------------------
+# et02 — column profiling (dbt/deequ-style data validation): one pass
+# over orders computes null counts, distinct counts and min/max per
+# profiled column, unpivoted to (column, metric...) rows.  Single
+# aggregate, no per-column scans.
+# ---------------------------------------------------------------------------
+@query(
+    "et02_profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def et02_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct, min_v, max_v)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# et03 — referential-integrity audit: orphaned fact rows per
+# relationship (lineitem→orders, lineitem→part, orders→customer),
+# counted in one anti-join each.  Clean fixtures yield zero rows of
+# violations but the aggregate row per relationship always reports.
+# ---------------------------------------------------------------------------
+@query(
+    "et03_fk_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           COUNT(*) FILTER (o.o_orderkey IS NULL) AS n_orphans,
+           COUNT(*) AS n_rows
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           COUNT(*) FILTER (p.p_partkey IS NULL), COUNT(*)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           COUNT(*) FILTER (c.c_custkey IS NULL), COUNT(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def et03_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+
+    def audit(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str) -> DataFrame:
+        return (
+            fact.join(dim.select(pk), fact[fk] == dim[pk], "left")
+            .agg(
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias("n_orphans"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .select(F.lit(label).alias("fk"), "n_orphans", "n_rows")
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(audit(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"))
+        .unionByName(audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"))
+    )

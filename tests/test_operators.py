@@ -74,3 +74,41 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_bleft")
             spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+class TestScd2Merge:
+    def test_all_branches(self, spark):
+        from etl_batch_spark.operators.scd import scd2_merge
+        import datetime as dt
+
+        current = spark.createDataFrame(
+            [
+                # historical (closed) row for key 1 — must pass through
+                (1, "A", dt.date(2020, 1, 1), dt.date(2021, 1, 1), False),
+                # open rows: key 1 will change, key 2 won't, key 3 not in updates
+                (1, "B", dt.date(2021, 1, 1), None, True),
+                (2, "X", dt.date(2020, 1, 1), None, True),
+                (3, "Y", dt.date(2020, 1, 1), None, True),
+            ],
+            "k long, attr string, valid_from date, valid_to date, is_current boolean",
+        )
+        updates = spark.createDataFrame(
+            [(1, "C"), (2, "X"), (4, "NEW")], "k long, attr string"
+        )
+        out = scd2_merge(
+            current, updates, key="k", attrs=("attr",), effective_date="2022-06-01"
+        )
+        rows = {(r["k"], r["attr"], r["is_current"]): r for r in out.collect()}
+        eff = dt.date(2022, 6, 1)
+        # changed key: old row closed at eff, new version open
+        assert rows[(1, "B", False)]["valid_to"] == eff
+        assert rows[(1, "C", True)]["valid_from"] == eff
+        assert rows[(1, "C", True)]["valid_to"] is None
+        # historical row untouched
+        assert rows[(1, "A", False)]["valid_to"] == dt.date(2021, 1, 1)
+        # no-op update and absent key pass through open
+        assert rows[(2, "X", True)]["valid_from"] == dt.date(2020, 1, 1)
+        assert rows[(3, "Y", True)]["valid_from"] == dt.date(2020, 1, 1)
+        # brand-new key inserted open
+        assert rows[(4, "NEW", True)]["valid_from"] == eff
+        assert len(rows) == 6
