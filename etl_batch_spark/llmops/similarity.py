@@ -239,3 +239,83 @@ def bucketed_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "cast(0.0 as double), (acc, x) -> acc + x)"
+)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    max_iterations: int = 10,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, sqdist) after Lloyd's iterations — the IVF-index
+    trainer and general embedding clusterer.
+
+    Spark-first shape per round: assignment broadcasts the k-row
+    centroid table against a corpus scan (k squared-L2 folds per row
+    via a window argmin — the same plan ``ivf_topk`` uses, so codegen
+    stays small no matter k); the update step is one groupBy(cluster)
+    with an ``avg`` per dimension — one shuffle, map-side partial.  The
+    k×dim centroid matrix (the only thing collected) is aggregate
+    state, the same thing ``pyspark.ml``'s KMeans ships each round;
+    data rows never reach the driver.  Seeding is the first k vectors
+    by id — deterministic, so tests can replay the exact trajectory in
+    numpy.
+    """
+    spark = df.sparkSession
+    # localCheckpoint: every round re-reads the prepared vectors; without
+    # it each iteration replays the scan+cast lineage and the plan grows
+    d = (
+        fan_out(df)
+        .select(F.col(id_col), as_double(vec_col).alias("e"))
+        .localCheckpoint()
+    )
+    if dim is None:
+        dim = len(d.select("e").first()["e"])
+    cents: list[list[float]] = [
+        list(r["e"]) for r in d.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    ]
+
+    def assign(centroids: list[list[float]]) -> DataFrame:
+        cdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(centroids)],
+            "cluster int, ce array<double>",
+        )
+        rn_w = W.partitionBy(id_col).orderBy(F.asc("sqd"), F.asc("cluster"))
+        return (
+            d.crossJoin(F.broadcast(cdf))
+            .withColumn("sqd", F.expr(SQDIST.format(a="e", b="ce")))
+            .withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "e", "cluster", "sqd")
+        )
+
+    for _ in range(max_iterations):
+        # update step via posexplode: shuffle is rows×dim (cluster, pos)
+        # cells with map-side partial avg — no dim-wide codegen, so cost
+        # scales to 4096-dim embeddings unchanged
+        new_rows = (
+            assign(cents)
+            .select("cluster", F.posexplode("e").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for r in new_rows:  # empty clusters keep their previous centroid
+            new_cents[r["cluster"]][r["pos"]] = r["m"]
+        if new_cents == cents:
+            break
+        cents = new_cents
+
+    return assign(cents).select(
+        id_col, "cluster", F.round("sqd", 6).alias("sqdist")
+    )

@@ -175,3 +175,33 @@ def et03_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"))
         .unionByName(audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"))
     )
+
+
+# ---------------------------------------------------------------------------
+# et04 — hypertable rollup cascade: daily stats per event_type computed
+# by merging hourly partials that were merged from minutely partials —
+# raw data is scanned exactly once, and the oracle (a direct day-level
+# aggregate) proves partial-merge associativity end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "et04_rollup_cascade",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value,
+           ROUND(SUM(value) / COUNT(*) + 1e-9, 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def et04_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.rollup import read_level, rollup_cascade
+
+    e = load_table(spark, sf_dir, "events")
+    levels = rollup_cascade(
+        e, ts_col="ts", key_cols=("event_type",), value_col="value"
+    )
+    return read_level(levels["day"])

@@ -768,3 +768,16 @@ def sm03_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_fraction=0.5,
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "ss04_kmeans_clusters",
+    doc="Lloyd k-means over embeddings: cluster sizes after 5 rounds "
+    "(llmops.similarity.kmeans_lloyd; iterative — rows-only check, "
+    "trajectory replayed exactly in numpy by test_llmops)",
+    oracle=None,
+)
+def ss04_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_lloyd(emb, k=8, max_iterations=3)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -355,3 +355,33 @@ class TestTemperatureSampling:
             df, key_col="doc_id", strata_col="src", alpha=0.5, total_fraction=0.6
         ).collect()}
         assert k1 <= k2  # nested: smaller budget is a subset
+
+
+class TestKMeans:
+    def test_matches_numpy_lloyd(self, spark, sf_dir):
+        import numpy as np
+        from etl_batch_spark.llmops import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in similarity.kmeans_lloyd(emb, k=4, max_iterations=3).collect()
+        }
+
+        rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+        X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+        ids = [r["vec_id"] for r in rows]
+        cents = X[:4].copy()
+        for _ in range(3):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # argmin ties → lowest index, same rule
+            new = cents.copy()
+            for c in range(4):
+                if (a == c).any():
+                    new[c] = X[a == c].mean(axis=0)
+            if np.array_equal(new, cents):
+                break
+            cents = new
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        expected = dict(zip(ids, d2.argmin(axis=1)))
+        assert got == expected

@@ -112,3 +112,27 @@ class TestScd2Merge:
         # brand-new key inserted open
         assert rows[(4, "NEW", True)]["valid_from"] == eff
         assert len(rows) == 6
+
+
+class TestRollupCascade:
+    def test_each_level_matches_direct_aggregate(self, spark, sf_dir):
+        from etl_batch_spark.catalog import load_table
+        from etl_batch_spark.operators.rollup import read_level, rollup_cascade
+
+        e = load_table(spark, sf_dir, "events")
+        levels = rollup_cascade(e, ts_col="ts", key_cols=("event_type",), value_col="value")
+        for lv in ("minute", "hour", "day"):
+            direct = (
+                e.groupBy(F.date_trunc(lv, "ts").alias("bucket"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("value"), 2).alias("sum_value"),
+                    F.round(F.min("value"), 4).alias("min_value"),
+                    F.round(F.max("value"), 4).alias("max_value"),
+                    F.round(F.sum("value") / F.count(F.lit(1)) + F.lit(1e-9), 4).alias("avg_value"),
+                )
+            )
+            cascade = read_level(levels[lv])
+            a = {tuple(r) for r in cascade.collect()}
+            b = {tuple(r) for r in direct.collect()}
+            assert a == b, f"level {lv} diverges"
