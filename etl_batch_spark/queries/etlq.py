@@ -185,6 +185,7 @@ def et03_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "et04_rollup_cascade",
+    bench=True,
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
            event_type,

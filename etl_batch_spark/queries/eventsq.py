@@ -31,6 +31,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "ev01_funnel",
+    bench=True,
     oracle="""
     WITH s1 AS (
       SELECT user_id, MIN(ts) AS t1 FROM events

@@ -175,3 +175,29 @@ def read_jsonl_documents(
         F.element_at(F.split("_source_file", "/"), -1).alias("source"),
         *[F.col(n) for n in (keep_fields or [])],
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC with explicit schema — the other columnar format warehouse
+    estates commonly hold (Hive-era tables).  Same pushdown/pruning
+    properties as parquet on Spark's native reader."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, max_records_per_file: int = 1_000_000) -> None:
+    df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    ).orc(path)
+
+
+def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Avro (row-oriented interchange).  The spark-avro module is an
+    external jar; absent it (as in this container) a clear error beats
+    an opaque classpath failure."""
+    try:
+        return spark.read.schema(schema).format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - depends on classpath
+        raise NotImplementedError(
+            "avro requires the spark-avro package on the classpath "
+            "(org.apache.spark:spark-avro); add it via spark.jars.packages"
+        ) from exc

@@ -113,3 +113,23 @@ class TestCorpusIngestion:
         assert {(r["text"], r["lang"]) for r in docs} == {
             ("good doc", "en"), ("another doc", "fr"),
         }
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    from etl_batch_spark import plans
+    from etl_batch_spark.sources.io import read_orc, write_orc
+    from pyspark.sql import types as T
+
+    df = spark.range(1_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    path = str(tmp_path / "orc_t")
+    write_orc(df, path)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("grp", T.LongType())]
+    )
+    back = read_orc(spark, path, schema).filter(F.col("grp") == 3).select("k")
+    assert back.count() == df.filter(F.col("grp") == 3).count()
+    # filter reaches the ORC scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "pushedFilters" in plan
