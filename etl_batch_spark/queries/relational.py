@@ -2062,3 +2062,54 @@ def q64_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 — per-group trend fit: OLS regression of daily revenue on the day
+# index, per order priority (the "is this segment growing?" query).
+# Both the daily rollup and the regression are single-shuffle
+# map-side-partial aggregates on JVM regr_* — no Python, no collect;
+# the closed-form moments merge associatively like any other partial.
+# ---------------------------------------------------------------------------
+@query(
+    "q65_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1996-01-01' AS DOUBLE) AS day_idx,
+             SUM(o_totalprice) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_days,
+           ROUND(regr_slope(revenue, day_idx) + 1e-9, 4) AS slope,
+           ROUND(regr_intercept(revenue, day_idx) + 1e-9, 2) AS intercept,
+           ROUND(regr_r2(revenue, day_idx) + 1e-9, 6) AS r2
+    FROM daily
+    GROUP BY o_orderpriority
+    """,
+)
+def q65_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1996-01-01").cast("date"))
+            .cast("double")
+            .alias("day_idx"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    return daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("revenue", "day_idx") + F.lit(1e-9), 4).alias("slope"),
+        F.round(F.regr_intercept("revenue", "day_idx") + F.lit(1e-9), 2).alias("intercept"),
+        F.round(F.regr_r2("revenue", "day_idx") + F.lit(1e-9), 6).alias("r2"),
+    )
