@@ -206,3 +206,44 @@ def et04_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ts_col="ts", key_cols=("event_type",), value_col="value"
     )
     return read_level(levels["day"])
+
+
+# ---------------------------------------------------------------------------
+# et05 — hierarchy levels (recursive-CTE workload): a deterministic
+# forest over custkeys (parent = custkey/10, roots < 10) traversed by
+# iterative frontier joins — one shuffle per level, bounded by tree
+# height.  The oracle is DuckDB's actual WITH RECURSIVE.
+# ---------------------------------------------------------------------------
+@query(
+    "et05_hierarchy_levels",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1
+      FROM customer c JOIN t ON (c.c_custkey // 10) = t.c_custkey
+      WHERE c.c_custkey >= 10
+    )
+    SELECT depth, COUNT(*) AS n_nodes,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_node,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_node
+    FROM t GROUP BY depth
+    """,
+)
+def et05_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.hierarchy import bfs_levels
+
+    c = load_table(spark, sf_dir, "customer")
+    edges = c.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("child"),
+        F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),
+    )
+    roots = c.filter(F.col("c_custkey") < 10).select(
+        F.col("c_custkey").alias("node")
+    )
+    lv = bfs_levels(edges, roots)
+    return lv.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

@@ -136,3 +136,17 @@ class TestRollupCascade:
             a = {tuple(r) for r in cascade.collect()}
             b = {tuple(r) for r in direct.collect()}
             assert a == b, f"level {lv} diverges"
+
+
+class TestBfsLevels:
+    def test_depths_and_min_depth_on_dag(self, spark):
+        from etl_batch_spark.operators.hierarchy import bfs_levels
+
+        # 0 -> 1 -> 3 -> 4, 0 -> 2 -> 4 (4 reachable two ways: depth 2 wins)
+        edges = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1), (4, 3), (4, 2), (9, 8)],  # 9/8 unreachable
+            "child long, parent long",
+        )
+        roots = spark.createDataFrame([(0,)], "node long")
+        got = {r["node"]: r["depth"] for r in bfs_levels(edges, roots).collect()}
+        assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 2}
