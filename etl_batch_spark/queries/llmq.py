@@ -781,3 +781,73 @@ def ss04_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = similarity.kmeans_lloyd(emb, k=8, max_iterations=3)
     return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# ---------------------------------------------------------------------------
+# pipe01 — the full training-data pipeline as ONE oracle-checked plan:
+# exact dedup → quality gate → benchmark decontamination → reproducible
+# 50% sample → per-source token accounting.  Every stage is the library
+# operator the standalone queries test; composing them stays a single
+# DAG (semi/anti joins on doc_id, one gram join), so Catalyst sees the
+# whole pipeline and prunes columns end-to-end — the corpus text column
+# is read once, never materialized between "stages".
+# ---------------------------------------------------------------------------
+@query(
+    "pipe01_training_mix",
+    bench=True,
+    doc="end-to-end corpus pipeline: dedup → quality ≥ 0.58 → decontaminate "
+    "vs src0 → 50% hash sample → per-source doc/token counts",
+    oracle=f"""
+    WITH train AS (SELECT * FROM documents WHERE source <> 'src0'),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM train GROUP BY md5(text)
+    ),
+    dd AS (SELECT t.* FROM train t JOIN keepers k ON t.doc_id = k.doc_id),
+    toksd AS (SELECT doc_id, source, text, {_DUCK_TOKENS} AS toks FROM dd),
+    qd AS (
+      SELECT * FROM toksd
+      WHERE ROUND(0.4 * LEAST(1.0, len(toks) / 100.0)
+            + 0.3 * (len(list_distinct(toks)) / CAST(NULLIF(len(toks), 0) AS DOUBLE))
+            + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                     / CAST(NULLIF(length(text), 0) AS DOUBLE)) + 1e-9, 4) >= 0.58
+    ),
+    tgrams AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_4GRAMS})) AS gram FROM qd
+    ),
+    bgrams AS (
+      SELECT unnest(list_distinct({_DUCK_4GRAMS})) AS gram
+      FROM (SELECT {_DUCK_TOKENS} AS toks FROM documents WHERE source = 'src0')
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id FROM tgrams t JOIN bgrams b ON t.gram = b.gram
+    ),
+    clean AS (
+      SELECT * FROM qd WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sampled AS (
+      SELECT * FROM clean
+      WHERE {_DUCK_BUCKET_OF.format(salt="s0", key="doc_id")} < 500000
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS ws_tokens
+    FROM sampled GROUP BY source
+    """,
+)
+def pipe01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    bench_docs = docs.filter(F.col("source") == "src0")
+    deduped = dedup.drop_exact_duplicates(train)
+    good = text.quality_score(deduped).filter(F.col("quality") >= 0.58).select("doc_id")
+    kept = deduped.join(good, "doc_id", "left_semi")
+    contaminated = text.contamination(kept, bench_docs, n=4).select("doc_id")
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    sampled = sampling.hash_sample(clean, key_col="doc_id", fraction=0.5)
+    return (
+        text.token_counts(sampled)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+        )
+    )
