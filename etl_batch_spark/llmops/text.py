@@ -170,10 +170,11 @@ def ngram_repetition(
     cost the same as clean ones.  Documents shorter than ``n`` tokens
     have no n-grams and drop out (consistent with the SQL twin).
     """
+    from etl_batch_spark.catalog import fan_out
     from etl_batch_spark.llmops.dedup import shingle_array, tokens
 
     grams = (
-        df.withColumn("toks", tokens(text_col))
+        fan_out(df).withColumn("toks", tokens(text_col))
         .select(id_col, F.explode(shingle_array("toks", n=n)).alias("gram"))
     )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
@@ -200,10 +201,11 @@ def token_entropy(
     H = ln(N) - Σ c·ln(c) / N over per-token counts c: one shuffle on
     (doc, token), then a partial-aggregated fold per doc.
     """
+    from etl_batch_spark.catalog import fan_out
     from etl_batch_spark.llmops.dedup import tokens
 
     toks = (
-        df.withColumn("toks", tokens(text_col))
+        fan_out(df).withColumn("toks", tokens(text_col))
         .select(id_col, F.explode("toks").alias("tok"))
     )
     counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))

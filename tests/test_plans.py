@@ -74,3 +74,31 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         if plans.count_ops(df, "CartesianProduct") > 0:
             offenders.append(name)
     assert offenders == []
+
+
+def test_q55_q58_broadcast_dims_single_fact_exchange(spark, sf_dir):
+    from etl_batch_spark.queries import QUERIES
+
+    for name in ("q55_volume_shipping", "q58_returned_items"):
+        df = QUERIES[name].build(spark, sf_dir)
+        assert plans.count_ops(df, "CartesianProduct") == 0
+        assert plans.count_ops(df, "BroadcastHashJoin") >= 3, name
+
+
+def test_ev03_day_spine_is_broadcast(spark, sf_dir):
+    from etl_batch_spark.queries import QUERIES
+
+    df = QUERIES["ev03_active_users"].build(spark, sf_dir)
+    # the non-equi range join must be a broadcast NLJ of the tiny spine,
+    # never a cartesian
+    assert plans.count_ops(df, "BroadcastNestedLoopJoin") == 1
+    assert plans.count_ops(df, "CartesianProduct") == 0
+
+
+def test_pipe01_composes_without_cartesian_or_python(spark, sf_dir):
+    from etl_batch_spark.queries import QUERIES
+
+    df = QUERIES["pipe01_training_mix"].build(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    assert plans.count_ops(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in s  # no row-at-a-time Python in the DAG
