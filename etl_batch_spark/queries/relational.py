@@ -430,7 +430,7 @@ def q15_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").over(wt.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
         ).alias("running_spend"),
         F.lag("o_orderkey").over(wt).alias("prev_orderkey"),
-        F.rank().over(wr).alias("spend_rank"),
+        F.rank().over(wr).cast("long").alias("spend_rank"),
     )
 
 
@@ -756,8 +756,9 @@ def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start, ROUND(SUM(value), 2) AS session_value
     FROM (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, value, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1387,10 +1388,10 @@ def q50_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.ntile(4).over(w).alias("price_quartile"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.dense_rank().over(w).alias("drank"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
     )
 
 
@@ -1772,8 +1773,9 @@ def q57_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -1805,11 +1807,14 @@ def q58_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
             )
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -1858,10 +1863,10 @@ def q59_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q60_priority_class_lines",
     oracle="""
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           COUNT(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           COUNT(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag IN ('A', 'N')
@@ -1883,8 +1888,8 @@ def q60_priority_class_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
         )
     )
 
