@@ -1,0 +1,53 @@
+"""Cross-engine dtype contract: every oracle-checked query must produce
+the same column types in Spark as its DuckDB twin — the driver records
+schema alongside the value hash, so a rank() int-vs-BIGINT skew is a
+correctness failure even when values match.
+
+Cheap by construction: Spark dtypes come from plan analysis and DuckDB
+types from a lazy relation — nothing executes.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from etl_batch_spark.queries import QUERIES
+from etl_batch_spark.catalog import DATA_TABLES, table_path
+
+_MAP = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "BOOLEAN": "boolean",
+}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in DATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(n for n, q in QUERIES.items() if q.oracle))
+def test_dtypes_match_oracle(spark, sf_dir, duck, name):
+    q = QUERIES[name]
+    sdt = dict(q.build(spark, sf_dir).dtypes)
+    rel = duck.sql(q.oracle)
+    ddt = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    assert set(sdt) == set(ddt), f"column sets differ: {sorted(sdt)} vs {sorted(ddt)}"
+    diffs = {}
+    for col, dt in ddt.items():
+        want = dt.lower() if dt.startswith("DECIMAL") else _MAP.get(dt, dt.lower())
+        if sdt[col] != want:
+            diffs[col] = (sdt[col], dt)
+    assert not diffs, f"dtype skew: {diffs}"
