@@ -215,3 +215,43 @@ def ev04_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ev05 — the general as-of operator (operators/asof.py) against DuckDB's
+# native ASOF JOIN: each purchase takes the latest click at-or-before it
+# per user.  Clicks are pre-deduped to one per (user, ts) so the match
+# is well-defined in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "ev05_asof_operator",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, ROUND(MAX(value), 2) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS ts_right, c.click_value AS click_value_right
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def ev05_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by=["user_id"], direction="backward"
+    ).select("event_id", "user_id", "ts", "ts_right", "click_value_right")

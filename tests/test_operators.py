@@ -150,3 +150,73 @@ class TestBfsLevels:
         roots = spark.createDataFrame([(0,)], "node long")
         got = {r["node"]: r["depth"] for r in bfs_levels(edges, roots).collect()}
         assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 2}
+
+
+class TestAsofJoin:
+    def _data(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        keys = ["a", "b", "c"]
+        lrows = [
+            (k, (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(s))).to_pydatetime(), i)
+            for i, (k, s) in enumerate(
+                (keys[int(rng.integers(3))], rng.integers(0, 10_000))
+                for _ in range(200)
+            )
+        ]
+        rrows = [
+            (k, (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(s))).to_pydatetime(), float(v))
+            for k, s, v in (
+                (keys[int(rng.integers(3))], rng.integers(0, 10_000), rng.integers(0, 1000))
+                for _ in range(60)
+            )
+        ]
+        # drop duplicate (key, ts) on the right: pandas keeps the last,
+        # the window keeps the last — but dedup makes intent explicit
+        seen = set()
+        rrows = [r for r in rrows if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+        ldf = spark.createDataFrame(lrows, "k string, ts timestamp, lid long")
+        rdf = spark.createDataFrame(rrows, "k string, ts timestamp, price double")
+        import pandas as pd
+
+        lpd = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
+        rpd = pd.DataFrame(rrows, columns=["k", "ts", "price"]).sort_values("ts")
+        return ldf, rdf, lpd, rpd
+
+    def _check(self, spark, direction, tolerance_s=None, allow_exact=True):
+        import pandas as pd
+
+        from etl_batch_spark.operators.asof import asof_join
+
+        ldf, rdf, lpd, rpd = self._data(spark)
+        got = {
+            r["lid"]: r["price_right"]
+            for r in asof_join(
+                ldf, rdf, on="ts", by=["k"], direction=direction,
+                tolerance_s=tolerance_s, allow_exact_matches=allow_exact,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction=direction,
+            tolerance=None if tolerance_s is None else pd.Timedelta(seconds=tolerance_s),
+            allow_exact_matches=allow_exact,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.price) else float(r.price))
+            for r in want_df.itertuples()
+        }
+        assert got == want, direction
+
+    def test_backward_matches_pandas(self, spark):
+        self._check(spark, "backward")
+
+    def test_forward_matches_pandas(self, spark):
+        self._check(spark, "forward")
+
+    def test_nearest_matches_pandas(self, spark):
+        self._check(spark, "nearest")
+
+    def test_tolerance_and_strict(self, spark):
+        self._check(spark, "backward", tolerance_s=300.0, allow_exact=False)
