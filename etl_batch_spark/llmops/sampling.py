@@ -126,3 +126,24 @@ def temperature_mixture_sample(
     return df.join(F.broadcast(rates), strata_col).filter(
         hash_bucket(key_col, salt=salt) < F.col("threshold")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    salt: str = "s0",
+) -> DataFrame:
+    """Importance sampling: each row's keep probability IS its weight
+    (clamped to [0, 1]) — the quality-weighted data-selection primitive
+    (keep good documents with high probability, junk with low, without
+    a hard threshold's cliff).  Membership stays the pure (salt, key)
+    hash against a per-row threshold, so the sample remains
+    reproducible, partition-independent, and monotone in the weight: a
+    document's fate only flips if its weight crosses its own die roll.
+    """
+    thresh = F.floor(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col))) * _BUCKETS
+    ).cast("long")
+    return df.filter(hash_bucket(key_col, salt=salt) < thresh)

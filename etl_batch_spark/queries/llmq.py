@@ -851,3 +851,32 @@ def pipe01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ws_tokens").alias("ws_tokens"),
         )
     )
+
+
+@query(
+    "sm04_quality_weighted_sample",
+    doc="importance sampling with keep-probability = quality score "
+    "(llmops.sampling.weighted_hash_sample)",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             ROUND(0.4 * LEAST(1.0, len(toks) / 100.0)
+                   + 0.3 * (len(list_distinct(toks)) / CAST(NULLIF(len(toks), 0) AS DOUBLE))
+                   + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                            / CAST(NULLIF(length(text), 0) AS DOUBLE)) + 1e-9, 4) AS quality
+      FROM (SELECT doc_id, source, text, {_DUCK_TOKENS} AS toks FROM documents)
+    )
+    SELECT source, COUNT(*) AS n_kept
+    FROM scored
+    WHERE {_DUCK_BUCKET_OF.format(salt="s0", key="doc_id")} <
+          CAST(FLOOR(LEAST(1.0, GREATEST(0.0, quality)) * 1000000) AS BIGINT)
+    GROUP BY source
+    """,
+)
+def sm04_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    scored = docs.join(text.quality_score(docs), "doc_id")
+    kept = sampling.weighted_hash_sample(
+        scored, key_col="doc_id", weight_col="quality"
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
