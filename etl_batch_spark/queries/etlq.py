@@ -247,3 +247,47 @@ def et05_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# et06 — table checksum for replica reconciliation (pt-table-checksum
+# shape): per key-bucket row counts + order-independent XOR of portable
+# row hashes.  Two estates run this independently and diff 64 rows
+# instead of shipping tables; a mismatched bucket narrows the repair to
+# 1/64 of the keyspace (recurse to binary-search rows).  One shuffle on
+# the bucket; the hash is md5-derived so any engine can replay it.
+# ---------------------------------------------------------------------------
+@query(
+    "et06_table_checksum",
+    oracle="""
+    SELECT o_orderkey % 64 AS bucket,
+           COUNT(*) AS n_rows,
+           BIT_XOR(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(ROUND(o_totalprice, 2) AS VARCHAR)
+           ), 1, 15))::BIGINT) AS checksum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def et06_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.llmops.dedup import H60
+
+    o = load_table(spark, sf_dir, "orders")
+    row_repr = (
+        "concat(cast(o_orderkey as string), '|', cast(o_custkey as string), '|', "
+        "o_orderstatus, '|', cast(round(o_totalprice, 2) as string))"
+    )
+    return (
+        o.select(
+            (F.col("o_orderkey") % 64).alias("bucket"),
+            F.expr(H60.format(expr=row_repr)).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+    )
