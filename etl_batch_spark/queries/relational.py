@@ -2118,3 +2118,34 @@ def q65_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("revenue", "day_idx") + F.lit(1e-9), 2).alias("intercept"),
         F.round(F.regr_r2("revenue", "day_idx") + F.lit(1e-9), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 — fixed-width histogram: integer bin arithmetic (floor((x-lo)/w),
+# clamped) so bucket edges are exact in every engine; one aggregate
+# pass, bins orderable for charting.
+# ---------------------------------------------------------------------------
+@query(
+    "q66_price_histogram",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q66_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9).cast("long")
+    )
+    return (
+        o.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
