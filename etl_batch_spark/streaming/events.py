@@ -247,3 +247,28 @@ def funnel_stateful(
             update, _FUNNEL_OUT, _FUNNEL_STATE, "Update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def sliding_event_counts(
+    stream: DataFrame,
+    *,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Sliding-window counts per event_type (each event lands in
+    window/slide overlapping windows).  State per key is bounded by
+    (watermark + window) / slide open windows; the overlap factor
+    multiplies shuffle volume, which is why the tumbling variant is the
+    default and sliding is reserved for trend queries that need it."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

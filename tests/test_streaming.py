@@ -139,3 +139,38 @@ def test_streaming_funnel_matches_batch_ev01(spark, sf_dir):
     assert reached == [
         batch["step1_view"], batch["step2_click"], batch["step3_purchase"]
     ]
+
+
+def test_sliding_counts_match_batch(spark, sf_dir):
+    from etl_batch_spark.streaming import sliding_event_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(
+        sliding_event_counts(stream, window="2 hours", slide="1 hour"),
+        query_name="slide_counts",
+        output_mode="update",
+    )
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from slide_counts").collect()
+    }
+    # batch oracle: each event belongs to the two hour-aligned 2h windows
+    # ending at or after its hour
+    e = load_table(spark, sf_dir, "events")
+    batch = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.date_trunc("hour", "ts"),
+                    F.date_trunc("hour", "ts") - F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("window_start"),
+            "event_type",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    expected = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert streamed == expected
