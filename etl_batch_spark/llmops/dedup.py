@@ -24,7 +24,7 @@ engine-portable and stable across Spark versions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_batch_spark.catalog import fan_out
@@ -339,4 +339,37 @@ def simhash(
         .filter(F.size("toks") >= 1)
         .withColumn("hs", F.expr(f"transform(toks, t -> {h})"))
         .select(id_col, sig.alias(f"simhash{bits}"))
+    )
+
+
+def drop_duplicates_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingestion dedup: from ``new``, keep one row per
+    content hash (min id) that does not already exist in ``corpus``.
+
+    The corpus side reduces to its distinct 60-bit content hashes before
+    the anti join — at 100 TB that hash set is the only thing shuffled
+    (or becomes a bloom-filter pre-pass), never the corpus text; daily
+    refreshes pay for the delta, not the archive.
+    """
+    h = F.expr(H60.format(expr=text_col))
+    corpus_hashes = corpus.select(h.alias("_ch")).distinct()
+    batch_keepers = (
+        new.withColumn("_ch", h)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_ch").orderBy(id_col)
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        batch_keepers.join(corpus_hashes, "_ch", "left_anti").drop("_ch")
     )

@@ -880,3 +880,31 @@ def sm04_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, key_col="doc_id", weight_col="quality"
     )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "dd08_incremental_dedup",
+    doc="incremental ingestion dedup: new batch (src1x sources) against the "
+    "existing corpus (llmops.dedup.drop_duplicates_against)",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS ch
+      FROM documents WHERE source NOT LIKE 'src1%'
+    ),
+    batch AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS ch,
+             ROW_NUMBER() OVER (PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+                                ORDER BY doc_id) AS rn
+      FROM documents WHERE source LIKE 'src1%'
+    )
+    SELECT b.doc_id, b.source
+    FROM batch b
+    WHERE b.rn = 1 AND b.ch NOT IN (SELECT ch FROM corpus)
+    """,
+)
+def dd08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    new = docs.filter(F.col("source").like("src1%"))
+    corpus = docs.filter(~F.col("source").like("src1%"))
+    return dedup.drop_duplicates_against(new, corpus).select("doc_id", "source")
