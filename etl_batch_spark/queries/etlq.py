@@ -291,3 +291,22 @@ def et06_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# et07 — mergeable-sketch rollup: daily HLL user sketches merged to
+# weekly distinct-user estimates.  Rows-only check (sketch estimates
+# are engine-specific); closeness vs exact is asserted in
+# test_operators.  At 100 TB this replaces a re-scan of the raw log for
+# every wider window with a union over kilobyte sketches.
+# ---------------------------------------------------------------------------
+@query(
+    "et07_sketch_rollup",
+    oracle=None,
+)
+def et07_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.rollup import sketch_estimate_over, sketch_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    daily = sketch_rollup(e, ts_col="ts", key_col="user_id", levels=("day",))
+    return sketch_estimate_over(daily, level="week")

@@ -220,3 +220,25 @@ class TestAsofJoin:
 
     def test_tolerance_and_strict(self, spark):
         self._check(spark, "backward", tolerance_s=300.0, allow_exact=False)
+
+
+class TestSketchRollup:
+    def test_weekly_estimate_close_to_exact(self, spark, sf_dir):
+        from etl_batch_spark.catalog import load_table
+        from etl_batch_spark.operators.rollup import sketch_estimate_over, sketch_rollup
+
+        e = load_table(spark, sf_dir, "events")
+        daily = sketch_rollup(e, ts_col="ts", key_col="user_id", levels=("day",))
+        approx = {
+            r["bucket"]: r["approx_distinct"]
+            for r in sketch_estimate_over(daily, level="week").collect()
+        }
+        exact = {
+            r["bucket"]: r["n"]
+            for r in e.groupBy(F.date_trunc("week", "ts").alias("bucket"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for b, n in exact.items():
+            assert abs(approx[b] - n) <= max(2, 0.05 * n), (b, approx[b], n)
