@@ -1,0 +1,67 @@
+"""Iterative graph centrality — PageRank as pure DataFrame rounds.
+
+Complements the other iterative operators (`connected_components` for
+clustering, `bfs_levels` for depth): one join + one aggregate per
+round, both keyed on node id, so every iteration is a single shuffle
+pattern that AQE sizes; `localCheckpoint` truncates lineage per round.
+Dangling-node mass is a one-row aggregate (driver scalar — aggregate
+state, not data).  Used on the near-dup candidate graph it ranks
+"hub" documents whose text radiates through the corpus — a useful
+curation signal beyond binary dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iterations: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """(node, rank) for every node in the directed edge list; ranks sum
+    to ~1.  Deterministic given the edge set (modulo FP associativity).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    links = e.join(out_deg, "u").localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iterations):
+        contribs = (
+            links.join(ranks, links.u == ranks.node)
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        # dangling nodes (no out-edges) spread their mass uniformly
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.u, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .first()["m"]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", round_to).alias("rank"))

@@ -908,3 +908,21 @@ def dd08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("source").like("src1%"))
     corpus = docs.filter(~F.col("source").like("src1%"))
     return dedup.drop_duplicates_against(new, corpus).select("doc_id", "source")
+
+
+@query(
+    "ss05_doc_pagerank",
+    doc="PageRank over the embedding near-dup graph: hub documents whose "
+    "content radiates through the corpus (operators.graph.pagerank; "
+    "iterative — rows-only check, numpy trajectory replay in tests)",
+    oracle=None,
+)
+def ss05_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.graph import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.neardup_pairs(emb, threshold=0.2)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return pagerank(edges, max_iterations=5)

@@ -242,3 +242,33 @@ class TestSketchRollup:
         assert set(approx) == set(exact)
         for b, n in exact.items():
             assert abs(approx[b] - n) <= max(2, 0.05 * n), (b, approx[b], n)
+
+
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, spark):
+        import numpy as np
+        from etl_batch_spark.operators.graph import pagerank
+
+        rng = np.random.default_rng(3)
+        n = 40
+        raw = {(int(a), int(b)) for a, b in rng.integers(0, n, size=(150, 2)) if a != b}
+        edges = spark.createDataFrame(sorted(raw), "src long, dst long")
+        got = {r["node"]: r["rank"] for r in
+               pagerank(edges, max_iterations=8).collect()}
+
+        node_ids = sorted({x for e in raw for x in e})
+        idx = {v: i for i, v in enumerate(node_ids)}
+        m = len(node_ids)
+        A = np.zeros((m, m))
+        for a, b in raw:
+            A[idx[b], idx[a]] = 1.0
+        deg = A.sum(axis=0)
+        r = np.full(m, 1.0 / m)
+        d = 0.85
+        for _ in range(8):
+            dangling = r[deg == 0].sum()
+            contrib = A @ np.divide(r, deg, out=np.zeros(m), where=deg > 0)
+            r = (1 - d) / m + d * dangling / m + d * contrib
+        for v in node_ids:
+            assert abs(got[v] - r[idx[v]]) < 1e-6, v
+        assert abs(sum(got.values()) - 1.0) < 1e-3
