@@ -926,3 +926,32 @@ def ss05_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     return pagerank(edges, max_iterations=5)
+
+
+@query(
+    "mm03_window_energy",
+    doc="windowed payload energy (audio-frame shape) via Arrow-batched "
+    "mapInPandas (llmops.multimodal.window_energy)",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ),
+    w AS (
+      SELECT doc_id, text, n,
+             unnest(generate_series(0, CAST((n - 1) // 128 AS INT))) AS widx
+      FROM d
+    )
+    SELECT doc_id, CAST(widx AS INT) AS widx,
+           ROUND(list_avg(list_transform(
+                   generate_series(widx * 128 + 1, LEAST(widx * 128 + 256, n)),
+                   i -> ord(substr(text, i, 1))))
+                 / 255.0 + 1e-9, 6) AS energy
+    FROM w
+    """,
+)
+def mm03_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(
+        _documents(spark, sf_dir), modality="audio", mime="audio/pcm"
+    )
+    return multimodal.window_energy(docs, win=256, hop=128)
