@@ -310,3 +310,58 @@ def et07_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = sketch_rollup(e, ts_col="ts", key_col="user_id", levels=("day",))
     return sketch_estimate_over(daily, level="week")
+
+
+# ---------------------------------------------------------------------------
+# et08 — snapshot diff (CDC derivation): classify every key across two
+# dimension snapshots as inserted / deleted / updated / unchanged via
+# one full-outer key join — the change feed an incremental downstream
+# consumes when the source can't emit CDC itself.  Synthetic snapshots
+# derive deterministically from customer (mod-13 membership, mod-7
+# value drift).
+# ---------------------------------------------------------------------------
+@query(
+    "et08_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 13 <> 5
+    ),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN ROUND(c_acctbal + 10, 2)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'U'
+                ELSE '=' END AS op,
+           COUNT(*) AS n_rows
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    GROUP BY 1
+    """,
+)
+def et08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 13 != 5).select(
+        F.col("c_custkey").alias("o_key"), F.col("c_acctbal").alias("o_val")
+    )
+    new = c.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("n_key"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 10, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("n_val"),
+    )
+    op = (
+        F.when(F.col("o_key").isNull(), "I")
+        .when(F.col("n_key").isNull(), "D")
+        .when(~F.col("o_val").eqNullSafe(F.col("n_val")), "U")
+        .otherwise("=")
+    )
+    return (
+        old.join(new, old.o_key == new.n_key, "full_outer")
+        .groupBy(op.alias("op"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
