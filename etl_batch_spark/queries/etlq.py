@@ -302,6 +302,9 @@ def et06_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "et07_sketch_rollup",
+    doc="mergeable HLL rollup: daily user sketches merged to weekly distinct "
+    "estimates (operators.rollup.sketch_rollup; rows-only — closeness vs "
+    "exact asserted in test_operators)",
     oracle=None,
 )
 def et07_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
