@@ -2149,3 +2149,35 @@ def q66_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — time-RANGE window frame: per customer, revenue over the
+# trailing 30 days relative to each order's date (not 30 *rows*) —
+# the frame Spark expresses with rangeBetween over epoch seconds.
+# One shuffle+sort on (custkey, time), state bounded by the interval.
+# ---------------------------------------------------------------------------
+@query(
+    "q67_rolling_30d_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2) AS rev_30d
+    FROM orders
+    """,
+)
+def q67_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+    )
