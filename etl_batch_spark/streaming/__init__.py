@@ -7,4 +7,5 @@ from etl_batch_spark.streaming.events import (  # noqa: F401
     sessionize_stateful,
     sliding_event_counts,
     windowed_event_counts,
+    write_idempotent_batches,
 )

@@ -272,3 +272,33 @@ def sliding_event_counts(
             "n_events",
         )
     )
+
+
+def write_idempotent_batches(
+    result: DataFrame, *, path: str, checkpoint: str
+) -> None:
+    """Exactly-once file sink via ``foreachBatch``: each micro-batch
+    lands in a ``batch_id=N`` partition with dynamic partition
+    overwrite, so a batch replayed after a crash (same batch_id)
+    overwrites its own output instead of appending duplicates —
+    idempotence from partition layout rather than sink transactions.
+    Drains with availableNow; the checkpoint carries source offsets so
+    a restart resumes, not re-reads.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    q = (
+        result.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -174,3 +174,24 @@ def test_sliding_counts_match_batch(spark, sf_dir):
         (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
     }
     assert streamed == expected
+
+
+def test_idempotent_batch_sink_no_duplicates_on_replay(spark, sf_dir, tmp_path):
+    from etl_batch_spark.streaming import write_idempotent_batches
+
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    n_events = load_table(spark, sf_dir, "events").count()
+
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    write_idempotent_batches(stream, path=out, checkpoint=ck)
+    first = spark.read.parquet(out)
+    assert first.count() == n_events
+
+    # restart with the same checkpoint: offsets already committed, so a
+    # replay adds nothing and overwrite semantics keep partitions clean
+    stream2 = read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    write_idempotent_batches(stream2, path=out, checkpoint=ck)
+    again = spark.read.parquet(out)
+    assert again.count() == n_events
+    assert again.select("event_id").distinct().count() == n_events
