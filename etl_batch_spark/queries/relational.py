@@ -2181,3 +2181,47 @@ def q67_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — unpivot/melt: the wide-to-long inverse of q25's pivot.  A
+# two-column conditional aggregate goes wide, then `melt` turns status
+# columns back into rows — Spark's stack()-backed unpivot, no shuffle
+# beyond the aggregate's own.
+# ---------------------------------------------------------------------------
+@query(
+    "q68_unpivot_status_qty",
+    oracle="""
+    WITH wide AS (
+      SELECT o.o_orderpriority,
+             SUM(CASE WHEN l.l_linestatus = 'F' THEN l.l_quantity ELSE 0 END) AS qty_f,
+             SUM(CASE WHEN l.l_linestatus = 'O' THEN l.l_quantity ELSE 0 END) AS qty_o
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    )
+    SELECT o_orderpriority, 'qty_f' AS linestatus, ROUND(qty_f, 2) AS qty FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'qty_o', ROUND(qty_o, 2) FROM wide
+    """,
+)
+def q68_unpivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2
+            ).alias("qty_f"),
+            F.round(
+                F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2
+            ).alias("qty_o"),
+        )
+    )
+    return wide.melt(
+        ids=["o_orderpriority"],
+        values=["qty_f", "qty_o"],
+        variableColumnName="linestatus",
+        valueColumnName="qty",
+    )
