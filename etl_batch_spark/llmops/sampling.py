@@ -147,3 +147,29 @@ def weighted_hash_sample(
         F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col))) * _BUCKETS
     ).cast("long")
     return df.filter(hash_bucket(key_col, salt=salt) < thresh)
+
+
+def fixed_quota_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample (eval-set carve-outs,
+    per-source audit quotas): rows rank by their (salt, key) hash within
+    each stratum and the first N win.  Unlike fraction sampling the
+    quota is exact; membership is still content-addressed, so a stratum
+    that grows only displaces rows at the hash boundary, it never
+    reshuffles the whole sample.  One shuffle+rank per call."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(key_col, salt=salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

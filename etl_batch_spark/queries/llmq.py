@@ -955,3 +955,27 @@ def mm03_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _documents(spark, sf_dir), modality="audio", mime="audio/pcm"
     )
     return multimodal.window_energy(docs, win=256, hop=128)
+
+
+@query(
+    "sm05_fixed_quota_sample",
+    doc="exactly-5-per-source deterministic carve-out "
+    "(llmops.sampling.fixed_quota_sample)",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_DUCK_BUCKET_OF.format(salt="s0", key="doc_id")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 5
+    """,
+)
+def sm05_fixed_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select("doc_id", "source")
+    return sampling.fixed_quota_sample(
+        docs, key_col="doc_id", strata_col="source", n_per_stratum=5
+    )

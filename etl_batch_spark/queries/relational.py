@@ -2225,3 +2225,40 @@ def q68_unpivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="linestatus",
         valueColumnName="qty",
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+# multiplicity (rows appearing m and n times intersect min(m,n) times),
+# unlike q18/q19's set forms.  Spark plans these as aggregate+join on
+# the row value — one shuffle each.
+# ---------------------------------------------------------------------------
+@query(
+    "q69_bag_set_ops",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority, o_orderstatus FROM orders
+               WHERE o_totalprice > 100000),
+    b AS (SELECT o_orderpriority, o_orderstatus FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+    i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+    e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    SELECT 'intersect_all' AS op, COUNT(*) AS n FROM i
+    UNION ALL
+    SELECT 'except_all', COUNT(*) FROM e
+    """,
+)
+def q69_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    b = o.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderpriority", "o_orderstatus")
+    i = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    e = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return i.unionByName(e)
