@@ -38,6 +38,13 @@ def pagerank(
     n = nodes.count()
     out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     links = e.join(out_deg, "u").localCheckpoint()
+    # dangling NODE SET is fixed across rounds — only its mass moves.
+    # Hoisting the existence check saves one driver action per round on
+    # graphs with no sinks (any symmetrized graph, e.g. near-dup pairs).
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.u, "left_anti"
+    ).localCheckpoint()
+    has_dangling = not dangling_nodes.isEmpty()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iterations):
@@ -49,9 +56,11 @@ def pagerank(
         )
         # dangling nodes (no out-edges) spread their mass uniformly
         dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.u, "left_anti")
+            dangling_nodes.join(ranks, "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
             .first()["m"]
+            if has_dangling
+            else 0.0
         )
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
