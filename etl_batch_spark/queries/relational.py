@@ -2262,3 +2262,36 @@ def q69_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except_all").alias("op"), "n"
     )
     return i.unionByName(e)
+
+
+# ---------------------------------------------------------------------------
+# q70 — several COUNT(DISTINCT ...) over different conditions in ONE
+# aggregate: Spark plans an Expand (one row replica per distinct
+# aggregate) + two-phase agg, so the table is still scanned once —
+# the audience-overlap query shape (how many customers total / urgent /
+# big-ticket) without three passes.
+# ---------------------------------------------------------------------------
+@query(
+    "q70_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS all_cust,
+           COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN o_custkey END) AS urgent_cust,
+           COUNT(DISTINCT CASE WHEN o_totalprice > 200000
+                               THEN o_custkey END) AS big_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q70_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("all_cust"),
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+        ).alias("urgent_cust"),
+        F.countDistinct(
+            F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+        ).alias("big_cust"),
+    )
