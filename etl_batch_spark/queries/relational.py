@@ -2295,3 +2295,167 @@ def q70_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
         ).alias("big_cust"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — interval-overlap self join (SURVEY §2.D theta/range joins) via
+# operators/interval.py::overlap_join: pairs of same-customer orders whose
+# 7-day fulfilment windows overlap.  The binned formulation keeps this a
+# hash join (one shuffle per side on (custkey, week-bin)); the naive
+# inequality join would be a nested loop — quadratic per customer and
+# unplannable at fact×fact scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q71_order_window_overlap",
+    oracle="""
+    SELECT o1.o_custkey AS custkey, COUNT(*) AS n_pairs
+    FROM orders o1
+    JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o1.o_orderkey < o2.o_orderkey
+     AND o1.o_orderdate <= o2.o_orderdate + INTERVAL 7 DAY
+     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+)
+def q71_order_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.interval import overlap_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    week = F.expr("INTERVAL 7 DAYS")
+    left = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("l_key"),
+        F.col("o_orderdate").alias("l_start"),
+        (F.col("o_orderdate") + week).alias("l_end"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("r_key"),
+        F.col("o_orderdate").alias("r_start"),
+        (F.col("o_orderdate") + week).alias("r_end"),
+    )
+    pairs = overlap_join(
+        left,
+        right,
+        on=["custkey"],
+        left_start="l_start",
+        left_end="l_end",
+        right_start="r_start",
+        right_end="r_end",
+        bin_seconds=7 * 24 * 3600,
+    ).filter(F.col("l_key") < F.col("r_key"))
+    return pairs.groupBy("custkey").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# q72 — deterministic per-group mode (most frequent value).  Built as
+# count + row_number ordered (count DESC, value ASC) rather than
+# ``F.mode`` so ties resolve identically on every engine and every run —
+# non-deterministic tie-breaks are a silent reproducibility bug in
+# training-data pipelines.  Two shuffles: the count agg and the window,
+# both on n_name (low cardinality; the count agg map-side combines).
+# ---------------------------------------------------------------------------
+@query(
+    "q72_modal_segment",
+    oracle="""
+    SELECT n_name, mkt AS modal_segment, cnt AS n_customers
+    FROM (
+        SELECT n.n_name, c.c_mktsegment AS mkt, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                  ORDER BY COUNT(*) DESC, c.c_mktsegment) AS rn
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ) t
+    WHERE rn = 1
+    """,
+)
+def q72_modal_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("cnt"), F.asc("c_mktsegment"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", F.col("c_mktsegment").alias("modal_segment"), F.col("cnt").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — exact weighted median: smallest l_quantity whose cumulative
+# l_extendedprice weight reaches half the group total.  Both cumulative
+# and total weight come from ONE window partitioning (default RANGE
+# frame makes tied quantities share a cumulative value, so the result
+# is order-deterministic across engines); one shuffle on l_returnflag.
+# ---------------------------------------------------------------------------
+@query(
+    "q73_weighted_median",
+    oracle="""
+    SELECT l_returnflag, MIN(l_quantity) AS weighted_median
+    FROM (
+        SELECT l_returnflag, l_quantity,
+               SUM(l_extendedprice) OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_quantity) AS cum_w,
+               SUM(l_extendedprice) OVER (PARTITION BY l_returnflag) AS tot_w
+        FROM lineitem
+    ) t
+    WHERE cum_w >= 0.5 * tot_w
+    GROUP BY 1
+    """,
+)
+def q73_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cum = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    tot = W.partitionBy("l_returnflag")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_quantity",
+            F.sum("l_extendedprice").over(cum).alias("cum_w"),
+            F.sum("l_extendedprice").over(tot).alias("tot_w"),
+        )
+        .filter(F.col("cum_w") >= 0.5 * F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("weighted_median"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — gaps & islands: longest run of consecutive active days per user
+# (the date - row_number() trick: consecutive days share a group key).
+# One shuffle on user_id serves the distinct, the window and both aggs;
+# per-user state is bounded by days-in-history, never by event volume.
+# ---------------------------------------------------------------------------
+@query(
+    "q74_daily_streaks",
+    oracle="""
+    SELECT user_id, MAX(streak) AS max_streak, COUNT(*) AS n_streaks
+    FROM (
+        SELECT user_id, grp, COUNT(*) AS streak
+        FROM (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS grp
+            FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) days
+        ) isl
+        GROUP BY 1, 2
+    ) runs
+    GROUP BY 1
+    """,
+)
+def q74_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    isl = days.withColumn(
+        "grp",
+        F.date_sub(F.col("d"), F.row_number().over(W.partitionBy("user_id").orderBy("d"))),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("streak"))
+    return runs.groupBy("user_id").agg(
+        F.max("streak").alias("max_streak"), F.count(F.lit(1)).alias("n_streaks")
+    )

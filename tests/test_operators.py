@@ -272,3 +272,125 @@ class TestPageRank:
         for v in node_ids:
             assert abs(got[v] - r[idx[v]]) < 1e-6, v
         assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+class TestOverlapJoin:
+    @pytest.fixture()
+    def intervals(self, spark):
+        def mk(rows):
+            return spark.createDataFrame(
+                [(k, i, f"2024-01-{d1:02d} 00:00:00", f"2024-01-{d2:02d} 00:00:00") for k, i, d1, d2 in rows],
+                "k int, id int, start string, stop string",
+            ).select(
+                "k", "id",
+                F.col("start").cast("timestamp").alias("start"),
+                F.col("stop").cast("timestamp").alias("stop"),
+            )
+
+        left = mk([(1, 1, 1, 5), (1, 2, 10, 20), (2, 3, 1, 31), (3, 4, 5, 6)])
+        right = mk([(1, 10, 4, 11), (1, 11, 21, 25), (2, 12, 15, 15), (9, 13, 1, 31)])
+        return left, right.select("k", F.col("id").alias("rid"),
+                                  F.col("start").alias("rstart"), F.col("stop").alias("rstop"))
+
+    def _pairs(self, df):
+        return {tuple(r) for r in df.select("id", "rid").collect()}
+
+    def test_matches_inequality_join(self, spark, intervals):
+        from etl_batch_spark.operators.interval import overlap_join
+
+        left, right = intervals
+        for bin_seconds in (3600, 86400, 7 * 86400, 90 * 86400):
+            got = overlap_join(
+                left, right, on=["k"],
+                left_start="start", left_end="stop",
+                right_start="rstart", right_end="rstop",
+                bin_seconds=bin_seconds,
+            )
+            want = left.join(right, "k").filter(
+                (F.col("start") <= F.col("rstop")) & (F.col("rstart") <= F.col("stop"))
+            )
+            assert self._pairs(got) == self._pairs(want), f"bin={bin_seconds}"
+            # exactly-once: no duplicate pairs even when intervals share many bins
+            assert got.count() == len(self._pairs(got)), f"bin={bin_seconds}"
+
+    def test_no_key_columns(self, spark, intervals):
+        from etl_batch_spark.operators.interval import overlap_join
+
+        left, right = intervals
+        got = overlap_join(
+            left.drop("k"), right.drop("k"),
+            left_start="start", left_end="stop",
+            right_start="rstart", right_end="rstop",
+            bin_seconds=86400,
+        )
+        want = left.drop("k").crossJoin(right.drop("k")).filter(
+            (F.col("start") <= F.col("rstop")) & (F.col("rstart") <= F.col("stop"))
+        )
+        assert self._pairs(got) == self._pairs(want)
+
+    def test_rejects_column_collisions(self, intervals):
+        from etl_batch_spark.operators.interval import overlap_join
+
+        left, right = intervals
+        with pytest.raises(ValueError, match="rename"):
+            overlap_join(
+                left, left, on=["k"],
+                left_start="start", left_end="stop",
+                right_start="start", right_end="stop",
+            )
+
+    def test_plans_as_hash_join_not_nested_loop(self, intervals):
+        from etl_batch_spark.operators.interval import overlap_join
+
+        left, right = intervals
+        got = overlap_join(
+            left, right, on=["k"],
+            left_start="start", left_end="stop",
+            right_start="rstart", right_end="rstop",
+        )
+        plan = plans.formatted_plan(got)
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestExpectations:
+    def test_counts_and_single_scan(self, spark):
+        from etl_batch_spark.operators import expectations as X
+
+        df = spark.createDataFrame(
+            [(1, 10.0, "O"), (2, -5.0, "F"), (None, 2e6, "Z"), (2, None, None)],
+            "k long, price double, status string",
+        )
+        got = {
+            r["rule"]: r["violations"]
+            for r in X.evaluate(
+                df,
+                [
+                    X.not_null("k"),
+                    X.in_range("price", lo=0, hi=1_000_000),
+                    X.in_set("status", ["O", "F"]),
+                ],
+                unique=["k"],
+            ).collect()
+        }
+        assert got == {
+            "not_null(k)": 1,
+            "in_range(price)": 2,   # -5 below lo, 2e6 above hi; null not counted
+            "in_set(status)": 1,    # 'Z'; null not counted
+            "unique(k)": 1,         # k=2 twice
+        }
+
+    def test_empty_input_all_zero(self, spark):
+        from etl_batch_spark.operators import expectations as X
+
+        df = spark.createDataFrame([], "k long, price double")
+        got = {
+            r["rule"]: r["violations"]
+            for r in X.evaluate(df, [X.not_null("k")], unique=["k"]).collect()
+        }
+        assert got == {"not_null(k)": 0, "unique(k)": 0}
+
+    def test_rejects_empty_rules(self, spark):
+        from etl_batch_spark.operators import expectations as X
+
+        with pytest.raises(ValueError):
+            X.evaluate(spark.range(1), [])
