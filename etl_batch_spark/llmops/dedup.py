@@ -194,6 +194,45 @@ def jaccard_pairs(
     return common.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= threshold).select(*out)
 
 
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b, containment) where containment = |A∩B| / min(|A|,|B|).
+
+    Jaccard under-scores subset relations (a document embedded verbatim
+    in a much longer one scores |A|/|B| ≈ 0); containment normalizes by
+    the *smaller* set, so quote-inclusion and boilerplate-wrapping dups
+    score ~1.0.  Same two-shuffle shape as :func:`jaccard_pairs`
+    (sizes ride the shingle explode — no size join-back)."""
+    ss = shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
+    cont = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    sh = ss.select(F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(F.struct(id_col, "n_sh"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
+        f"struct(x.{id_col} AS doc_a, x.n_sh AS n_a, y.{id_col} AS doc_b, y.n_sh AS n_b))))"
+    )
+    common = (
+        groups.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return common.filter(cont >= threshold).select(
+        "doc_a", "doc_b", F.round(cont, 4).alias("containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash LSH
 # ---------------------------------------------------------------------------

@@ -368,3 +368,49 @@ def et08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(op.alias("op"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# et09 — declarative data-quality expectation suite over orders
+# (operators/expectations.py): five rules, ONE scan — row-local rules are
+# conditional sums, uniqueness is COUNT - COUNT(DISTINCT) in the same
+# aggregate (single Expand), the wide row unpivots via stack.
+# ---------------------------------------------------------------------------
+@query(
+    "et09_expectations",
+    doc="data-quality rule engine: (rule, violations) in one pass "
+    "(operators.expectations.evaluate)",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS rule,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice)',
+           COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 1000000))
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F', 'P'))
+    FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders
+    """,
+)
+def et09_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators import expectations as X
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        X.not_null("o_custkey"),
+        X.in_range("o_totalprice", lo=0, hi=1_000_000),
+        X.in_set("o_orderstatus", ["O", "F", "P"]),
+        X.matches("o_orderpriority", "^[1-5]-"),
+    ]
+    return X.evaluate(o, rules, unique=["o_orderkey"])

@@ -883,6 +883,31 @@ def sm04_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd09_containment",
+    doc="asymmetric n-gram containment pairs — subset/quote-inclusion "
+    "near-dups Jaccard misses (llmops.dedup.containment_pairs)",
+    oracle=f"""
+    WITH sh AS ({_DUCK_DOC_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(c.n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 4)
+             AS containment
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.12
+    """,
+)
+def dd09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(_documents(spark, sf_dir), threshold=0.12)
+
+
+@query(
     "dd08_incremental_dedup",
     doc="incremental ingestion dedup: new batch (src1x sources) against the "
     "existing corpus (llmops.dedup.drop_duplicates_against)",

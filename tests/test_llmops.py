@@ -385,3 +385,30 @@ class TestKMeans:
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         expected = dict(zip(ids, d2.argmin(axis=1)))
         assert got == expected
+
+
+class TestContainment:
+    def test_subset_doc_scores_one(self, spark):
+        from etl_batch_spark.llmops import dedup
+
+        short = "alpha beta gamma delta epsilon"
+        long_doc = "intro words here " + short + " trailing content follows now"
+        docs = spark.createDataFrame(
+            [(1, short), (2, long_doc), (3, "totally unrelated text about ships sailing west")],
+            "doc_id long, text string",
+        )
+        rows = dedup.containment_pairs(docs, threshold=0.5).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+        assert rows[0]["containment"] == 1.0
+
+    def test_threshold_filters(self, spark):
+        from etl_batch_spark.llmops import dedup
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c x y z w q r s t u")],
+            "doc_id long, text string",
+        )
+        # one shared 3-gram ("a b c") out of 4 in the smaller doc -> 0.25
+        assert dedup.containment_pairs(docs, threshold=0.5).count() == 0
+        rows = dedup.containment_pairs(docs, threshold=0.2).collect()
+        assert len(rows) == 1 and rows[0]["containment"] == 0.25
