@@ -8,7 +8,7 @@ schedule — expressed as oracle-checked DataFrame plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_batch_spark.catalog import load_table
@@ -414,3 +414,60 @@ def et09_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.matches("o_orderpriority", "^[1-5]-"),
     ]
     return X.evaluate(o, rules, unique=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# et10 — apply a CDC changelog to a snapshot (operators/cdc.py): the
+# customer table upserted with each customer's order stream (orderkey as
+# the sequence number) and deleted where custkey % 50 == 3.  One shuffle
+# on the key; latest-wins window folds upserts and deletes in one pass.
+# ---------------------------------------------------------------------------
+@query(
+    "et10_apply_changelog",
+    doc="CDC apply: latest-wins upsert + delete fold (operators.cdc.apply_changelog)",
+    oracle="""
+    WITH changes AS (
+        SELECT o_custkey AS c_custkey, o_totalprice AS c_acctbal,
+               'UPDATED' AS c_mktsegment, o_orderkey AS seq,
+               CASE WHEN o_custkey % 50 = 3 AND o_orderkey =
+                         MAX(o_orderkey) OVER (PARTITION BY o_custkey)
+                    THEN 'D' ELSE 'U' END AS op
+        FROM orders
+    ),
+    unioned AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               CAST(NULL AS BIGINT) AS seq, 'U' AS op
+        FROM customer
+        UNION ALL
+        SELECT * FROM changes
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                     ORDER BY seq DESC NULLS LAST) AS rn
+        FROM unioned
+    )
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS segment
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def et10_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.cdc import apply_changelog
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders")
+    last_per_cust = F.max("o_orderkey").over(W.partitionBy("o_custkey"))
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(
+            (F.col("o_custkey") % 50 == 3) & (F.col("o_orderkey") == last_per_cust), "D"
+        ).otherwise("U").alias("op"),
+    )
+    final = apply_changelog(c, changes, keys=["c_custkey"], seq_col="seq", op_col="op")
+    return final.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )

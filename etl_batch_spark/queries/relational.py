@@ -2459,3 +2459,49 @@ def q74_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("user_id").agg(
         F.max("streak").alias("max_streak"), F.count(F.lit(1)).alias("n_streaks")
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — percent-of-total (ratio_to_report): each nation's share of its
+# region's revenue.  The aggregate shuffles once on nation; the share
+# window re-partitions the 25-row aggregate, not the fact table.
+# ---------------------------------------------------------------------------
+@query(
+    "q75_revenue_share",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+             AS region_share
+    FROM rev
+    """,
+)
+def q75_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    share = F.col("rev") / F.sum("rev").over(W.partitionBy("region"))
+    return rev.select(
+        "region", "nation",
+        F.round("rev", 2).alias("revenue"),
+        F.round(share, 6).alias("region_share"),
+    )

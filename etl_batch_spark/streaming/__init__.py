@@ -1,5 +1,6 @@
 from etl_batch_spark.streaming.events import (  # noqa: F401
     dedup_stream,
+    enrich_with_dimension,
     funnel_stateful,
     purchase_attribution_join,
     read_events_stream,

@@ -302,3 +302,16 @@ def write_idempotent_batches(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_with_dimension(stream: DataFrame, dim: DataFrame, *, on: str, how: str = "left") -> DataFrame:
+    """Stream-static broadcast enrichment: join a micro-batched stream to
+    a bounded dimension table.
+
+    The static side is re-resolved per micro-batch (so a dim refresh is
+    picked up without restarting the query) and broadcast — the stream
+    side never shuffles, which is the only sane plan for a 100 TB/day
+    stream against a bounded dim.  For unbounded/slow-changing dims use
+    ``purchase_attribution_join`` (stream-stream, watermarked) instead.
+    """
+    return stream.join(F.broadcast(dim), on, how)

@@ -394,3 +394,37 @@ class TestExpectations:
 
         with pytest.raises(ValueError):
             X.evaluate(spark.range(1), [])
+
+
+class TestApplyChangelog:
+    def test_upsert_delete_reinsert(self, spark):
+        from etl_batch_spark.operators.cdc import apply_changelog
+
+        snap = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        chg = spark.createDataFrame(
+            [
+                (2, "b2", 10, "U"),   # update
+                (3, "c", 11, "D"),    # delete
+                (4, "d", 12, "I"),    # insert new key
+                (5, "e", 13, "I"),    # insert then delete
+                (5, "e", 14, "D"),
+                (6, "f", 15, "D"),    # delete then re-insert
+                (6, "f2", 16, "I"),
+            ],
+            "k long, v string, seq long, op string",
+        )
+        got = {
+            (r["k"], r["v"])
+            for r in apply_changelog(snap, chg, keys=["k"], seq_col="seq", op_col="op").collect()
+        }
+        assert got == {(1, "a"), (2, "b2"), (4, "d"), (6, "f2")}
+
+    def test_rejects_column_mismatch(self, spark):
+        from etl_batch_spark.operators.cdc import apply_changelog
+
+        snap = spark.createDataFrame([(1, "a")], "k long, v string")
+        chg = spark.createDataFrame([(1, 10, "U")], "k long, seq long, op string")
+        with pytest.raises(ValueError):
+            apply_changelog(snap, chg, keys=["k"], seq_col="seq", op_col="op")

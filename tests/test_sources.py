@@ -148,3 +148,71 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(back.columns) == {"k", "extra"}
     rows = {r["k"]: r["extra"] for r in back.collect()}
     assert rows[0] is None and rows[7] == 14 and len(rows) == 10
+
+
+class TestZorder:
+    def test_key_interleaves_bits(self, spark):
+        from etl_batch_spark.sources.io import zorder_key
+
+        # corners of a 2-col grid: (min,min) -> 0, (max,max) -> all bits set
+        df = spark.createDataFrame([(0.0, 0.0), (3.0, 3.0), (3.0, 0.0)], "x double, y double")
+        z = zorder_key(df, ["x", "y"], bits=2)
+        got = [r["z"] for r in df.select(z.alias("z")).collect()]
+        assert got[0] == 0 and got[1] == 0b1111
+        # x contributes the even bit positions: x=max,y=min -> 0b0101
+        assert got[2] == 0b0101
+
+    def test_key_rejects_bad_args(self, spark):
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.io import zorder_key
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with _pytest.raises(ValueError):
+            zorder_key(df, [])
+        with _pytest.raises(ValueError):
+            zorder_key(df, ["x"], bits=63)
+
+    @staticmethod
+    def _files_containing(path, points, cols):
+        """Files whose footer min/max envelope admits any probe point."""
+        import pyarrow.parquet as pq
+        import glob as g
+
+        hits = 0
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.to_arrow_schema().names
+            lo, hi = {}, {}
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = names[i]
+                    st = md.row_group(rg).column(i).statistics
+                    if c in cols and st is not None:
+                        lo[c] = min(lo.get(c, st.min), st.min)
+                        hi[c] = max(hi.get(c, st.max), st.max)
+            if any(all(lo[c] <= p[c] <= hi[c] for c in cols) for p in points):
+                hits += 1
+        return hits
+
+    def test_zorder_tightens_file_envelopes(self, spark, sf_dir, tmp_path):
+        from etl_batch_spark.sources.io import write_zordered
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+        plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+        li.repartition(8).write.parquet(plain)
+        write_zordered(li, zord, ["l_partkey", "l_suppkey"], n_files=8)
+
+        points = [{"l_partkey": 7, "l_suppkey": 3}, {"l_partkey": 150, "l_suppkey": 9}]
+        cols = ["l_partkey", "l_suppkey"]
+        n_plain = self._files_containing(plain, points, cols)
+        n_zord = self._files_containing(zord, points, cols)
+        # random layout: every file spans the whole key space -> all 8 hit;
+        # z-ordered: the probe points land in a small subset of files
+        assert n_plain == 8
+        assert n_zord < n_plain / 2
+
+        # layout change must not change content
+        got = spark.read.parquet(zord)
+        assert got.count() == li.count()
+        assert got.agg(F.sum("l_quantity")).first()[0] == li.agg(F.sum("l_quantity")).first()[0]

@@ -195,3 +195,30 @@ def test_idempotent_batch_sink_no_duplicates_on_replay(spark, sf_dir, tmp_path):
     again = spark.read.parquet(out)
     assert again.count() == n_events
     assert again.select("event_id").distinct().count() == n_events
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    from etl_batch_spark.streaming import enrich_with_dimension
+
+    # user -> cohort dimension derived deterministically from user_id
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).cast("int").alias("cohort"),
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = enrich_with_dimension(stream, dim, on="user_id").groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    run_stream_to_memory(enriched, query_name="enriched_counts", output_mode="complete")
+    streamed = {
+        (r["cohort"], r["n_events"])
+        for r in spark.sql("select * from enriched_counts").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(dim, "user_id", "left")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    expected = {(r["cohort"], r["n_events"]) for r in batch.collect()}
+    assert streamed == expected
