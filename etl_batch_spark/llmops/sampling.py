@@ -173,3 +173,37 @@ def fixed_quota_sample(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def shard_assign(df: DataFrame, *, key_col: str, n_shards: int, salt: str = "shard") -> DataFrame:
+    """Add a deterministic ``shard`` column in [0, n_shards).
+
+    Training-data sharding needs a *global* shuffle — examples that were
+    adjacent in the source (same crawl, same day) must not land in the
+    same shard run — but a true global sort of 100 TB is a full range
+    exchange.  Hashing (salt, key) gives shard placement that is (a)
+    independent of input partitioning and row order, (b) reproducible
+    across runs and engines, (c) a narrow map — the only shuffle is the
+    final ``repartition(shard)`` at write time, and within a shard rows
+    are ordered by a second hash, never globally.
+    """
+    expr = H60.format(expr=f"concat('{salt}', '|', cast({key_col} as string))")
+    return df.withColumn("shard", F.pmod(F.expr(expr), F.lit(n_shards)).cast("int"))
+
+
+def write_training_shards(
+    df: DataFrame, path: str, *, key_col: str, n_shards: int, salt: str = "shard"
+) -> None:
+    """Materialize the deterministic shuffle: one sorted file set per
+    shard, row order within a shard fixed by the intra-shard hash."""
+    order = F.expr(H60.format(expr=f"concat('order|', cast({key_col} as string))"))
+    (
+        shard_assign(df, key_col=key_col, n_shards=n_shards, salt=salt)
+        .withColumn("__ord", order)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__ord")
+        .drop("__ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -292,3 +292,35 @@ def pack_chunks(
         .cast("long")
         .alias("chunk_end"),
     )
+
+
+def score_batch(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, score): a quality-classifier forward pass as an Arrow-batched
+    pandas UDF — the inference plumbing (featurize → vectorized model →
+    score column) that a real ONNX/sklearn classifier slots into by
+    replacing ``_logistic`` only.
+
+    The model here is a fixed logistic regression over three cheap
+    features (clamped char count, clamped whitespace-token count, digit
+    ratio) so the oracle can replay it exactly; weights are frozen
+    constants.  Scale shape: ``mapInPandas`` streams Arrow batches —
+    no per-row Python, no collect, model state broadcast by closure
+    (a real model would load once per executor via a lazy global).
+    """
+    schema = f"{id_col} long, score double"
+
+    def _logistic(batches):
+        import numpy as np
+
+        for pdf in batches:
+            txt = pdf[text_col].fillna("")
+            n_chars = txt.str.len().clip(upper=2000)
+            n_tok = txt.str.split().str.len().fillna(0).clip(upper=400)
+            digits = txt.str.count(r"[0-9]")
+            ratio = digits / np.maximum(txt.str.len(), 1)
+            z = -1.5 + 0.004 * n_chars + 0.02 * n_tok - 2.0 * ratio
+            out = pdf[[id_col]].copy()
+            out["score"] = (1.0 / (1.0 + np.exp(-z))).round(6)
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(_logistic, schema=schema)

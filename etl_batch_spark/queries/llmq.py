@@ -1004,3 +1004,47 @@ def sm05_fixed_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.fixed_quota_sample(
         docs, key_col="doc_id", strata_col="source", n_per_stratum=5
     )
+
+
+@query(
+    "sm06_training_shards",
+    doc="deterministic global shuffle into training shards "
+    "(llmops.sampling.shard_assign): hash placement, order-independent",
+    oracle=f"""
+    SELECT {_DUCK_H60.format(expr="'shard' || '|' || CAST(doc_id AS VARCHAR)")} % 16
+             AS shard,
+           COUNT(*) AS n_docs,
+           SUM(doc_id) AS sum_ids
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def sm06_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return (
+        sampling.shard_assign(docs, key_col="doc_id", n_shards=16)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+    )
+
+
+@query(
+    "tx12_batch_inference",
+    doc="Arrow-batched model scoring over documents: a fixed logistic "
+    "quality model applied via pandas UDF (the batch-inference plumbing "
+    "for any real classifier)",
+    oracle="""
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(
+             -1.5
+             + 0.004 * LEAST(n_chars, 2000)
+             + 0.02  * LEAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                             x -> x <> '')), 400)
+             - 2.0   * (len(regexp_extract_all(text, '[0-9]')) /
+                        GREATEST(n_chars, 1))
+           ))), 6) AS score
+    FROM documents
+    """,
+)
+def tx12_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.score_batch(_documents(spark, sf_dir))

@@ -2505,3 +2505,39 @@ def q75_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         F.round(share, 6).alias("region_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — calendar/date function surface (year/quarter/month/ISO week/
+# day-of-week/last_day/date arithmetic) exercised end-to-end with
+# engine-aligned conventions (Spark dayofweek is 1=Sunday; ISO week via
+# weekofyear).  Single map + one low-cardinality aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q76_calendar_breakdown",
+    oracle="""
+    SELECT year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END)
+             AS n_weekend,
+           COUNT(DISTINCT weekofyear(o_orderdate)) AS n_iso_weeks,
+           ROUND(AVG(date_diff('day', CAST(o_orderdate AS DATE),
+                               last_day(CAST(o_orderdate AS DATE)))), 4)
+             AS avg_days_to_eom
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q76_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.dayofweek("o_orderdate").isin(1, 7).cast("long")).alias("n_weekend"),
+            F.countDistinct(F.weekofyear("o_orderdate")).alias("n_iso_weeks"),
+            F.round(F.avg(F.datediff(F.last_day(d), d)), 4).alias("avg_days_to_eom"),
+        )
+    )

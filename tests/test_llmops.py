@@ -412,3 +412,37 @@ class TestContainment:
         assert dedup.containment_pairs(docs, threshold=0.5).count() == 0
         rows = dedup.containment_pairs(docs, threshold=0.2).collect()
         assert len(rows) == 1 and rows[0]["containment"] == 0.25
+
+
+class TestTrainingShards:
+    def test_assignment_partition_and_order_independent(self, spark):
+        from etl_batch_spark.llmops import sampling
+
+        df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+        a = sampling.shard_assign(df, key_col="doc_id", n_shards=8)
+        b = sampling.shard_assign(
+            df.repartition(13).sortWithinPartitions(F.desc("doc_id")),
+            key_col="doc_id", n_shards=8,
+        )
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+        # balanced-ish: no shard empty, none > 2x the mean
+        sizes = {r["shard"]: r["n"] for r in a.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+        assert len(sizes) == 8 and max(sizes.values()) < 2 * (500 / 8)
+
+    def test_write_training_shards_layout(self, spark, tmp_path):
+        from etl_batch_spark.llmops import sampling
+
+        df = spark.range(0, 300).select(F.col("id").alias("doc_id"), (F.col("id") * 2).alias("payload"))
+        out = str(tmp_path / "shards")
+        sampling.write_training_shards(df, out, key_col="doc_id", n_shards=4)
+        back = spark.read.parquet(out)
+        assert back.count() == 300
+        assert sorted(r["shard"] for r in back.select("shard").distinct().collect()) == [0, 1, 2, 3]
+        # rereading keeps every row exactly once
+        assert back.select("doc_id").distinct().count() == 300
+        # order within a shard is the intra-shard hash: deterministic across writes
+        out2 = str(tmp_path / "shards2")
+        sampling.write_training_shards(df, out2, key_col="doc_id", n_shards=4)
+        first = spark.read.parquet(out + "/shard=0").limit(5).collect()
+        second = spark.read.parquet(out2 + "/shard=0").limit(5).collect()
+        assert [r["doc_id"] for r in first] == [r["doc_id"] for r in second]
