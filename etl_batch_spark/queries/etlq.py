@@ -471,3 +471,59 @@ def et10_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("acctbal"),
         F.col("c_mktsegment").alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# et11 — entity resolution via blocked fuzzy join (operators/fuzzy.py):
+# the distinct part-name dictionary matched against a typo'd variant of
+# itself (one md5-positioned char deleted) — blocking on (first token,
+# length band) keeps it a hash join; levenshtein verifies candidates.
+# ---------------------------------------------------------------------------
+@query(
+    "et11_fuzzy_match",
+    doc="blocked fuzzy join entity resolution (operators.fuzzy.blocked_fuzzy_join)",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    dirty AS (
+        SELECT substr(p_name, 1, pos - 1) || substr(p_name, pos + 1) AS dirty_name
+        FROM (SELECT p_name,
+                     CAST((('0x' || substr(md5('typo|' || p_name), 1, 15))::BIGINT
+                           % (len(p_name) - 1)) + 2 AS INTEGER) AS pos
+              FROM names)
+    ),
+    blocked AS (
+        SELECT n.p_name AS clean_name, d.dirty_name,
+               levenshtein(n.p_name, d.dirty_name) AS distance
+        FROM names n JOIN dirty d
+          ON string_split_regex(lower(trim(n.p_name)), '\\s+')[1] =
+             string_split_regex(lower(trim(d.dirty_name)), '\\s+')[1]
+         AND CAST(floor(len(n.p_name) / 8) AS BIGINT) =
+             CAST(floor(len(d.dirty_name) / 8) AS BIGINT)
+    )
+    SELECT clean_name, dirty_name, CAST(distance AS INT) AS distance
+    FROM blocked WHERE distance <= 2
+    """,
+)
+def et11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.fuzzy import blocked_fuzzy_join
+
+    names = load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("clean_name")
+    ).distinct()
+    pos = F.expr(
+        "cast((cast(conv(substr(md5(concat('typo|', clean_name)), 1, 15), 16, 10) as bigint)"
+        " % (length(clean_name) - 1)) + 2 as int)"
+    )
+    dirty = (
+        names.withColumn("__pos", pos)
+        .select(
+            F.concat(
+                F.expr("substr(clean_name, 1, __pos - 1)"),
+                F.expr("substr(clean_name, __pos + 1)"),
+            ).alias("dirty_name")
+        )
+    )
+    matched = blocked_fuzzy_join(
+        names, dirty, left_text="clean_name", right_text="dirty_name", max_distance=2
+    )
+    return matched.select("clean_name", "dirty_name", F.col("distance").cast("int").alias("distance"))

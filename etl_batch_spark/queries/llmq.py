@@ -1011,10 +1011,10 @@ def sm05_fixed_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="deterministic global shuffle into training shards "
     "(llmops.sampling.shard_assign): hash placement, order-independent",
     oracle=f"""
-    SELECT {_DUCK_H60.format(expr="'shard' || '|' || CAST(doc_id AS VARCHAR)")} % 16
-             AS shard,
+    SELECT CAST({_DUCK_H60.format(expr="'shard' || '|' || CAST(doc_id AS VARCHAR)")} % 16
+                AS INT) AS shard,
            COUNT(*) AS n_docs,
-           SUM(doc_id) AS sum_ids
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
     FROM documents
     GROUP BY 1
     """,

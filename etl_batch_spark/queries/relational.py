@@ -2516,11 +2516,11 @@ def q75_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q76_calendar_breakdown",
     oracle="""
-    SELECT year(o_orderdate) AS yr,
-           month(o_orderdate) AS mo,
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END)
-             AS n_weekend,
+           CAST(SUM(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_weekend,
            COUNT(DISTINCT weekofyear(o_orderdate)) AS n_iso_weeks,
            ROUND(AVG(date_diff('day', CAST(o_orderdate AS DATE),
                                last_day(CAST(o_orderdate AS DATE)))), 4)
@@ -2540,4 +2540,36 @@ def q76_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.weekofyear("o_orderdate")).alias("n_iso_weeks"),
             F.round(F.avg(F.datediff(F.last_day(d), d)), 4).alias("avg_days_to_eom"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — top-k per group: the 3 highest-value orders per market segment.
+# Window rank + filter: ONE shuffle on the group key, state per task is
+# the window frame, never a per-group collect_list (which is unbounded
+# memory at 100 TB group sizes).  Deterministic tie-break on orderkey.
+# ---------------------------------------------------------------------------
+@query(
+    "q77_topk_per_group",
+    oracle="""
+    SELECT segment, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) t
+    WHERE rnk <= 3
+    """,
+)
+def q77_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("segment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .withColumn("rnk", F.col("rnk").cast("int"))
     )

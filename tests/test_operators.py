@@ -428,3 +428,49 @@ class TestApplyChangelog:
         chg = spark.createDataFrame([(1, 10, "U")], "k long, seq long, op string")
         with pytest.raises(ValueError):
             apply_changelog(snap, chg, keys=["k"], seq_col="seq", op_col="op")
+
+
+class TestBlockedFuzzyJoin:
+    def test_finds_typos_within_block(self, spark):
+        from etl_batch_spark.operators.fuzzy import blocked_fuzzy_join
+
+        clean = spark.createDataFrame(
+            [("acme widgets inc",), ("globex corporation",), ("initech llc",)],
+            "clean string",
+        )
+        dirty = spark.createDataFrame(
+            [("acme widgets inc",),   # exact
+             ("acme widgets ink",),   # 1 sub
+             ("globex corporatio",),  # 1 del
+             ("completely different name",)],
+            "dirty string",
+        )
+        got = {
+            (r["clean"], r["dirty"], r["distance"])
+            for r in blocked_fuzzy_join(
+                clean, dirty, left_text="clean", right_text="dirty", max_distance=2
+            ).collect()
+        }
+        assert got == {
+            ("acme widgets inc", "acme widgets inc", 0),
+            ("acme widgets inc", "acme widgets ink", 1),
+            ("globex corporation", "globex corporatio", 1),
+        }
+
+    def test_blocking_confines_candidates(self, spark):
+        from etl_batch_spark.operators.fuzzy import blocked_fuzzy_join
+        from etl_batch_spark import plans
+
+        clean = spark.createDataFrame([("alpha one",)], "clean string")
+        dirty = spark.createDataFrame([("alpha one",)], "dirty string")
+        df = blocked_fuzzy_join(clean, dirty, left_text="clean", right_text="dirty")
+        plan = plans.formatted_plan(df)
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    def test_rejects_shared_columns(self, spark):
+        from etl_batch_spark.operators.fuzzy import blocked_fuzzy_join
+        import pytest as _pytest
+
+        df = spark.createDataFrame([("x",)], "name string")
+        with _pytest.raises(ValueError):
+            blocked_fuzzy_join(df, df, left_text="name", right_text="name")

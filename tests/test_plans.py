@@ -102,3 +102,27 @@ def test_pipe01_composes_without_cartesian_or_python(spark, sf_dir):
     s = plans.formatted_plan(df)
     assert plans.count_ops(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in s  # no row-at-a-time Python in the DAG
+
+
+def test_q71_overlap_join_is_hash_join(spark, sf_dir):
+    """The binned interval join must plan on equi-keys — a nested-loop
+    plan here means the bin trick regressed."""
+    df = QUERIES["q71_order_window_overlap"].build(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # equi-join of some flavor (broadcast at test scale, SMJ/SHJ at 100 TB)
+    n_equi = (
+        plans.count_ops(df, "SortMergeJoin")
+        + plans.count_ops(df, "ShuffledHashJoin")
+        + plans.count_ops(df, "BroadcastHashJoin")
+    )
+    assert n_equi >= 1
+
+
+def test_q75_share_window_over_aggregate_only(spark, sf_dir):
+    """nation/region broadcast; the ratio window runs on the 25-row
+    aggregate — no extra exchange of the fact table."""
+    df = QUERIES["q75_revenue_share"].build(spark, sf_dir)
+    assert plans.count_ops(df, "BroadcastHashJoin") >= 2
+    assert plans.count_ops(df, "CartesianProduct") == 0

@@ -174,12 +174,12 @@ class TestZorder:
             zorder_key(df, ["x"], bits=63)
 
     @staticmethod
-    def _files_containing(path, points, cols):
-        """Files whose footer min/max envelope admits any probe point."""
+    def _file_envelopes(path, cols):
+        """Per-file footer min/max envelope over ``cols``."""
         import pyarrow.parquet as pq
         import glob as g
 
-        hits = 0
+        out = []
         for f in g.glob(f"{path}/*.parquet"):
             md = pq.ParquetFile(f).metadata
             names = md.schema.to_arrow_schema().names
@@ -191,9 +191,9 @@ class TestZorder:
                     if c in cols and st is not None:
                         lo[c] = min(lo.get(c, st.min), st.min)
                         hi[c] = max(hi.get(c, st.max), st.max)
-            if any(all(lo[c] <= p[c] <= hi[c] for c in cols) for p in points):
-                hits += 1
-        return hits
+            if lo:
+                out.append((lo, hi))
+        return out
 
     def test_zorder_tightens_file_envelopes(self, spark, sf_dir, tmp_path):
         from etl_batch_spark.sources.io import write_zordered
@@ -203,14 +203,23 @@ class TestZorder:
         li.repartition(8).write.parquet(plain)
         write_zordered(li, zord, ["l_partkey", "l_suppkey"], n_files=8)
 
-        points = [{"l_partkey": 7, "l_suppkey": 3}, {"l_partkey": 150, "l_suppkey": 9}]
         cols = ["l_partkey", "l_suppkey"]
-        n_plain = self._files_containing(plain, points, cols)
-        n_zord = self._files_containing(zord, points, cols)
-        # random layout: every file spans the whole key space -> all 8 hit;
-        # z-ordered: the probe points land in a small subset of files
-        assert n_plain == 8
-        assert n_zord < n_plain / 2
+
+        def area_sum(path):
+            # sum of per-file bounding-box areas: a random layout's files
+            # each span ~the whole (partkey x suppkey) rectangle, so the
+            # sum is ~n_files x full area; z-ordered files tile the space
+            # with modest overlap, so the sum collapses toward 1x.  This
+            # is robust to where the sampled range boundaries land (the
+            # repartitionByRange sample seed varies with session RDD ids).
+            return sum(
+                (hi[cols[0]] - lo[cols[0]] + 1) * (hi[cols[1]] - lo[cols[1]] + 1)
+                for lo, hi in self._file_envelopes(path, cols)
+            )
+
+        plain_area, zord_area = area_sum(plain), area_sum(zord)
+        assert len(self._file_envelopes(zord, cols)) == 8
+        assert zord_area < plain_area / 2
 
         # layout change must not change content
         got = spark.read.parquet(zord)
