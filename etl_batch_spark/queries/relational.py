@@ -2573,3 +2573,49 @@ def q77_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — bloom-filter semi-join reduction (operators/bloom.py): lineitem
+# pruned map-side by a bitmap of the European suppliers' key set, exact
+# semi join only on the pruned remainder.  At 100 TB the bloom probe
+# discards non-matching fact rows at the scan — no shuffle, no raw dim
+# broadcast — and the follow-up semi join shuffles a fraction of the
+# fact.  Result is exactly the semi join (false positives stripped).
+# ---------------------------------------------------------------------------
+@query(
+    "q78_bloom_semi_filter",
+    doc="bloom-pruned semi join (operators.bloom.bloom_semi_filter)",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s.s_suppkey
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q78_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.bloom import bloom_semi_filter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    euro = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+    )
+    pruned = bloom_semi_filter(li, euro, "l_suppkey", "s_suppkey", num_bits=1 << 16)
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )

@@ -474,3 +474,65 @@ class TestBlockedFuzzyJoin:
         df = spark.createDataFrame([("x",)], "name string")
         with _pytest.raises(ValueError):
             blocked_fuzzy_join(df, df, left_text="name", right_text="name")
+
+
+class TestBloomFilter:
+    def test_no_false_negatives(self, spark):
+        from etl_batch_spark.operators.bloom import build_bloom
+
+        dim = spark.range(0, 500).withColumnRenamed("id", "k")
+        bf = build_bloom(dim, "k", num_bits=1 << 14)
+        assert bf.n_items == 500
+        kept = spark.range(0, 500).filter(bf.might_contain("id")).count()
+        assert kept == 500  # every inserted key must pass
+
+    def test_false_positive_rate_bounded(self, spark):
+        from etl_batch_spark.operators.bloom import build_bloom
+
+        dim = spark.range(0, 1000).withColumnRenamed("id", "k")
+        bf = build_bloom(dim, "k", num_bits=1 << 16)  # ~65 bits/key
+        # probe 10k keys disjoint from the inserted set
+        fp = spark.range(1_000_000, 1_010_000).filter(bf.might_contain("id")).count()
+        assert fp < 100  # < 1% at this sizing
+
+    def test_exact_mode_equals_semi_join(self, spark):
+        from etl_batch_spark.operators.bloom import bloom_semi_filter
+
+        fact = spark.createDataFrame(
+            [(i, i % 7) for i in range(200)], "row_id long, fk long"
+        )
+        dim = spark.createDataFrame([(0,), (3,), (5,)], "pk long")
+        got = bloom_semi_filter(fact, dim, "fk", "pk", num_bits=64)  # tiny -> many fps
+        want = fact.join(dim, fact.fk == dim.pk, "left_semi")
+        assert sorted(r["row_id"] for r in got.collect()) == sorted(
+            r["row_id"] for r in want.collect()
+        )
+
+    def test_inexact_mode_is_join_free(self, spark):
+        from etl_batch_spark.operators.bloom import bloom_semi_filter
+        from etl_batch_spark import plans
+
+        fact = spark.createDataFrame([(i, i) for i in range(50)], "row_id long, fk long")
+        dim = spark.createDataFrame([(1,), (2,)], "pk long")
+        pruned = bloom_semi_filter(fact, dim, "fk", "pk", num_bits=1 << 12, exact=False)
+        plan = plans.formatted_plan(pruned)
+        for node in ("Join", "CartesianProduct", "Exchange"):
+            assert node not in plan  # pure scan-side filter
+        assert {r["fk"] for r in pruned.collect()} >= {1, 2}
+
+    def test_null_keys_dropped_both_sides(self, spark):
+        from etl_batch_spark.operators.bloom import bloom_semi_filter
+
+        fact = spark.createDataFrame([(1, 1), (2, None)], "row_id long, fk long")
+        dim = spark.createDataFrame([(1,), (None,)], "pk long")
+        got = bloom_semi_filter(fact, dim, "fk", "pk", num_bits=1 << 10)
+        assert [r["row_id"] for r in got.collect()] == [1]
+
+    def test_rejects_bad_sizing(self, spark):
+        from etl_batch_spark.operators.bloom import build_bloom
+
+        dim = spark.range(1).withColumnRenamed("id", "k")
+        with pytest.raises(ValueError):
+            build_bloom(dim, "k", num_bits=100)  # not a power of two
+        with pytest.raises(ValueError):
+            build_bloom(dim, "k", num_hashes=0)
