@@ -527,3 +527,113 @@ def et11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         names, dirty, left_text="clean_name", right_text="dirty_name", max_distance=2
     )
     return matched.select("clean_name", "dirty_name", F.col("distance").cast("int").alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# et12 — FIFO allocation (inventory-flow reconciliation): per part, the
+# demand queue (order lines in o_orderdate order) is matched against the
+# supply queue (the same lines in l_shipdate order) by intersecting
+# cumulative-quantity ranges — the set-based form of the sequential
+# "pop the queue" loop.  Two windows + one equi-join on l_partkey: the
+# per-part running sums are one shuffle each, the pair join hashes on
+# the part key, and the overlap predicate trims to the ~linear number
+# of truly intersecting (demand, supply) pairs.  No per-key iteration,
+# no driver state — the shape survives a 100 TB fact table because
+# every step partitions by l_partkey.
+# ---------------------------------------------------------------------------
+@query(
+    "et12_fifo_allocation",
+    doc="FIFO demand/supply matching via cumulative-range intersection",
+    oracle="""
+    WITH dlines AS (
+        -- (orderkey, linenumber) is not unique in the fixture: collapse
+        -- duplicates so queue ids are unique and the window order total
+        SELECT l.l_partkey, l.l_orderkey AS d_orderkey,
+               l.l_linenumber AS d_linenumber,
+               MIN(o.o_orderdate) AS d_date, SUM(l.l_quantity) AS dq
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey % 50 = 0
+        GROUP BY 1, 2, 3
+    ),
+    demand AS (
+        SELECT *, SUM(dq) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY d_date, d_orderkey, d_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS dhi
+        FROM dlines
+    ),
+    slines AS (
+        SELECT l_partkey AS s_partkey, l_orderkey AS s_orderkey,
+               l_linenumber AS s_linenumber,
+               MIN(l_shipdate) AS s_date, SUM(l_quantity) AS sq
+        FROM lineitem
+        WHERE l_partkey % 50 = 0
+        GROUP BY 1, 2, 3
+    ),
+    supply AS (
+        SELECT *, SUM(sq) OVER (
+                   PARTITION BY s_partkey
+                   ORDER BY s_date, s_orderkey, s_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS shi
+        FROM slines
+    )
+    SELECT d.l_partkey AS partkey, d.d_orderkey, d.d_linenumber,
+           s.s_orderkey, s.s_linenumber,
+           ROUND(LEAST(d.dhi, s.shi) - GREATEST(d.dhi - d.dq, s.shi - s.sq), 2)
+             AS allocated
+    FROM demand d
+    JOIN supply s
+      ON d.l_partkey = s.s_partkey
+     AND d.dhi - d.dq < s.shi
+     AND s.shi - s.sq < d.dhi
+    """,
+)
+def et12_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 0)
+    o = load_table(spark, sf_dir, "orders")
+    wd = (
+        W.partitionBy("l_partkey")
+        .orderBy("d_date", "d_orderkey", "d_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    demand = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            F.col("l_orderkey").alias("d_orderkey"),
+            F.col("l_linenumber").alias("d_linenumber"),
+        )
+        .agg(F.min("o_orderdate").alias("d_date"), F.sum("l_quantity").alias("dq"))
+        .withColumn("dhi", F.sum("dq").over(wd))
+    )
+    ws = (
+        W.partitionBy("s_partkey")
+        .orderBy("s_date", "s_orderkey", "s_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    supply = (
+        li.groupBy(
+            F.col("l_partkey").alias("s_partkey"),
+            F.col("l_orderkey").alias("s_orderkey"),
+            F.col("l_linenumber").alias("s_linenumber"),
+        )
+        .agg(F.min("l_shipdate").alias("s_date"), F.sum("l_quantity").alias("sq"))
+        .withColumn("shi", F.sum("sq").over(ws))
+    )
+    joined = demand.join(
+        supply,
+        (demand.l_partkey == supply.s_partkey)
+        & (demand.dhi - demand.dq < supply.shi)
+        & (supply.shi - supply.sq < demand.dhi),
+    )
+    return joined.select(
+        F.col("l_partkey").alias("partkey"),
+        "d_orderkey",
+        "d_linenumber",
+        "s_orderkey",
+        "s_linenumber",
+        F.round(
+            F.least("dhi", "shi") - F.greatest(F.col("dhi") - F.col("dq"), F.col("shi") - F.col("sq")),
+            2,
+        ).alias("allocated"),
+    )

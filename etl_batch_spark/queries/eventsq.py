@@ -255,3 +255,65 @@ def ev05_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, clicks, on="ts", by=["user_id"], direction="backward"
     ).select("event_id", "user_id", "ts", "ts_right", "click_value_right")
+
+
+# ---------------------------------------------------------------------------
+# ev06 — per-user linear interpolation of the purchase-value series at
+# click timestamps, via cogroup(...).applyInPandas (operators/cogroup.py).
+# One shuffle of each side on user_id; per-task state is one user's
+# events.  Timestamp math is integer microseconds on both engines, so
+# the interpolated doubles hash-match the DuckDB oracle exactly.
+# Clicks outside a user's purchase hull interpolate to NULL.
+# ---------------------------------------------------------------------------
+@query(
+    "ev06_interpolate_at_clicks",
+    doc="cogrouped per-key linear interpolation (operators.cogroup.cogroup_interpolate)",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts, epoch_us(ts) AS pts, ROUND(AVG(value), 2) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    prev AS (
+      SELECT c.event_id, p.pts AS xp, p.pval AS vp
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    nxt AS (
+      SELECT c.event_id, p.pts AS xn, p.pval AS vn
+      FROM clicks c ASOF LEFT JOIN (SELECT *, -pts AS npts FROM purch) p
+        ON c.user_id = p.user_id AND -epoch_us(c.ts) >= p.npts
+    )
+    SELECT c.event_id, c.user_id,
+           ROUND(CASE
+             WHEN prev.vp IS NULL OR nxt.vn IS NULL THEN NULL
+             WHEN nxt.xn = prev.xp THEN prev.vp
+             ELSE prev.vp + (nxt.vn - prev.vp)
+                  * (CAST(epoch_us(c.ts) - prev.xp AS DOUBLE)
+                     / CAST(nxt.xn - prev.xp AS DOUBLE))
+           END, 6) AS interp_value
+    FROM clicks c
+    JOIN prev ON prev.event_id = c.event_id
+    JOIN nxt  ON nxt.event_id = c.event_id
+    """,
+)
+def ev06_interpolate_at_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.cogroup import cogroup_interpolate
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.avg("value"), 2).alias("pval"))
+    )
+    out = cogroup_interpolate(
+        clicks, purch, key_col="user_id", ts_col="ts", value_col="pval"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("interp_value", 6).alias("interp_value")
+    )

@@ -536,3 +536,77 @@ class TestBloomFilter:
             build_bloom(dim, "k", num_bits=100)  # not a power of two
         with pytest.raises(ValueError):
             build_bloom(dim, "k", num_hashes=0)
+
+
+class TestCogroupInterpolate:
+    def _mk(self, spark, rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    def test_linear_interior_and_exact_hits(self, spark):
+        from etl_batch_spark.operators.cogroup import cogroup_interpolate
+
+        t = self._mk(
+            spark,
+            [(1, "2024-01-01 00:00:05"), (1, "2024-01-01 00:00:10")],
+            "k long, s string",
+        ).select("k", F.to_timestamp("s").alias("ts"))
+        s = self._mk(
+            spark,
+            [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-01 00:00:10", 20.0)],
+            "k long, s string, v double",
+        ).select("k", F.to_timestamp("s").alias("ts"), "v")
+        got = {
+            str(r["ts"]): r["interp_value"]
+            for r in cogroup_interpolate(
+                t, s, key_col="k", ts_col="ts", value_col="v"
+            ).collect()
+        }
+        assert got["2024-01-01 00:00:05"] == 15.0  # midpoint
+        assert got["2024-01-01 00:00:10"] == 20.0  # exact sample hit
+
+    def test_outside_hull_and_missing_key_are_null(self, spark):
+        from etl_batch_spark.operators.cogroup import cogroup_interpolate
+
+        t = self._mk(
+            spark,
+            [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 01:00:00"), (2, "2024-01-01 00:30:00")],
+            "k long, s string",
+        ).select("k", F.to_timestamp("s").alias("ts"))
+        s = self._mk(
+            spark,
+            [(1, "2024-01-01 00:10:00", 1.0), (1, "2024-01-01 00:20:00", 2.0)],
+            "k long, s string, v double",
+        ).select("k", F.to_timestamp("s").alias("ts"), "v")
+        rows = cogroup_interpolate(t, s, key_col="k", ts_col="ts", value_col="v").collect()
+        vals = {(r["k"], str(r["ts"])): r["interp_value"] for r in rows}
+        assert vals[(1, "2024-01-01 00:00:00")] is None  # before hull
+        assert vals[(1, "2024-01-01 01:00:00")] is None  # after hull
+        assert vals[(2, "2024-01-01 00:30:00")] is None  # key has no samples
+
+    def test_self_lineage_keeps_sample_columns(self, spark, sf_dir):
+        """Both sides carved from ONE scan: the exprId-dedup trap that
+        silently dropped right-side columns before re-aliasing."""
+        from etl_batch_spark.operators.cogroup import cogroup_interpolate
+        from etl_batch_spark.catalog import load_table
+
+        e = load_table(spark, sf_dir, "events")
+        t = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        s = (
+            e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.avg("value").alias("v"))
+        )
+        out = cogroup_interpolate(t, s, key_col="user_id", ts_col="ts", value_col="v")
+        rows = out.limit(50).collect()
+        assert len(rows) == 50
+        assert any(r["interp_value"] is not None for r in out.collect())
+
+    def test_rejects_bad_columns(self, spark):
+        from etl_batch_spark.operators.cogroup import cogroup_interpolate
+
+        df = spark.createDataFrame([(1, 1.0)], "k long, interp_value double")
+        with pytest.raises(ValueError):
+            cogroup_interpolate(df, df, key_col="k", ts_col="k", value_col="k")
+        df2 = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            cogroup_interpolate(df2, df2, key_col="k", ts_col="missing", value_col="k")

@@ -126,3 +126,12 @@ def test_q75_share_window_over_aggregate_only(spark, sf_dir):
     df = QUERIES["q75_revenue_share"].build(spark, sf_dir)
     assert plans.count_ops(df, "BroadcastHashJoin") >= 2
     assert plans.count_ops(df, "CartesianProduct") == 0
+
+
+def test_et12_fifo_join_is_hash_on_partkey(spark, sf_dir):
+    """The pair join must hash on l_partkey (overlap predicate as a
+    post-join filter) — a nested loop here means the equi-key was lost."""
+    df = QUERIES["et12_fifo_allocation"].build(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

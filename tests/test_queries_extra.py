@@ -42,3 +42,31 @@ def test_every_bench_query_has_oracle_or_reason():
     for name, q in QUERIES.items():
         if q.bench:
             assert q.oracle is not None, f"bench query {name} must be oracle-checked"
+
+
+def test_et12_fifo_conserves_quantity(spark, sf_dir):
+    """FIFO matching must fully cover every demand line: per demand
+    line, allocations sum to exactly its quantity (supply == demand by
+    construction, so nothing is left over on either queue)."""
+    df = QUERIES["et12_fifo_allocation"].build(spark, sf_dir)
+    from etl_batch_spark.catalog import load_table
+
+    per_demand = df.groupBy("partkey", "d_orderkey", "d_linenumber").agg(
+        F.round(F.sum("allocated"), 2).alias("got")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 50 == 0)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_orderkey").alias("d_orderkey"),
+            F.col("l_linenumber").alias("d_linenumber"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("want"))
+    )
+    bad = (
+        per_demand.join(li, ["partkey", "d_orderkey", "d_linenumber"], "full_outer")
+        .filter((F.col("got").isNull()) | (F.col("want").isNull()) | (F.col("got") != F.col("want")))
+        .count()
+    )
+    assert bad == 0
