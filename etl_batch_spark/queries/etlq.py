@@ -637,3 +637,50 @@ def et12_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("allocated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# et13 — incremental aggregate maintenance: the nightly pattern where a
+# materialized daily aggregate absorbs a late-arriving delta WITHOUT
+# rescanning history.  Base (shipped before the cutoff) and delta are
+# each reduced to mergeable partials (count, sum); merging is a re-agg
+# of partials — SUM/COUNT are algebraic, so partial states combine
+# exactly.  At 100 TB the base partials are ~days×keys rows (millions,
+# not billions): the daily refresh touches the delta partition plus a
+# tiny partial table.  The oracle recomputes from scratch — hash
+# equality IS the incremental-consistency proof.
+# ---------------------------------------------------------------------------
+@query(
+    "et13_incremental_agg",
+    doc="partial-aggregate merge (base + delta == full recompute)",
+    oracle="""
+    SELECT CAST(l_shipdate AS DATE) AS ship_day,
+           l_returnflag,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def et13_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("l_shipdate").alias("ship_day"), "l_returnflag"
+        ).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("qty_sum"),
+        )
+
+    base = partials(li.filter(F.col("l_shipdate") < cutoff))     # yesterday's state
+    delta = partials(li.filter(F.col("l_shipdate") >= cutoff))   # today's arrivals
+    return (
+        base.unionByName(delta)
+        .groupBy("ship_day", "l_returnflag")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.round(F.sum("qty_sum"), 2).alias("qty"),
+        )
+    )

@@ -2619,3 +2619,113 @@ def q78_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — Oracle-built-in string surface (SURVEY §2.B table): LPAD/RPAD,
+# INSTR, SUBSTR, ASCII, CHR, REVERSE, LEFT/RIGHT, SPLIT_PART, REPLACE
+# exercised in one scan over a keyed slice of part.  All JVM
+# expressions inside whole-stage codegen — the parity point is that
+# every Oracle string builtin the reference leans on has an engine
+# function with identical semantics.
+# ---------------------------------------------------------------------------
+@query(
+    "q79_string_surface",
+    doc="Oracle string-builtin parity surface in one projection",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_name, 30, '*')              AS padded_l,
+           rpad(p_name, 30, '.')              AS padded_r,
+           reverse(p_name)                    AS rev,
+           left(p_name, 5)                    AS l5,
+           right(p_name, 5)                   AS r5,
+           CAST(ascii(p_name) AS INT)         AS first_code,
+           chr(65 + CAST(p_partkey % 26 AS INT)) AS bucket_chr,
+           CAST(instr(p_name, 'a') AS INT)    AS a_pos,
+           substr(p_name, 3, 7)               AS mid,
+           split_part(p_name, ' ', 2)         AS second_word,
+           replace(p_name, ' ', '_')          AS snake
+    FROM part WHERE p_partkey % 40 = 0
+    """,
+)
+def q79_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 0)
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.lpad(name, 30, "*").alias("padded_l"),
+        F.rpad(name, 30, ".").alias("padded_r"),
+        F.reverse(name).alias("rev"),
+        F.expr("left(p_name, 5)").alias("l5"),
+        F.expr("right(p_name, 5)").alias("r5"),
+        F.ascii(name).cast("int").alias("first_code"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("bucket_chr"),
+        F.instr(name, "a").cast("int").alias("a_pos"),
+        F.substring(name, 3, 7).alias("mid"),
+        F.split_part(name, F.lit(" "), F.lit(2)).alias("second_word"),
+        F.replace(name, F.lit(" "), F.lit("_")).alias("snake"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — null-safe join (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other instead of vanishing, the semantics reconciliation jobs
+# need when "unknown" is a legitimate join bucket.  Still a hash join:
+# Catalyst plans eqNullSafe as an equi-key with null-safe comparison,
+# not a nested loop.
+# ---------------------------------------------------------------------------
+@query(
+    "q80_null_safe_join",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, nullif(c_nationkey % 5, 3) AS bucket FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey, nullif(s_nationkey % 5, 3) AS bucket FROM supplier
+    )
+    SELECT c.bucket, COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_supp
+    FROM c JOIN s ON c.bucket IS NOT DISTINCT FROM s.bucket
+    GROUP BY c.bucket
+    """,
+)
+def q80_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(3)).alias("bucket")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(3)).alias("s_bucket")
+    )
+    return (
+        c.join(s, c.bucket.eqNullSafe(s.s_bucket))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("s_suppkey").alias("n_supp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — posexplode (explode with ordinality): word position survives the
+# flatten, the piece plain explode loses.  Generated per-row from the
+# split array — no shuffle at all; the oracle zips DuckDB's parallel
+# unnests.
+# ---------------------------------------------------------------------------
+@query(
+    "q81_posexplode_words",
+    oracle="""
+    SELECT p_partkey,
+           CAST(unnest(range(1, len(string_split(p_name, ' ')) + 1)) - 1 AS INT) AS pos,
+           unnest(string_split(p_name, ' ')) AS word
+    FROM part WHERE p_partkey % 100 = 0
+    """,
+)
+def q81_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 100 == 0)
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    ).withColumn("pos", F.col("pos").cast("int"))
