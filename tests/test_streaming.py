@@ -222,3 +222,47 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     )
     expected = {(r["cohort"], r["n_events"]) for r in batch.collect()}
     assert streamed == expected
+
+
+class TestIncrementalIngest:
+    def test_each_run_loads_only_new_files(self, spark, tmp_path):
+        from etl_batch_spark.streaming.events import ingest_incrementally
+        from pyspark.sql import types as T
+
+        src, dst, cp = str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "cp")
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+        )
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        n1 = ingest_incrementally(spark, src, dst, cp, schema=schema)
+        assert n1 >= 1
+        assert spark.read.parquet(dst).count() == 2
+
+        # second run with no new files: nothing re-processed
+        ingest_incrementally(spark, src, dst, cp, schema=schema)
+        assert spark.read.parquet(dst).count() == 2
+
+        # new arrivals: only the delta lands, history not re-loaded
+        spark.createDataFrame([(3, 3.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ingest_incrementally(spark, src, dst, cp, schema=schema)
+        got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+        assert got == [1, 2, 3]
+
+    def test_transform_applies_per_batch(self, spark, tmp_path):
+        from etl_batch_spark.streaming.events import ingest_incrementally
+        from pyspark.sql import types as T
+
+        src, dst, cp = str(tmp_path / "s2"), str(tmp_path / "d2"), str(tmp_path / "c2")
+        schema = T.StructType([T.StructField("id", T.LongType())])
+        spark.createDataFrame([(1,), (2,)], schema).coalesce(1).write.parquet(src)
+        ingest_incrementally(
+            spark, src, dst, cp, schema=schema,
+            transform=lambda df: df.withColumn("doubled", F.col("id") * 2),
+        )
+        rows = {(r["id"], r["doubled"]) for r in spark.read.parquet(dst).collect()}
+        assert rows == {(1, 2), (2, 4)}
