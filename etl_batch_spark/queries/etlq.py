@@ -684,3 +684,37 @@ def et13_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("qty_sum"), 2).alias("qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# et14 — robust outlier flagging per source (operators/outliers.py):
+# grouped-map applyInPandas computes exact median/MAD per group — the
+# robust stats pair that shrugs off the corrupt giants that drag a
+# mean/stddev.  One shuffle on source; per-task state is one group.
+# ---------------------------------------------------------------------------
+@query(
+    "et14_mad_outliers",
+    doc="grouped median/MAD outliers (operators.outliers.grouped_mad_outliers)",
+    oracle="""
+    WITH stats AS (
+        SELECT source, median(n_chars) AS m, mad(n_chars) AS d
+        FROM documents GROUP BY source
+    )
+    SELECT doc_id, documents.source, n_chars,
+           ROUND(stats.m, 4) AS group_median, ROUND(stats.d, 4) AS group_mad
+    FROM documents JOIN stats ON documents.source = stats.source
+    WHERE stats.d > 0 AND abs(n_chars - stats.m) > 3 * stats.d
+    """,
+)
+def et14_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.outliers import grouped_mad_outliers
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = grouped_mad_outliers(docs, group_col="source", value_col="n_chars", k=3.0)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("group_median", 4).alias("group_median"),
+        F.round("group_mad", 4).alias("group_mad"),
+    )

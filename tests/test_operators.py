@@ -610,3 +610,24 @@ class TestCogroupInterpolate:
         df2 = spark.createDataFrame([(1,)], "k long")
         with pytest.raises(ValueError):
             cogroup_interpolate(df2, df2, key_col="k", ts_col="missing", value_col="k")
+
+
+class TestGroupedMadOutliers:
+    def test_flags_only_extremes(self, spark):
+        from etl_batch_spark.operators.outliers import grouped_mad_outliers
+
+        rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 100]] + [
+            ("b", 5.0), ("b", 5.0), ("b", 5.0)  # constant group: MAD 0
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = grouped_mad_outliers(df, group_col="g", value_col="x", k=3.0).collect()
+        assert [(r["g"], r["x"]) for r in got] == [("a", 100.0)]
+        assert got[0]["group_median"] == 12.5
+        assert got[0]["group_mad"] == 1.5
+
+    def test_rejects_missing_columns(self, spark):
+        from etl_batch_spark.operators.outliers import grouped_mad_outliers
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        with pytest.raises(ValueError):
+            grouped_mad_outliers(df, group_col="nope", value_col="x")
