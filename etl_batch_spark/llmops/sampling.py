@@ -207,3 +207,35 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly-k weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws priority ``u^(1/w)`` from its
+    deterministic (salt, key) uniform ``u`` and the k highest
+    priorities win — inclusion probability proportional to weight, no
+    two-pass normalization, no replacement bookkeeping.
+
+    Distributed cost is a TakeOrdered (per-partition top-k then a k-row
+    driver merge), NOT a global sort — the same plan shape at 60k rows
+    and 100 TB.  Rows with non-positive weight are excluded.  Output
+    adds the ``priority`` column (rounded for cross-engine stability);
+    ties break on the key for determinism.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (hash_bucket(key_col, salt=salt) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    priority = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 6)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", priority)
+        .orderBy(F.desc("priority"), F.asc(key_col))
+        .limit(k)
+    )

@@ -1048,3 +1048,64 @@ def sm06_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx12_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.score_batch(_documents(spark, sf_dir))
+
+
+@query(
+    "ss06_array_lambda_surface",
+    doc="higher-order lambda surface (transform/filter/exists/aggregate/"
+    "array_sort) over the embedding vectors in one codegen projection",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
+             AS l2,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_pos,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0.25)) > 0 AS has_big,
+           ROUND(list_sum(list_transform(embedding::DOUBLE[],
+                                         x -> CASE WHEN x < 0 THEN 0 ELSE x END)), 4)
+             AS sum_clipped,
+           ROUND(list_sort(embedding::DOUBLE[])[1], 6) AS min_v
+    FROM embeddings WHERE vec_id % 20 = 0
+    """,
+)
+def ss06_array_lambda_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    clipped_sum = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: acc + F.when(x < 0, F.lit(0.0)).otherwise(x)
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.exists(e, lambda x: x > 0.25).alias("has_big"),
+        F.round(clipped_sum, 4).alias("sum_clipped"),
+        F.round(F.element_at(F.array_sort(e), 1), 6).alias("min_v"),
+    )
+
+
+@query(
+    "sm07_weighted_topk_sample",
+    doc="exactly-k weighted sample without replacement, Efraimidis–"
+    "Spirakis priorities (llmops.sampling.weighted_topk_sample)",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           ROUND(pow(({_DUCK_BUCKET_OF.format(salt="s0", key="doc_id")} + 0.5)
+                     / 1000000.0,
+                     1.0 / (n_chars / 100.0)), 6) AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority DESC, doc_id
+    LIMIT 50
+    """,
+)
+def sm07_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "source", "n_chars", (F.col("n_chars") / 100.0).alias("w")
+    )
+    out = sampling.weighted_topk_sample(docs, key_col="doc_id", weight_col="w", k=50)
+    return out.select("doc_id", "source", "n_chars", "priority")

@@ -446,3 +446,47 @@ class TestTrainingShards:
         first = spark.read.parquet(out + "/shard=0").limit(5).collect()
         second = spark.read.parquet(out2 + "/shard=0").limit(5).collect()
         assert [r["doc_id"] for r in first] == [r["doc_id"] for r in second]
+
+
+class TestWeightedTopk:
+    def test_exact_k_deterministic_and_positive_weights_only(self, spark):
+        from etl_batch_spark.llmops.sampling import weighted_topk_sample
+
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 5)) for i in range(100)] + [(200, 0.0), (201, -1.0)],
+            "k long, w double",
+        )
+        a = weighted_topk_sample(df, key_col="k", weight_col="w", k=10)
+        b = weighted_topk_sample(df, key_col="k", weight_col="w", k=10)
+        rows_a = [r["k"] for r in a.collect()]
+        assert rows_a == [r["k"] for r in b.collect()]  # reproducible
+        assert len(rows_a) == 10
+        assert 200 not in rows_a and 201 not in rows_a
+
+    def test_nested_in_weight_direction(self, spark):
+        """A row that wins with weight w keeps winning when ONLY its own
+        weight grows (priority is monotone in the weight)."""
+        from etl_batch_spark.llmops.sampling import weighted_topk_sample
+
+        base = [(i, 1.0) for i in range(50)]
+        df1 = spark.createDataFrame(base, "k long, w double")
+        winners = {r["k"] for r in weighted_topk_sample(df1, key_col="k", weight_col="w", k=5).collect()}
+        boosted = [(k, 10.0 if k in winners else w) for k, w in base]
+        df2 = spark.createDataFrame(boosted, "k long, w double")
+        winners2 = {r["k"] for r in weighted_topk_sample(df2, key_col="k", weight_col="w", k=5).collect()}
+        assert winners <= winners2
+
+    def test_plan_is_take_ordered_not_global_sort(self, spark):
+        from etl_batch_spark.llmops.sampling import weighted_topk_sample
+
+        df = spark.range(1000).select(F.col("id").alias("k"), F.lit(1.0).alias("w"))
+        out = weighted_topk_sample(df, key_col="k", weight_col="w", k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_rejects_bad_k(self, spark):
+        from etl_batch_spark.llmops.sampling import weighted_topk_sample
+
+        df = spark.createDataFrame([(1, 1.0)], "k long, w double")
+        with pytest.raises(ValueError):
+            weighted_topk_sample(df, key_col="k", weight_col="w", k=0)
