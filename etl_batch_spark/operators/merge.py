@@ -1,0 +1,91 @@
+"""MERGE-style upsert into a parquet table — the load-side write the
+reference's batches perform with Oracle ``UPDATE``/``INSERT``
+(pkg_batch_util_body.sql:185–215, 422–467 drive such loads), re-expressed
+for immutable storage: read target → key-merge in one DataFrame plan →
+stage → atomic swap.
+
+Merge semantics (one full-outer-shaped pass, no row-at-a-time logic):
+
+- update  : target row whose key appears in ``updates`` → replaced
+- insert  : ``updates`` key absent from target → appended
+- delete  : ``updates`` row with ``delete_col = true`` → key removed
+- carry   : target key untouched by ``updates`` → passes through
+
+Distribution: the merge is a single ``left_anti`` + ``unionByName`` on
+the key — one shuffle of each side.  The rewrite cost is the real
+scale decision: this operator rewrites the WHOLE target (fine for
+dimension-sized tables, the reference's regime).  For fact-scale
+targets, partition-scope it — merge only the partitions the updates
+touch (``partition_filter``) and leave the rest of the table on disk
+untouched, which is how table formats (Delta/Iceberg/Hudi) bound
+merge cost too.
+
+Atomicity: same staging-dir + rename swap as
+``sources.io.compact_small_files`` — readers see old or new, never a
+mix; a crash before the swap leaves the target intact.  Concurrency
+control belongs to the control plane: run it inside a BatchRunner
+module with the duplicate-run check (body.sql:219–247 semantics) so
+two writers never race the swap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_dataframes(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """The pure merge plan (no IO): apply ``updates`` to ``target`` by
+    ``keys`` with update/insert/delete/carry semantics.
+
+    ``updates`` must be unique per key (pre-fold a changelog with
+    ``operators.cdc.apply_changelog`` if it is not)."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    for k in keys:
+        if k not in target.columns or k not in updates.columns:
+            raise ValueError(f"key column {k!r} must exist on both sides")
+    if delete_col is not None:
+        surviving = updates.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+        surviving = surviving.drop(delete_col)
+    else:
+        surviving = updates
+    extra = set(surviving.columns) - set(target.columns)
+    if extra:
+        raise ValueError(f"updates has columns absent from target: {sorted(extra)}")
+    carried = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return carried.unionByName(surviving.select(*target.columns))
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    delete_col: str | None = None,
+) -> tuple[int, int]:
+    """Merge ``updates`` into the parquet table at ``target_path`` and
+    atomically swap the result in.  Returns (rows_before, rows_after)."""
+    target = spark.read.parquet(target_path)
+    n_before = target.count()
+    merged = merge_dataframes(target, updates, keys, delete_col=delete_col)
+    staged = target_path.rstrip("/") + ".__merge__"
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    merged.write.mode("overwrite").parquet(staged)
+    n_after = spark.read.parquet(staged).count()
+    old = target_path.rstrip("/") + ".__old__"
+    os.rename(target_path, old)
+    os.rename(staged, target_path)
+    shutil.rmtree(old)
+    return n_before, n_after

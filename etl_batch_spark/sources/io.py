@@ -326,3 +326,32 @@ def compact_small_files(
     shutil.rmtree(old)
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     return len(files), n_after
+
+
+def with_audit_columns(
+    df: DataFrame,
+    *,
+    run_id: int,
+    module_name: str,
+    load_ts,
+    control_date=None,
+) -> DataFrame:
+    """Stamp data-plane rows with control-plane provenance — the engine
+    analogue of the reference writing audit_id/run_id into batch_monitor
+    (pkg_batch_util_body.sql:194-203), pushed down onto the data itself
+    so any output row joins back to its run.
+
+    ``load_ts`` must be the run's snapshotted timestamp (RunContext
+    ``run_date`` — the glo_sysdate discipline, spec.sql:24): stamping
+    ``current_timestamp()`` would differ task-to-task and break
+    replay comparisons.  All literals — zero runtime cost."""
+    out = df.withColumns(
+        {
+            "_run_id": F.lit(run_id).cast("long"),
+            "_module": F.lit(module_name),
+            "_load_ts": F.lit(load_ts).cast("timestamp"),
+        }
+    )
+    if control_date is not None:
+        out = out.withColumn("_control_date", F.lit(control_date).cast("date"))
+    return out

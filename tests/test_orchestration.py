@@ -481,3 +481,19 @@ class TestSparkViews:
         assert len(rows) == 1
         assert rows[0]["run_status"] == "SUCCESS"
         assert rows[0]["records_processed"] == 3
+
+
+class TestAuditStamp:
+    def test_stamp_carries_run_identity(self, spark):
+        runner = make_runner()
+        register(runner.store, 7, "STAMPME")
+        ctx = runner.startup("STAMPME", exclusive_run_yn="N")
+        df = spark.createDataFrame([(1,), (2,)], "x long")
+        stamped = ctx.stamp(df)
+        rows = stamped.collect()
+        assert {r["x"] for r in rows} == {1, 2}
+        for r in rows:
+            assert r["_run_id"] == ctx.run_id
+            assert r["_module"] == "STAMPME"
+            assert r["_load_ts"] == ctx.run_date  # snapshotted, not now()
+        ctx.success()
