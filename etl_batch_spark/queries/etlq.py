@@ -543,6 +543,7 @@ def et11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "et12_fifo_allocation",
+    bench=True,
     doc="FIFO demand/supply matching via cumulative-range intersection",
     oracle="""
     WITH dlines AS (

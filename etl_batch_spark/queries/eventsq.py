@@ -317,3 +317,51 @@ def ev06_interpolate_at_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.round("interp_value", 6).alias("interp_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev07 — the BUILT-IN session_window aggregation (vs q27's manual
+# gaps-and-islands): Spark merges per-user events closer than the gap
+# into one session in a single aggregate — the same operator Structured
+# Streaming uses for stateful session aggs, exercised here in batch.
+# One shuffle on (user_id, window merge).  The oracle recomputes the
+# sessions with the lag/cumsum island construction.
+# ---------------------------------------------------------------------------
+@query(
+    "ev07_session_window_builtin",
+    doc="built-in session_window(ts, gap) sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 2) AS duration_s
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def ev07_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.unix_micros(F.max("ts")) / 1e6 - F.unix_micros(F.min("ts")) / 1e6, 2
+            ).alias("duration_s"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_s")
+    )

@@ -1109,3 +1109,30 @@ def sm07_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sampling.weighted_topk_sample(docs, key_col="doc_id", weight_col="w", k=50)
     return out.select("doc_id", "source", "n_chars", "priority")
+
+
+@query(
+    "tx13_regexp_surface",
+    doc="regexp function surface (count/extract/extract_all/replace/like) "
+    "in one codegen projection over documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS INT) AS n_vowel_runs,
+           regexp_extract(text, '\\b(\\w{7,})\\b', 1) AS first_long_word,
+           regexp_matches(text, '(?i)\\bthe\\b') AS has_the,
+           substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40) AS masked_head
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def tx13_regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit("[0-9]")).cast("int").alias("n_digits"),
+        F.regexp_count(t, F.lit("[aeiou]{2,}")).cast("int").alias("n_vowel_runs"),
+        F.regexp_extract(t, r"\b(\w{7,})\b", 1).alias("first_long_word"),
+        t.rlike(r"(?i)\bthe\b").alias("has_the"),
+        F.substring(F.regexp_replace(t, "[0-9]+", "#"), 1, 40).alias("masked_head"),
+    )

@@ -2585,6 +2585,7 @@ def q77_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q78_bloom_semi_filter",
+    bench=True,
     doc="bloom-pruned semi join (operators.bloom.bloom_semi_filter)",
     oracle="""
     SELECT l_returnflag,
