@@ -89,3 +89,61 @@ def merge_upsert(
     os.rename(staged, target_path)
     shutil.rmtree(old)
     return n_before, n_after
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    partition_col: str,
+    delete_col: str | None = None,
+) -> list[str]:
+    """Fact-scale merge: rewrite ONLY the partitions ``updates`` touches.
+
+    The target must be laid out as ``<path>/<partition_col>=<v>/``
+    (``df.write.partitionBy(...)``).  The touched partition values are
+    one tiny distinct-collect over the updates; each touched partition
+    merges independently and swaps its own directory, so merge cost
+    tracks the update's partition footprint, not the table size —
+    the same bound Delta/Iceberg enforce with file-level rewrite.
+    Untouched partition directories are never read, written, or moved.
+
+    Returns the list of partition values rewritten.  Keys must not move
+    between partitions (enforced: update rows carry their partition
+    value); cross-partition key moves need a delete+insert changelog.
+    """
+    if partition_col not in updates.columns:
+        raise ValueError(f"updates must carry partition column {partition_col!r}")
+    touched = [
+        r[0]
+        for r in updates.select(partition_col).distinct().collect()
+        if r[0] is not None
+    ]
+    rewritten: list[str] = []
+    for v in sorted(touched, key=str):
+        part_dir = os.path.join(target_path, f"{partition_col}={v}")
+        upd_slice = updates.filter(F.col(partition_col) == v).drop(partition_col)
+        if not os.path.isdir(part_dir):
+            # brand-new partition: inserts only
+            surviving = (
+                upd_slice.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+                if delete_col is not None
+                else upd_slice
+            )
+            surviving.write.mode("overwrite").parquet(part_dir)
+            rewritten.append(str(v))
+            continue
+        target = spark.read.parquet(part_dir)
+        merged = merge_dataframes(target, upd_slice, keys, delete_col=delete_col)
+        staged = part_dir.rstrip("/") + ".__merge__"
+        if os.path.exists(staged):
+            shutil.rmtree(staged)
+        merged.write.mode("overwrite").parquet(staged)
+        old = part_dir.rstrip("/") + ".__old__"
+        os.rename(part_dir, old)
+        os.rename(staged, part_dir)
+        shutil.rmtree(old)
+        rewritten.append(str(v))
+    return rewritten

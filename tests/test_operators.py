@@ -680,3 +680,60 @@ class TestMergeUpsert:
             m.merge_upsert(spark, path, updates, ["k"])
         monkeypatch.setattr(m.os, "rename", real_rename)
         assert [r["name"] for r in spark.read.parquet(path).collect()] == ["a"]
+
+
+class TestMergeUpsertPartitioned:
+    def test_only_touched_partitions_rewritten(self, spark, tmp_path):
+        import glob
+        from etl_batch_spark.operators.merge import merge_upsert_partitioned
+
+        path = str(tmp_path / "fact")
+        spark.createDataFrame(
+            [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0), (3, "2024-01-02", 30.0)],
+            "k long, day string, v double",
+        ).write.partitionBy("day").parquet(path)
+        untouched_files = sorted(glob.glob(f"{path}/day=2024-01-02/*.parquet"))
+
+        updates = spark.createDataFrame(
+            [(2, "2024-01-01", 21.0, False),    # update in day 1
+             (9, "2024-01-03", 90.0, False)],   # insert into brand-new day 3
+            "k long, day string, v double, is_deleted boolean",
+        )
+        rewritten = merge_upsert_partitioned(
+            spark, path, updates, ["k"], partition_col="day", delete_col="is_deleted"
+        )
+        assert rewritten == ["2024-01-01", "2024-01-03"]
+        # untouched partition: same physical files
+        assert sorted(glob.glob(f"{path}/day=2024-01-02/*.parquet")) == untouched_files
+        got = {
+            (r["k"], str(r["day"])): r["v"]  # partition col re-infers as date
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            (1, "2024-01-01"): 10.0, (2, "2024-01-01"): 21.0,
+            (3, "2024-01-02"): 30.0, (9, "2024-01-03"): 90.0,
+        }
+
+    def test_delete_within_partition(self, spark, tmp_path):
+        from etl_batch_spark.operators.merge import merge_upsert_partitioned
+
+        path = str(tmp_path / "fact2")
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0)], "k long, p string, v double"
+        ).write.partitionBy("p").parquet(path)
+        updates = spark.createDataFrame(
+            [(1, "a", None, True)], "k long, p string, v double, is_deleted boolean"
+        )
+        merge_upsert_partitioned(
+            spark, path, updates, ["k"], partition_col="p", delete_col="is_deleted"
+        )
+        assert [r["k"] for r in spark.read.parquet(path).collect()] == [2]
+
+    def test_requires_partition_column(self, spark, tmp_path):
+        from etl_batch_spark.operators.merge import merge_upsert_partitioned
+
+        updates = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        with pytest.raises(ValueError):
+            merge_upsert_partitioned(
+                spark, str(tmp_path), updates, ["k"], partition_col="day"
+            )
