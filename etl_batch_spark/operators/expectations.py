@@ -70,3 +70,32 @@ def evaluate(df: DataFrame, rules: Sequence[Rule], *, unique: Sequence[str] = ()
     wide = df.agg(*aggs)
     pairs = ", ".join(f"'{n}', coalesce(r{i}, 0L)" for i, n in enumerate(names))
     return wide.selectExpr(f"stack({len(names)}, {pairs}) AS (rule, violations)")
+
+
+def split_valid(
+    df: DataFrame, rules: Sequence[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split: (clean rows, violating rows + ``_violations``).
+
+    The load-side counterpart of :func:`evaluate` — instead of counting
+    violations, route them: clean rows flow on to the sink, violators
+    land in a dead-letter table carrying the comma-joined names of
+    every rule they broke (one bad row never hides a second defect).
+
+    Both frames derive from ONE annotated plan — a row-local projection,
+    no shuffle, no second scan; Spark evaluates the rule predicates
+    once per row per output.  Uniqueness rules are not row-local and
+    stay in :func:`evaluate`.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    names = F.array(
+        *[F.when(r.violated, F.lit(r.name)) for r in rules]
+    )
+    annotated = df.withColumn(
+        "_violations",
+        F.array_join(F.filter(names, lambda x: x.isNotNull()), ","),
+    )
+    good = annotated.filter(F.col("_violations") == "").drop("_violations")
+    bad = annotated.filter(F.col("_violations") != "")
+    return good, bad

@@ -2730,3 +2730,38 @@ def q81_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
     ).withColumn("pos", F.col("pos").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q82 — NOT IN vs NOT EXISTS null semantics: one NULL in the subquery
+# list makes ANSI NOT IN three-valued (no row can prove itself absent),
+# while NOT EXISTS keeps matching on equality.  The classic silent-
+# empty-result ETL bug, pinned as a two-column contract in both
+# engines.  Catalyst plans the NOT IN as a null-aware anti join.
+# ---------------------------------------------------------------------------
+@query(
+    "q82_not_in_null_semantics",
+    oracle="""
+    WITH probe AS (SELECT nullif(s_nationkey % 7, 3) AS b FROM supplier)
+    SELECT
+      (SELECT COUNT(*) FROM customer
+        WHERE (c_nationkey % 7) NOT IN (SELECT b FROM probe)) AS n_not_in,
+      (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p
+                          WHERE p.b = (c.c_nationkey % 7))) AS n_not_exists
+    """,
+)
+def q82_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q82_customer")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q82_supplier")
+    return spark.sql(
+        """
+        WITH probe AS (SELECT nullif(s_nationkey % 7, 3) AS b FROM q82_supplier)
+        SELECT
+          (SELECT COUNT(*) FROM q82_customer
+            WHERE (c_nationkey % 7) NOT IN (SELECT b FROM probe)) AS n_not_in,
+          (SELECT COUNT(*) FROM q82_customer c
+            WHERE NOT EXISTS (SELECT 1 FROM probe p
+                              WHERE p.b = (c.c_nationkey % 7))) AS n_not_exists
+        """
+    )

@@ -737,3 +737,36 @@ class TestMergeUpsertPartitioned:
             merge_upsert_partitioned(
                 spark, str(tmp_path), updates, ["k"], partition_col="day"
             )
+
+
+class TestSplitValid:
+    def test_routes_rows_and_names_all_violations(self, spark):
+        from etl_batch_spark.operators import expectations as ex
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, None, 5.0), (3, "c", -1.0), (4, None, -2.0)],
+            "k long, name string, v double",
+        )
+        rules = [ex.not_null("name"), ex.in_range("v", lo=0.0)]
+        good, bad = ex.split_valid(df, rules)
+        assert [r["k"] for r in good.orderBy("k").collect()] == [1]
+        got = {r["k"]: r["_violations"] for r in bad.collect()}
+        assert got[2] == "not_null(name)"
+        assert got[3] == "in_range(v)"
+        assert set(got[4].split(",")) == {"not_null(name)", "in_range(v)"}
+
+    def test_no_shuffle_in_plan(self, spark):
+        from etl_batch_spark.operators import expectations as ex
+
+        df = spark.createDataFrame([(1, "a")], "k long, name string")
+        good, bad = ex.split_valid(df, [ex.not_null("name")])
+        for frame in (good, bad):
+            plan = frame._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+
+    def test_rejects_empty_rules(self, spark):
+        from etl_batch_spark.operators import expectations as ex
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            ex.split_valid(df, [])
