@@ -186,3 +186,46 @@ def window_energy(
             ).astype({"doc_id": "int64", "widx": "int32", "energy": "float64"})
 
     return df.select(id_col, payload_col).mapInPandas(run, WINDOW_ENERGY_SCHEMA)
+
+
+def payload_digest_arrow(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload md5 via ``mapInArrow`` — the zero-copy Arrow batch
+    path for byte-level work (codec probes, container demuxing,
+    chunk-level hashing) where even pandas conversion overhead matters:
+    the Python side sees Arrow buffers, never pandas objects or per-row
+    Python values.
+
+    Returns (id, md5_hex, n_bytes).  Equivalence with the JVM-side
+    ``F.md5`` is pinned by test — the operator exists as the plumbing
+    template; swap the digest loop for real codec calls.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("md5_hex", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(0)
+            payloads = batch.column(1)
+            digests = []
+            sizes = []
+            for buf in payloads:
+                b = buf.as_py() or b""
+                digests.append(hashlib.md5(b).hexdigest())
+                sizes.append(len(b))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(digests, pa.string()), pa.array(sizes, pa.int64())],
+                names=[id_col, "md5_hex", "n_bytes"],
+            )
+
+    return df.select(id_col, payload_col).mapInArrow(run, out_schema)

@@ -2765,3 +2765,58 @@ def q82_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE p.b = (c.c_nationkey % 7))) AS n_not_exists
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — VARIANT JSON path (Spark 4): events.props parsed once to a
+# variant, fields extracted with variant_get — the semi-structured
+# column type that replaces string re-parsing per access.  Oracle uses
+# DuckDB's JSON extraction; both group on the extracted value.
+# ---------------------------------------------------------------------------
+@query(
+    "q83_variant_props",
+    doc="VARIANT parse_json/variant_get over the events.props JSON",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q83_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return e.groupBy(k.alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — Python UDTF in a LATERAL join (functions/udtfs.py): the
+# reference's get-nth-field loop as one table-function expansion.
+# Glue-cardinality only (UDTFs are the Python-row path) — the codegen
+# twin for fact columns is q81's posexplode.
+# ---------------------------------------------------------------------------
+@query(
+    "q84_udtf_split_fields",
+    doc="lateral Python UDTF field expansion (reference nth-field semantics)",
+    oracle="""
+    SELECT p_partkey,
+           CAST(unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS INT) AS pos,
+           unnest(string_split(p_name, ' ')) AS field
+    FROM part WHERE p_partkey % 100 = 1
+    """,
+)
+def q84_udtf_split_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 100 == 1
+    ).createOrReplaceTempView("q84_part")
+    return spark.sql(
+        "SELECT p.p_partkey, s.pos, s.field "
+        "FROM q84_part p, LATERAL split_fields(p.p_name, ' ') s"
+    )

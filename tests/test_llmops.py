@@ -490,3 +490,22 @@ class TestWeightedTopk:
         df = spark.createDataFrame([(1, 1.0)], "k long, w double")
         with pytest.raises(ValueError):
             weighted_topk_sample(df, key_col="k", weight_col="w", k=0)
+
+
+class TestPayloadDigestArrow:
+    def test_matches_jvm_md5(self, spark, sf_dir):
+        """The Arrow-batch digest must agree byte-for-byte with the
+        JVM-side md5 over the same payloads."""
+        from etl_batch_spark.catalog import load_table
+        from etl_batch_spark.llmops.multimodal import attach_payload, payload_digest_arrow
+
+        docs = attach_payload(load_table(spark, sf_dir, "documents").limit(100))
+        got = payload_digest_arrow(docs)
+        want = docs.select(
+            "doc_id",
+            F.md5("payload").alias("md5_hex"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        )
+        a = sorted(tuple(r) for r in got.collect())
+        b = sorted(tuple(r) for r in want.collect())
+        assert a == b and len(a) == 100

@@ -148,3 +148,13 @@ class TestSqlRegistration:
         assert row["d"] == 2
         assert row["e"] == "b"
         assert row["f"] == "25:2:3"
+
+
+class TestSplitFieldsUdtf:
+    def test_one_based_empties_and_null(self, spark):
+        from etl_batch_spark.functions.udtfs import register_udtfs
+
+        assert "split_fields" in register_udtfs(spark)
+        rows = spark.sql("SELECT * FROM split_fields('a,,c', ',')").collect()
+        assert [(r["pos"], r["field"]) for r in rows] == [(1, "a"), (2, ""), (3, "c")]
+        assert spark.sql("SELECT * FROM split_fields(CAST(NULL AS STRING), ',')").count() == 0
