@@ -319,3 +319,95 @@ def kmeans_lloyd(
     return assign(cents).select(
         id_col, "cluster", F.round("sqd", 6).alias("sqdist")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance top-k: diversified neighbors.
+
+    Plain cosine top-k returns near-duplicates of each other; MMR
+    greedily picks the candidate maximizing
+    ``lam * sim(query, c) - (1 - lam) * max_{s in selected} sim(c, s)``
+    so results cover the neighborhood instead of piling on one mode.
+
+    Distributed shape: stage 1 is the existing :func:`cosine_topk`
+    scan for a per-query candidate POOL (size ``pool`` — the only
+    stage that touches the corpus); stage 2 re-joins the pool ids to
+    their vectors and runs the O(pool² · k) greedy selection per query
+    inside ``applyInPandas`` — per-task state is one query's pool,
+    never the corpus.  Deterministic: ties break on neighbor id.
+
+    Iterative-greedy semantics are not SQL-expressible — validated by
+    numpy replay in tests (rows-only driver check, like k-means).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pool_df = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("nvec"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("qvec"),
+    )
+    pool_v = pool_df.join(vecs, "neighbor_id").join(qvecs, "query_id")
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+    def select(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id", kind="mergesort")
+        ids = pdf["neighbor_id"].to_numpy()
+        V = np.stack(pdf["nvec"].to_numpy())
+        q = np.asarray(pdf["qvec"].iloc[0])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        rel = Vn @ qn                      # sim(query, candidate)
+        inter = Vn @ Vn.T                  # sim(candidate, candidate)
+        chosen: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(len(ids), dtype=bool)
+        for _ in range(min(k, len(ids))):
+            if chosen:
+                penalty = inter[:, chosen].max(axis=1)
+            else:
+                penalty = np.zeros(len(ids))
+            mmr = lam * rel - (1 - lam) * penalty
+            mmr[~avail] = -np.inf
+            best = int(np.argmax(mmr))     # first max = lowest id on ties
+            chosen.append(best)
+            scores.append(float(mmr[best]))
+            avail[best] = False
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[chosen],
+                "rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+                "mmr_score": np.round(scores, 6),
+            }
+        )
+
+    return pool_v.groupBy("query_id").applyInPandas(select, schema=out_schema)

@@ -1136,3 +1136,15 @@ def tx13_regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.rlike(r"(?i)\bthe\b").alias("has_the"),
         F.substring(F.regexp_replace(t, "[0-9]+", "#"), 1, 40).alias("masked_head"),
     )
+
+
+@query(
+    "ss07_mmr_topk",
+    doc="maximal-marginal-relevance diversified top-5 for 10 query "
+    "vectors (llmops.similarity.mmr_topk; *rows-only* — iterative "
+    "greedy, validated by numpy replay in tests)",
+    oracle=None,
+)
+def ss07_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, pool=20)

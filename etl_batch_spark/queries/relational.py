@@ -2820,3 +2820,54 @@ def q84_udtf_split_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT p.p_partkey, s.pos, s.field "
         "FROM q84_part p, LATERAL split_fields(p.p_name, ' ') s"
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — null ordering semantics: Spark defaults to NULLS FIRST on ASC
+# and NULLS LAST on DESC; engines disagree on defaults (DuckDB is the
+# opposite), so portable sorts must pin the placement explicitly.  The
+# query materializes both placements as rank columns over a nullable
+# derived key — the ordering contract, hash-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "q85_null_ordering",
+    oracle="""
+    WITH s AS (SELECT s_suppkey, nullif(s_acctbal, 0) AS bal,
+                      nullif(s_nationkey % 6, 2) AS grp
+               FROM supplier WHERE s_suppkey % 7 = 0)
+    SELECT s_suppkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY bal ASC NULLS FIRST, s_suppkey) AS INT)
+             AS rk_nulls_first,
+           CAST(ROW_NUMBER() OVER (ORDER BY bal DESC NULLS LAST, s_suppkey) AS INT)
+             AS rk_nulls_last,
+           CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                                   ORDER BY bal ASC NULLS LAST, s_suppkey) AS INT)
+             AS rk_in_group
+    FROM s
+    """,
+)
+def q85_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select(
+            "s_suppkey",
+            F.nullif(F.col("s_acctbal"), F.lit(0)).alias("bal"),
+            F.nullif(F.col("s_nationkey") % 6, F.lit(2)).alias("grp"),
+        )
+    )
+    return s.select(
+        "s_suppkey",
+        F.row_number()
+        .over(W.orderBy(F.col("bal").asc_nulls_first(), "s_suppkey"))
+        .cast("int")
+        .alias("rk_nulls_first"),
+        F.row_number()
+        .over(W.orderBy(F.col("bal").desc_nulls_last(), "s_suppkey"))
+        .cast("int")
+        .alias("rk_nulls_last"),
+        F.row_number()
+        .over(W.partitionBy("grp").orderBy(F.col("bal").asc_nulls_last(), "s_suppkey"))
+        .cast("int")
+        .alias("rk_in_group"),
+    )

@@ -509,3 +509,58 @@ class TestPayloadDigestArrow:
         a = sorted(tuple(r) for r in got.collect())
         b = sorted(tuple(r) for r in want.collect())
         assert a == b and len(a) == 100
+
+
+class TestMmrTopk:
+    def test_matches_numpy_greedy_replay(self, spark, sf_dir):
+        import numpy as np
+        from etl_batch_spark.catalog import load_table
+        from etl_batch_spark.llmops.similarity import mmr_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = {}
+        for r in mmr_topk(emb, emb.filter(F.col("vec_id") < 3), k=4, pool=10).collect():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+        rows = emb.collect()
+        V = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+
+        def cos(a, b):
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        lam = 0.5
+        for qid in (0, 1, 2):
+            # replay: pool = exact top-10 by (cosine desc, id), then greedy
+            sims = sorted(
+                ((round(cos(V[qid], v), 6), -i) for i, v in V.items() if i != qid),
+                reverse=True,
+            )
+            pool = sorted(-i for _, i in sims[:10])
+            rel = {i: cos(V[qid], V[i]) for i in pool}
+            chosen = []
+            while len(chosen) < 4:
+                best, best_s = None, -np.inf
+                for i in pool:
+                    if i in chosen:
+                        continue
+                    pen = max((cos(V[i], V[j]) for j in chosen), default=0.0)
+                    s = lam * rel[i] - (1 - lam) * pen
+                    if s > best_s + 1e-12 or (abs(s - best_s) <= 1e-12 and (best is None or i < best)):
+                        best, best_s = i, s
+                chosen.append(best)
+            assert [n for _, n in sorted(got[qid])] == chosen, f"query {qid}"
+
+    def test_diversity_beats_plain_topk_overlap(self, spark, sf_dir):
+        """MMR at lam=0.5 must not return a superset ranking identical
+        to plain top-k for every query (otherwise the penalty is dead)."""
+        from etl_batch_spark.catalog import load_table
+        from etl_batch_spark.llmops.similarity import cosine_topk, mmr_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+        plain = {}
+        for r in cosine_topk(emb, q, k=5).collect():
+            plain.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        mmr = {}
+        for r in mmr_topk(emb, q, k=5, pool=20).collect():
+            mmr.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert any(plain[k] != mmr[k] for k in plain)
