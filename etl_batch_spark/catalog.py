@@ -12,6 +12,7 @@ the reference's column references (SURVEY.md §1.2).
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -132,14 +133,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Passing the explicit schema (rather than inferring) keeps column
     pruning + predicate pushdown well-typed and catches fixture drift.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark's
-    vectorized reader refuses; we read it as raw nanos (legacy
-    nanosAsLong) and truncate to microseconds — the same conversion the
-    DuckDB oracle applies when it loads the file.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) — which
+    Spark's vectorized reader refuses — and TIMESTAMP(MICROS), depending
+    on fixture generation.  We sniff the footer once per load: the nanos
+    variant is read as raw int64 (legacy nanosAsLong) and truncated to
+    microseconds (the same conversion the DuckDB oracle applies); the
+    micros variant reads natively.
     """
     if name not in DATA_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(DATA_TABLES)}")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(sf_dir):
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -155,6 +158,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
     return spark.read.schema(DATA_TABLES[name]).parquet(table_path(sf_dir, name))
+
+
+@lru_cache(maxsize=16)
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(table_path(sf_dir, "events")).field("ts")
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:
+        return False
 
 
 def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:

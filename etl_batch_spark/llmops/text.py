@@ -324,3 +324,74 @@ def score_batch(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
             yield out
 
     return df.select(id_col, text_col).mapInPandas(_logistic, schema=schema)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "list[str]",
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 keyword search: top-``k`` documents for a bag of query
+    terms; (id, score) with Lucene's idf = ln(1 + (N-df+.5)/(df+.5)).
+
+    Scale shape: tokens are filtered to the query terms BEFORE the
+    (doc, term) shuffle, so shuffle volume is proportional to query-term
+    hits, not corpus size; doc length rides through the explode (no
+    join back to raw); corpus stats (N, avgdl) and per-term df are
+    one-row / |terms|-row broadcasts; top-k is TakeOrdered, never a
+    global sort.  At 100 TB an inverted-index pre-build amortizes
+    repeated queries, but a single scan like this is the right cold
+    path.
+    """
+    from etl_batch_spark.catalog import fan_out
+    from etl_batch_spark.llmops.dedup import tokens
+
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toked = fan_out(df).select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    ).select(
+        id_col,
+        F.size("toks").cast("double").alias("dl"),
+        F.explode(F.filter("toks", lambda t: F.array_contains(terms, t))).alias("term"),
+    )
+    tf = toked.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    corpus = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    ).crossJoin(
+        df.select(F.size(tokens(text_col)).cast("double").alias("dl"))
+        .agg(F.avg("dl").alias("avgdl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -365,3 +365,146 @@ def ev07_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "duration_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev08 — time-weighted average (TimescaleDB `time_weight('LOCF')`
+# analogue): per-user piecewise-constant integral of `value` over the
+# user's observation span, i.e. sum(value_i * (t_{i+1} - t_i)) / span.
+# A plain AVG over-weights bursts of closely-spaced events; the TWA is
+# the right statistic for sampled gauges.  One shuffle on user_id (the
+# lead() window), partial-aggregated sum/min/max on the same exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "ev08_time_weighted_avg",
+    doc="per-user LOCF time-weighted average of value",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * (epoch(next_ts) - epoch(ts)))
+                 / (epoch(MAX(next_ts)) - epoch(MIN(ts))), 6) AS twa,
+           COUNT(*) AS n_events
+    FROM stepped
+    WHERE next_ts IS NOT NULL
+    GROUP BY user_id
+    HAVING epoch(MAX(next_ts)) > epoch(MIN(ts))
+    """,
+)
+def ev08_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = lambda c: F.unix_micros(c) / F.lit(1e6)  # noqa: E731
+    stepped = e.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value") * (sec(F.col("next_ts")) - sec(F.col("ts")))).alias("wsum"),
+            F.max(sec(F.col("next_ts"))).alias("t_hi"),
+            F.min(sec(F.col("ts"))).alias("t_lo"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("t_hi") > F.col("t_lo"))
+        .select(
+            "user_id",
+            F.round(F.col("wsum") / (F.col("t_hi") - F.col("t_lo")), 6).alias("twa"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev09 — OHLC bars (candlesticks): daily open/high/low/close of `value`
+# per event_type in ONE aggregate pass using min_by/max_by keyed on
+# (ts, event_id) — no window, no self-join, no sort.  The (ts,
+# event_id) struct key makes open/close deterministic under ts ties.
+# This is the shape every market-data / metrics warehouse rolls up at
+# ingest; at 100 TB it is a single map-side-combined shuffle on
+# (day, type).  Oracle uses DuckDB's ordered-aggregate FIRST/LAST.
+# ---------------------------------------------------------------------------
+@query(
+    "ev09_ohlc_bars",
+    bench=True,
+    doc="daily OHLC bars via min_by/max_by, one aggregate pass",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_day,
+           event_type,
+           ROUND(FIRST(value ORDER BY ts, event_id), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(LAST(value ORDER BY ts, event_id), 4) AS close,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev09_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    key = F.struct("ts", "event_id")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("bar_day"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev10 — behavioral state-transition matrix (first-order Markov chain):
+# counts and row-normalized probabilities of event_type -> event_type
+# transitions within each user's ordered stream.  lag() is one shuffle
+# on user_id; the probability denominator is a window over the tiny
+# (5x5) transition aggregate, not the fact table.
+# ---------------------------------------------------------------------------
+@query(
+    "ev10_markov_transitions",
+    doc="event-type transition counts + probabilities (Markov chain)",
+    oracle="""
+    WITH pairs AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM pairs WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, n,
+           ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM counts
+    """,
+)
+def ev10_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        e.select(F.lag("event_type").over(w).alias("prev_type"), "event_type")
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )

@@ -1148,3 +1148,52 @@ def tx13_regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ss07_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.mmr_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, pool=20)
+
+
+# ---------------------------------------------------------------------------
+# tx14 — BM25 keyword search (Okapi, Lucene idf): the lexical-retrieval
+# counterpart to ss01-ss03's vector ANN.  Tokens are filtered to the
+# query terms before the (doc, term) shuffle; doc length rides through
+# the explode; N/avgdl/df are broadcasts; top-k is TakeOrdered.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "merge", "window")
+
+
+@query(
+    "tx14_bm25_search",
+    bench=True,
+    doc="Okapi BM25 top-10 keyword search over documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, len(toks)::DOUBLE AS dl, UNNEST(toks) AS term
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*)::DOUBLE AS tf, FIRST(dl) AS dl
+      FROM hits WHERE term IN ('spark', 'join', 'merge', 'window')
+      GROUP BY doc_id, term
+    ),
+    corpus AS (
+      SELECT (SELECT COUNT(*)::DOUBLE FROM documents) AS n_docs,
+             (SELECT AVG(len(toks)::DOUBLE) FROM toks) AS avgdl
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+             ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * 2.2
+             / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / c.avgdl))
+           ), 6) AS score
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN corpus c
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def tx14_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_topk(_documents(spark, sf_dir), list(_BM25_TERMS), k=10)

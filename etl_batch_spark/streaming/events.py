@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from etl_batch_spark.catalog import DATA_TABLES
+from etl_batch_spark.catalog import DATA_TABLES, _events_ts_is_nanos
 
 _RAW_EVENTS = T.StructType(
     [
@@ -42,14 +42,22 @@ _RAW_EVENTS = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file-source streams require a directory: stream the sf dir with a
-    # glob filter selecting only the events file
+    # glob filter selecting only the events file.  Fixtures have shipped
+    # ts as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS); mirror the
+    # batch catalog's footer sniff (catalog.load_table).
+    if _events_ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(_RAW_EVENTS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return (
-        spark.readStream.schema(_RAW_EVENTS)
+        spark.readStream.schema(DATA_TABLES["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
