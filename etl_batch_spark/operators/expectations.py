@@ -99,3 +99,28 @@ def split_valid(
     good = annotated.filter(F.col("_violations") == "").drop("_violations")
     bad = annotated.filter(F.col("_violations") != "")
     return good, bad
+
+
+def observe_rules(df: DataFrame, rules: Sequence[Rule], *, name: str = "expectations"):
+    """Attach zero-cost expectation metrics to a DataFrame: returns
+    ``(df, observation)`` where the metrics ride the NEXT action on
+    ``df`` — no second scan, no separate job, the ``observe()`` analogue
+    of :func:`evaluate`.
+
+    This is the right shape for production writes at 100 TB: the
+    violation counts fall out of the write job itself
+    (``observation.get`` after the write returns
+    ``{rule_name: count, "n_rows": n}``), where a post-hoc
+    :func:`evaluate` would re-read the table.  Row-local rules only —
+    `observe` aggregates cannot be distinct-based.
+    """
+    from pyspark.sql import Observation
+
+    if not rules:
+        raise ValueError("observe_rules requires at least one rule")
+    obs = Observation(name)
+    metrics = [
+        F.sum(F.when(r.violated, 1).otherwise(0)).cast("long").alias(r.name)
+        for r in rules
+    ]
+    return df.observe(obs, F.count(F.lit(1)).alias("n_rows"), *metrics), obs

@@ -74,3 +74,37 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
+
+
+def triangle_count(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame:
+    """One-row (n_nodes, n_edges, n_triangles) for an undirected edge
+    list (any orientation, duplicates/self-loops tolerated).
+
+    Canonicalizes to a < b once, then counts each triangle exactly once
+    via the ordered wedge join: e1(a<b) ⋈ e2(b<c) on the shared middle
+    vertex, closed by e3(a<c).  The ordering both dedups (no 6× count,
+    no /6 division) and bounds the wedge fan-out by the SMALLER endpoint
+    degree — the standard mitigation for power-law hubs at scale.  Two
+    shuffle joins on single key columns; AQE handles residual skew.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(e3, ["x", "z"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return nodes.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(tri))

@@ -719,3 +719,58 @@ def et14_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("group_median", 4).alias("group_median"),
         F.round("group_mad", 4).alias("group_mad"),
     )
+
+
+# ---------------------------------------------------------------------------
+# et15 — triangle counting (graph clustering signal) over the part
+# co-purchase graph: parts are connected when some order contains both.
+# Edge build is one self-join on l_orderkey; the count uses the ordered
+# wedge join in operators/graph.py::triangle_count, which bounds wedge
+# fan-out by the smaller endpoint degree (the standard power-law-hub
+# mitigation).  Oracle replays the same ordered 3-way join in DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "et15_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    )
+    SELECT (SELECT COUNT(*) FROM (SELECT u AS n FROM e UNION SELECT v FROM e))
+             AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*)
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+             AS n_triangles
+    """,
+)
+def et15_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = a.join(b, "k").filter(F.col("pa") < F.col("pb")).select("pa", "pb")
+    return triangle_count(edges, a="pa", b="pb")
+
+
+# ---------------------------------------------------------------------------
+# et16 — LTTB downsampling (rows-only: the pick is sequential within a
+# series, not SQL-expressible): each user's gauge history reduced to 12
+# shape-preserving points.  Exactness is pinned by
+# tests/test_operators.py::TestLttb's independent numpy replay.
+# ---------------------------------------------------------------------------
+@query(
+    "et16_lttb_downsample",
+    oracle=None,
+    doc="per-user LTTB shape-preserving downsample to 12 points",
+)
+def et16_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.downsample import lttb_downsample
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    out = lttb_downsample(e, key_col="user_id", ts_col="ts", value_col="value", n_out=12)
+    return out.select("user_id", "ts", F.round("value", 4).alias("value"))

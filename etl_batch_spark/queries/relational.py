@@ -2871,3 +2871,95 @@ def q85_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rk_in_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — aggregate-function surface: count_if, bool_and/bool_or, exact
+# median, bitwise aggregates, and moment statistics (skewness /
+# kurtosis).  Spark computes skew/kurt as population moments in one
+# streaming pass; the oracle derives the same statistics from raw power
+# sums (E[x^k]) to pin the definition, not the implementation.  All
+# partial-aggregated: one exchange on the 3-value group key.
+# ---------------------------------------------------------------------------
+@query(
+    "q86_aggregate_surface",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (l_quantity > 25) AS n_big,
+             BOOL_AND(l_quantity > 0) AS all_positive,
+             BOOL_OR(l_discount > 0.09) AS any_deep_discount,
+             ROUND(MEDIAN(l_quantity), 4) AS med_qty,
+             BIT_AND(CAST(l_orderkey AS BIGINT)) AS band,
+             BIT_OR(CAST(l_orderkey AS BIGINT)) AS bor,
+             BIT_XOR(CAST(l_orderkey AS BIGINT)) AS bxor,
+             AVG(l_quantity) AS e1,
+             AVG(l_quantity * l_quantity) AS e2,
+             AVG(l_quantity * l_quantity * l_quantity) AS e3,
+             AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS e4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, n_big, all_positive, any_deep_discount,
+           med_qty, band, bor, bxor,
+           ROUND((e3 - 3*e1*e2 + 2*e1*e1*e1)
+                 / POW(e2 - e1*e1, 1.5), 4) AS skew_qty,
+           ROUND((e4 - 4*e1*e3 + 6*e1*e1*e2 - 3*e1*e1*e1*e1)
+                 / POW(e2 - e1*e1, 2) - 3, 4) AS kurt_qty
+    FROM m
+    """,
+)
+def q86_aggregate_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    okey = F.col("l_orderkey").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.bit_and(okey).alias("band"),
+        F.bit_or(okey).alias("bor"),
+        F.bit_xor(okey).alias("bxor"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — correlated LATERAL join (top-N per outer row as a subquery):
+# for every nation, its top-2 customers by balance.  Catalyst
+# decorrelates the LIMIT subquery into a window + filter — same
+# physical plan as q77's rank approach — so the SQL-standard LATERAL
+# form costs nothing extra.  Hash-checked against DuckDB's native
+# LATERAL execution.
+# ---------------------------------------------------------------------------
+@query(
+    "q87_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+    """,
+)
+def q87_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q87_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q87_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM q87_nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM q87_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        """
+    )

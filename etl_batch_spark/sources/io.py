@@ -355,3 +355,22 @@ def with_audit_columns(
     if control_date is not None:
         out = out.withColumn("_control_date", F.lit(control_date).cast("date"))
     return out
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, *, glob: str | None = None
+) -> DataFrame:
+    """Whole-file ingest via the built-in ``binaryFile`` source — the
+    front door for the multimodal pipeline (llmops/multimodal.py):
+    (path, modificationTime, length, content binary) per file, split
+    across executors by file.  Pair with
+    ``spark.sql.files.maxPartitionBytes`` sizing: binary files never
+    split, so parallelism = file count; at 100 TB the petabyte of
+    images arrives as millions of objects, which is exactly the layout
+    this source wants.  Column pruning is real: selecting only
+    ``path``/``length`` (e.g. for an audit) never reads file bodies.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -770,3 +770,102 @@ class TestSplitValid:
         df = spark.createDataFrame([(1,)], "k long")
         with pytest.raises(ValueError):
             ex.split_valid(df, [])
+
+
+class TestTriangleCount:
+    def test_k4_plus_pendant(self, spark):
+        from etl_batch_spark.operators.graph import triangle_count
+
+        # K4 (4 triangles) + pendant edge 4-5; edges given in mixed
+        # orientation with a duplicate and a self-loop to exercise
+        # canonicalization
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (4, 2), (3, 4), (4, 5), (3, 3)],
+            "a long, b long",
+        )
+        row = triangle_count(edges).first()
+        assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+
+    def test_triangle_free(self, spark):
+        from etl_batch_spark.operators.graph import triangle_count
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "a long, b long"  # C4: no triangles
+        )
+        row = triangle_count(edges).first()
+        assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 4, 0)
+
+
+class TestLttb:
+    @staticmethod
+    def _reference_lttb(points, n_out):
+        # independent textbook implementation (Steinarsson 2013)
+        m = len(points)
+        if n_out >= m:
+            return points
+        every = (m - 2) / (n_out - 2)
+        out = [points[0]]
+        a = 0
+        for i in range(n_out - 2):
+            lo = int(i * every) + 1
+            hi = int((i + 1) * every) + 1
+            nlo, nhi = hi, min(int((i + 2) * every) + 1, m)
+            if nlo < nhi:
+                ax = sum(p[0] for p in points[nlo:nhi]) / (nhi - nlo)
+                ay = sum(p[1] for p in points[nlo:nhi]) / (nhi - nlo)
+            else:
+                ax, ay = points[-1]
+            best, best_area = lo, -1.0
+            for j in range(lo, hi):
+                area = abs(
+                    (points[a][0] - ax) * (points[j][1] - points[a][1])
+                    - (points[a][0] - points[j][0]) * (ay - points[a][1])
+                )
+                if area > best_area:
+                    best, best_area = j, area
+            out.append(points[best])
+            a = best
+        out.append(points[-1])
+        return out
+
+    def test_matches_reference_replay(self, spark):
+        import datetime as dt
+        import random
+
+        from etl_batch_spark.operators.downsample import lttb_downsample
+
+        rng = random.Random(7)
+        rows = []
+        for uid in (1, 2):
+            for i in range(100):
+                rows.append(
+                    (uid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=3 * i + uid),
+                     round(rng.uniform(0, 100), 3))
+                )
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = {
+            uid: [
+                (r["ts"], r["value"])
+                for r in lttb_downsample(df, n_out=10).filter(f"user_id = {uid}")
+                .orderBy("ts").collect()
+            ]
+            for uid in (1, 2)
+        }
+        for uid in (1, 2):
+            pts = sorted(
+                ((ts, v) for u, ts, v in rows if u == uid),
+                key=lambda p: (p[0], p[1]),
+            )
+            scaled = [(ts.timestamp() * 1e6, v) for ts, v in pts]
+            want_idx = [scaled.index(p) for p in self._reference_lttb(scaled, 10)]
+            want = [pts[i] for i in want_idx]
+            assert got[uid] == want
+
+    def test_short_series_pass_through(self, spark):
+        from etl_batch_spark.operators.downsample import lttb_downsample
+
+        df = spark.createDataFrame(
+            [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0)],
+            "user_id long, ts long, value double",
+        )
+        assert lttb_downsample(df, n_out=10).count() == 3

@@ -253,3 +253,52 @@ class TestCompaction:
         os.makedirs(p)
         with _pytest.raises(ValueError):
             compact_small_files(spark, p)
+
+
+class TestBinaryFiles:
+    def test_reads_whole_files_with_metadata(self, spark, tmp_path):
+        from etl_batch_spark.sources.io import read_binary_files
+
+        (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+        (tmp_path / "b.bin").write_bytes(b"payload-b")
+        (tmp_path / "skip.txt").write_bytes(b"nope")
+        df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+        rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+        assert set(rows) == {"a.bin", "b.bin"}
+        assert bytes(rows["a.bin"]["content"]) == b"\x00\x01payload-a"
+        assert rows["b.bin"]["length"] == 9
+
+    def test_metadata_projection_prunes_content(self, spark, tmp_path):
+        from etl_batch_spark.sources.io import read_binary_files
+
+        (tmp_path / "a.bin").write_bytes(b"x" * 100)
+        df = read_binary_files(spark, str(tmp_path)).select("path", "length")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "content" not in plan
+
+
+class TestObserveRules:
+    def test_metrics_ride_the_action(self, spark):
+        from etl_batch_spark.operators import expectations as ex
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, None, 50.0), (3, None, -1.0)],
+            "k long, name string, v double",
+        )
+        observed, obs = ex.observe_rules(
+            df, [ex.not_null("name"), ex.in_range("v", lo=0.0, hi=10.0)]
+        )
+        observed.write.format("noop").mode("overwrite").save()
+        got = obs.get
+        assert got["n_rows"] == 3
+        assert got["not_null(name)"] == 2
+        assert got["in_range(v)"] == 2
+
+    def test_rejects_empty_rules(self, spark):
+        from etl_batch_spark.operators import expectations as ex
+
+        df = spark.createDataFrame([(1,)], "k long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ex.observe_rules(df, [])
