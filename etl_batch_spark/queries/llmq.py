@@ -1197,3 +1197,120 @@ _BM25_TERMS = ("spark", "join", "merge", "window")
 )
 def tx14_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(_documents(spark, sf_dir), list(_BM25_TERMS), k=10)
+
+
+# ---------------------------------------------------------------------------
+# tx15 — RAG chunking: split each document into token windows of 32
+# with stride 24 (8-token overlap), the standard retrieval-corpus
+# preparation.  Pure higher-order array functions — tokenize once,
+# generate chunk starts with sequence(), slice per start — a narrow
+# (shuffle-free) per-row expansion that scales embarrassingly; the
+# chunk explosion multiplies rows ~n_tokens/stride, the expected output
+# shape for an embedding stage downstream.
+# ---------------------------------------------------------------------------
+_CHUNK, _STRIDE = 32, 24
+
+
+@query(
+    "tx15_rag_chunks",
+    bench=True,
+    doc="sliding-window token chunking (size 32, stride 24)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks, UNNEST(generate_series(0, len(toks) - 1, {_STRIDE}))
+               AS start
+      FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(start // {_STRIDE} AS INT) AS chunk_idx,
+           CAST(LEAST({_CHUNK}, len(toks) - start) AS INT) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + {_CHUNK}), ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def tx15_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.llmops.dedup import tokens
+
+    d = _documents(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    starts = d.filter(n > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_STRIDE))).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.size("toks") - F.col("start"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.array_join(F.slice("toks", F.col("start") + 1, _CHUNK), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx16 — inverted-index build (posting lists): per term its document
+# frequency, total term frequency, and the top-5 posting doc_ids by
+# tf.  This is the amortization path for repeated keyword search: build
+# once (one (doc, term) shuffle), then every tx14-style BM25 query is a
+# broadcast lookup instead of a corpus scan.  Posting lists here are
+# top-5 arrays — bounded per term by construction, never a full
+# collect of a hot term's postings.
+# ---------------------------------------------------------------------------
+_IDX_TERMS = ("spark", "join", "merge", "window", "stream", "batch")
+
+
+@query(
+    "tx16_inverted_postings",
+    doc="inverted-index posting lists (df, tf, top-5 docs per term)",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, UNNEST({_DUCK_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM hits
+      WHERE term IN ('spark', 'join', 'merge', 'window', 'stream', 'batch')
+      GROUP BY term, doc_id
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           (list(doc_id ORDER BY tf DESC, doc_id ASC))[1:5] AS top_docs
+    FROM tf GROUP BY term
+    """,
+)
+def tx16_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.catalog import fan_out
+    from etl_batch_spark.llmops.dedup import tokens
+
+    terms = F.array(*[F.lit(t) for t in _IDX_TERMS])
+    hits = (
+        fan_out(_documents(spark, sf_dir))
+        .select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.filter("toks", lambda t: F.array_contains(terms, t))).alias(
+                "term"
+            ),
+        )
+    )
+    tf = hits.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct((-F.col("tf")).alias("neg"), "doc_id"))),
+                lambda s: s.doc_id,
+            ),
+            1,
+            5,
+        ).alias("top_docs"),
+    )

@@ -25,6 +25,9 @@ _MAP = {
     "TIMESTAMP": "timestamp",
     "TIMESTAMP_NS": "timestamp",
     "BOOLEAN": "boolean",
+    "BIGINT[]": "array<bigint>",
+    "VARCHAR[]": "array<string>",
+    "DOUBLE[]": "array<double>",
 }
 
 
