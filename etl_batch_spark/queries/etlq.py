@@ -774,3 +774,62 @@ def et16_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
     out = lttb_downsample(e, key_col="user_id", ts_col="ts", value_col="value", n_out=12)
     return out.select("user_id", "ts", F.round("value", 4).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# et17 — partition-skew profiler: the diagnostic an engine at 100 TB
+# runs BEFORE picking a join strategy.  Per-key counts of
+# lineitem.l_suppkey reduced to one row: key cardinality, max key
+# share, exact count percentiles, top-5 hot keys.  The hot-key list is
+# a TakeOrdered limit-5 broadcast back onto the one-row summary —
+# never a collect_list over the keyspace.  Feeds joins.salted_join's
+# salt-factor choice.
+# ---------------------------------------------------------------------------
+@query(
+    "et17_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    summary AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             MAX(cnt) AS max_count,
+             ROUND(MAX(cnt) / SUM(cnt), 6) AS max_share,
+             ROUND(quantile_cont(cnt, 0.5), 2) AS p50_count,
+             ROUND(quantile_cont(cnt, 0.9), 2) AS p90_count,
+             ROUND(quantile_cont(cnt, 0.99), 2) AS p99_count
+      FROM c
+    ),
+    hot AS (
+      SELECT list(key ORDER BY cnt DESC, key ASC) AS top_keys
+      FROM (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 5)
+    )
+    SELECT * FROM summary CROSS JOIN hot
+    """,
+)
+def et17_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    summary = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").alias("max_count"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("max_share"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 2).alias("p50_count"),
+        F.round(F.expr("percentile(cnt, 0.9)"), 2).alias("p90_count"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 2).alias("p99_count"),
+    )
+    hot = (
+        c.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(5)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct((-F.col("cnt")).alias("neg"), "key"))),
+                lambda s: s.key,
+            ).alias("top_keys")
+        )
+    )
+    return summary.crossJoin(F.broadcast(hot))

@@ -2963,3 +2963,50 @@ def q87_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — schema-evolution union (unionByName allowMissingColumns): two
+# generations of the same feed — an old extract without tax/comment
+# columns and the current one — stacked by NAME with NULL fill, the
+# operation every long-lived pipeline performs when a source adds
+# columns.  Positional UNION would silently misalign; by-name union is
+# the contract.  Narrow (no shuffle) until the final aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q88_union_evolving_schema",
+    oracle="""
+    WITH old_gen AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice,
+             CAST(NULL AS DOUBLE) AS l_tax
+      FROM lineitem WHERE l_linenumber = 1
+    ),
+    new_gen AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice, l_tax
+      FROM lineitem WHERE l_linenumber = 2
+    ),
+    unioned AS (
+      SELECT * FROM old_gen UNION ALL SELECT * FROM new_gen
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_tax) AS n_with_tax,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_tax), 2) AS sum_tax
+    FROM unioned
+    """,
+)
+def q88_union_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    old_gen = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    new_gen = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_tax"
+    )
+    unioned = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return unioned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_tax").alias("n_with_tax"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+    )

@@ -374,3 +374,27 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: "list[tuple[str, int, int, str]]",
+) -> DataFrame:
+    """Fixed-width (mainframe/SAM-file) reader: ``colspecs`` is
+    ``[(name, start_1_based, length, dtype), ...]``.  Values are
+    substring-sliced JVM-side from the ``text`` source's single column,
+    trimmed, then cast — empty fields become NULL, matching how Oracle
+    SQL*Loader treats blank fixed-width fields (the reference's loader
+    files, pkg_batch_util_body.sql:1163–1251, are fed by exactly such
+    extracts).  Narrow plan: no shuffle, splits parallelize by file
+    block.
+    """
+    df = spark.read.text(path)
+    cols = []
+    for name, start, length, dtype in colspecs:
+        raw = F.trim(F.substring(F.col("value"), start, length))
+        cols.append(
+            F.when(raw == "", None).otherwise(raw).cast(dtype).alias(name)
+        )
+    return df.select(*cols)

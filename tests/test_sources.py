@@ -302,3 +302,33 @@ class TestObserveRules:
 
         with _pytest.raises(ValueError):
             ex.observe_rules(df, [])
+
+
+class TestFixedWidth:
+    def test_slices_trims_casts_and_nulls(self, spark, tmp_path):
+        from etl_batch_spark.sources.io import read_fixed_width
+
+        lines = [
+            "001Widget    00125.50",
+            "002          00003.25",   # blank name -> NULL
+            "003Gadget       19.00",   # short-padded number still parses
+        ]
+        p = tmp_path / "items.dat"
+        p.write_text("\n".join(lines) + "\n")
+        df = read_fixed_width(
+            spark,
+            str(p),
+            [("item_id", 1, 3, "int"), ("name", 4, 10, "string"), ("price", 14, 8, "double")],
+        )
+        rows = {r["item_id"]: r for r in df.collect()}
+        assert rows[1]["name"] == "Widget" and rows[1]["price"] == 125.5
+        assert rows[2]["name"] is None and rows[2]["price"] == 3.25
+        assert rows[3]["price"] == 19.0
+
+    def test_no_shuffle(self, spark, tmp_path):
+        from etl_batch_spark.sources.io import read_fixed_width
+
+        p = tmp_path / "x.dat"
+        p.write_text("1A\n")
+        df = read_fixed_width(spark, str(p), [("k", 1, 1, "int"), ("v", 2, 1, "string")])
+        assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
