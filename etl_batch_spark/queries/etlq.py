@@ -833,3 +833,109 @@ def et17_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summary.crossJoin(F.broadcast(hot))
+
+
+# ---------------------------------------------------------------------------
+# et18 — sequence-gap audit: find missing runs in what should be a
+# dense id sequence (orders.o_orderkey) — the load-completeness check
+# run after every ingest against a source that hands out contiguous
+# ids.  A bare lead() over the whole table would be ONE task (global
+# window); instead lead() runs inside coarse key buckets (one shuffle,
+# parallel) and the handful of bucket-boundary pairs are closed with a
+# lead() over the per-bucket min/max aggregate — thousands of rows,
+# not billions.  Each gap reports as (gap_start, gap_end, n_missing).
+# ---------------------------------------------------------------------------
+_GAP_BUCKET = 1 << 12
+@query(
+    "et18_sequence_gaps",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey AS key,
+             LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT key + 1 AS gap_start,
+           next_key - 1 AS gap_end,
+           next_key - key - 1 AS n_missing
+    FROM k
+    WHERE next_key - key > 1
+    """,
+)
+def et18_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    keys = o.select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") / _GAP_BUCKET).cast("bigint").alias("bucket"),
+    )
+    # gaps strictly inside a bucket: parallel window per bucket
+    wb = W.partitionBy("bucket").orderBy("key")
+    inner = keys.withColumn("next_key", F.lead("key").over(wb)).filter(
+        F.col("next_key") - F.col("key") > 1
+    )
+    # gaps across bucket boundaries: window over the per-bucket extrema
+    # (one row per non-empty bucket — tiny at any scale)
+    extrema = keys.groupBy("bucket").agg(
+        F.min("key").alias("lo"), F.max("key").alias("hi")
+    )
+    wx = W.orderBy("bucket")
+    boundary = extrema.withColumn("next_lo", F.lead("lo").over(wx)).filter(
+        F.col("next_lo") - F.col("hi") > 1
+    )
+    gaps = inner.select(F.col("key").alias("k"), F.col("next_key").alias("nk")).unionAll(
+        boundary.select(F.col("hi").alias("k"), F.col("next_lo").alias("nk"))
+    )
+    return gaps.select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nk") - 1).alias("gap_end"),
+        (F.col("nk") - F.col("k") - 1).alias("n_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# et19 — Benford first-digit audit: the forensic data-quality check for
+# "organic" monetary amounts.  Observed first-digit shares of
+# o_totalprice vs Benford's log10(1 + 1/d) expectation plus the
+# chi-square statistic — flags synthetic/fabricated feeds.  One
+# map-side-combined aggregate on a 9-value key; the chi-square rides a
+# broadcast of the 9-row digit table onto one row.
+# ---------------------------------------------------------------------------
+@query(
+    "et19_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+    SELECT digit, n,
+           ROUND(n / t.total, 6) AS observed,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS expected,
+           ROUND(POW(n / t.total - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 8) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+)
+def et19_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    observed = F.col("n") / F.col("total")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(observed, 6).alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(F.pow(observed - expected, 2) / expected, 8).alias("chi2_term"),
+    )
