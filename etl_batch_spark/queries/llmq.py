@@ -1314,3 +1314,133 @@ def tx16_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("top_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ss08 — per-label centroids: element-wise mean of the embedding
+# vectors per label, plus the centroid L2 norm.  The scale shape is
+# posexplode → (label, dim) partial-aggregated avg → re-assemble — one
+# shuffle on a (|labels| × 64)-key space regardless of corpus size,
+# never a whole-vector reduce on one task.  Oracle replays with
+# UNNEST WITH ORDINALITY.  Output dims are capped to the first 8 for a
+# readable contract (the aggregation runs over all 64).
+# ---------------------------------------------------------------------------
+@query(
+    "ss08_label_centroids",
+    oracle="""
+    WITH dims AS (
+      SELECT label, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, AVG(v) AS c, COUNT(*) AS n
+      FROM dims GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm,
+           list_transform(
+             (list(c ORDER BY pos))[1:8], x -> ROUND(x, 6)
+           ) AS centroid_head
+    FROM cent GROUP BY label
+    """,
+)
+def ss08_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = dims.groupBy("label", "pos").agg(
+        F.avg("v").alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    return cent.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.round(s.c, 6),
+            ),
+            1,
+            8,
+        ).alias("centroid_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss09 — nearest-centroid classification, reported as a confusion
+# matrix (true label × predicted label).  Centroids (ss08's shape) are
+# a |labels|-row broadcast; every vector scores against all centroids
+# with a zip_with dot product and picks argmax cosine via one window
+# on vec_id.  Cosines round to 6dp BEFORE ranking so Spark and DuckDB
+# break float ties identically (then by smaller label).  At scale:
+# fact-side stays partition-parallel, centroid side is O(|labels|·dim).
+# ---------------------------------------------------------------------------
+@query(
+    "ss09_centroid_confusion",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, UNNEST(e) AS x, generate_subscripts(e, 1) AS pos FROM v
+    ),
+    cent AS (
+      SELECT label AS clabel, list(c ORDER BY pos) AS ce
+      FROM (SELECT label, pos, AVG(x) AS c FROM dims GROUP BY label, pos)
+      GROUP BY label
+    ),
+    cnorm AS (
+      SELECT clabel, ce, sqrt(list_dot_product(ce, ce)) AS cnrm FROM cent
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label, c.clabel,
+             ROUND(list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm), 6) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND(list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm), 6)
+                        DESC, c.clabel ASC
+             ) AS rk
+      FROM v CROSS JOIN cnorm c
+    )
+    SELECT label, clabel AS pred_label, COUNT(*) AS n
+    FROM scored WHERE rk = 1
+    GROUP BY label, clabel
+    """,
+)
+def ss09_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    v = emb.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    dims = emb.select("label", F.posexplode("e").alias("pos", "x"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("ce")
+        )
+        .withColumn("cnrm", F.sqrt(dot(F.col("ce"), F.col("ce"))))
+    )
+    cos = F.round(dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
+    scored = v.crossJoin(F.broadcast(cent)).withColumn("cos", cos)
+    rk = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .groupBy("label", F.col("clabel").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
