@@ -939,3 +939,77 @@ def et19_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 6).alias("expected"),
         F.round(F.pow(observed - expected, 2) / expected, 8).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# et20 — point-in-time (time-travel) join: facts joined to the
+# dimension version that was valid WHEN the fact happened — the
+# correctness cornerstone of SCD2 warehousing (joining to the current
+# version back-dates attribute changes).  Orders hit the et01-style
+# customer version history on custkey with the validity-interval
+# residual; the revenue split by segment proves pre-/post-change orders
+# land on different versions.  Plan: one equi-join shuffle on custkey
+# with the interval predicate as a residual filter — never an
+# inequality-only join.
+# ---------------------------------------------------------------------------
+@query(
+    "et20_point_in_time_join",
+    oracle="""
+    WITH versions AS (
+      SELECT c_custkey, c_mktsegment,
+             DATE '1995-01-01' AS valid_from, DATE '1997-06-01' AS valid_to
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'REASSIGNED', DATE '1997-06-01', NULL
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, DATE '1995-01-01', NULL
+      FROM customer WHERE c_custkey % 10 <> 0
+    )
+    SELECT v.c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN versions v
+      ON o.o_custkey = v.c_custkey
+     AND o.o_orderdate >= v.valid_from
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    GROUP BY v.c_mktsegment
+    """,
+)
+def et20_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    changed = F.col("c_custkey") % 10 == 0
+    v_old = c.filter(changed).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit("1997-06-01").cast("date").alias("valid_to"),
+    )
+    v_new = c.filter(changed).select(
+        "c_custkey",
+        F.lit("REASSIGNED").alias("c_mktsegment"),
+        F.lit("1997-06-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    v_same = c.filter(~changed).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    versions = v_old.unionByName(v_new).unionByName(v_same)
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (o.o_custkey == versions.c_custkey)
+        & (o.o_orderdate >= versions.valid_from)
+        & (versions.valid_to.isNull() | (o.o_orderdate < versions.valid_to))
+    )
+    return (
+        o.join(versions, cond)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

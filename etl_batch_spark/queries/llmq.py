@@ -1444,3 +1444,49 @@ def ss09_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("clabel").alias("pred_label"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# sm08 — train/val/test split: the canonical 80/10/10 disjoint carve by
+# deterministic content hash (md5 of doc_id || salt, both engines) —
+# reproducible across runs/engines, partition-independent, and leak-
+# free by construction (a doc's split is a pure function of its id).
+# One map-side-combined aggregate proves sizes and totals per split.
+# ---------------------------------------------------------------------------
+@query(
+    "sm08_train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT n_chars,
+             CASE
+               WHEN h < 0.8 THEN 'train'
+               WHEN h < 0.9 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (
+        SELECT n_chars,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15))::BIGINT)
+                 / CAST(1152921504606846976 AS DOUBLE) AS h
+        FROM documents
+      )
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def sm08_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split"))), 1, 15), 16, 10)
+        .cast("bigint")
+        / F.lit(float(1 << 60))
+    )
+    assigned = d.select(
+        "n_chars",
+        F.when(h < 0.8, "train").when(h < 0.9, "val").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
