@@ -3010,3 +3010,79 @@ def q88_union_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_tax"), 2).alias("sum_tax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — NATIVE recursive CTE (Spark 4 WITH RECURSIVE): the same
+# custkey forest et05 walks with manual frontier joins, expressed as
+# SQL-standard recursion on BOTH engines.  Spark plans one join round
+# per level (UnionLoop) — semantics identical to et05's bfs_levels;
+# having both pins that the engine's SQL front door matches the
+# operator library.  Depth is bounded by the tree height (~log10 of
+# the keyspace), so the recursion terminates at any scale.
+# ---------------------------------------------------------------------------
+_Q89_SQL = """
+    WITH RECURSIVE t AS (
+      SELECT c_custkey, 0 AS depth FROM {customer} WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1
+      FROM {customer} c JOIN t ON ({div}) = t.c_custkey
+      WHERE c.c_custkey >= 10
+    )
+    SELECT depth, COUNT(*) AS n_nodes,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_node,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_node
+    FROM t GROUP BY depth
+"""
+
+
+@query(
+    "q89_recursive_cte",
+    oracle=_Q89_SQL.format(customer="customer", div="c.c_custkey // 10"),
+)
+def q89_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q89_customer")
+    return spark.sql(
+        _Q89_SQL.format(customer="q89_customer", div="c.c_custkey div 10")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 — XML ingest surface (Spark 4 from_xml): part rows serialized to
+# XML and parsed back with a typed schema — the document-feed ingest
+# path (legacy B2B interfaces ship exactly this shape).  The oracle
+# checks the round trip by projecting the ORIGINAL columns: any
+# escaping/typing loss in serialize→parse shows up as a value mismatch.
+# xpath_* functions cover the fragment-query side.  All JVM-side
+# expressions; no shuffle before the final aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q90_xml_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           ROUND(p_retailprice, 2) AS retail,
+           CAST(len(p_name) AS INT) AS name_len
+    FROM part WHERE p_partkey % 50 = 0
+    """,
+)
+def q90_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    xml = F.concat(
+        F.lit("<part><key>"), F.col("p_partkey").cast("string"),
+        F.lit("</key><brand>"), F.col("p_brand"),
+        F.lit("</brand><price>"), F.col("p_retailprice").cast("string"),
+        F.lit("</price><name>"), F.col("p_name"),
+        F.lit("</name></part>"),
+    )
+    parsed = p.select(xml.alias("doc")).select(
+        F.from_xml(
+            "doc", "key BIGINT, brand STRING, price DOUBLE, name STRING"
+        ).alias("x"),
+        F.expr("xpath_string(doc, '/part/name')").alias("xp_name"),
+    )
+    return parsed.select(
+        F.col("x.key").alias("p_partkey"),
+        F.col("x.brand").alias("p_brand"),
+        F.round("x.price", 2).alias("retail"),
+        F.length("xp_name").cast("int").alias("name_len"),
+    )
