@@ -398,3 +398,24 @@ def read_fixed_width(
             F.when(raw == "", None).otherwise(raw).cast(dtype).alias(name)
         )
     return df.select(*cols)
+
+
+def overwrite_dynamic_partitions(
+    df: DataFrame, path: str, *, partition_by: "list[str]"
+) -> None:
+    """Partition-scoped overwrite via Spark's DYNAMIC partitionOverwriteMode:
+    only partitions present in ``df`` are replaced; all others are left
+    byte-identical.  This is the built-in counterpart of
+    operators/merge.py::merge_upsert_partitioned — use THIS when the
+    incoming batch is already the full intended content of its
+    partitions (e.g. a day's reload), and the MERGE form when row-level
+    reconciliation inside a partition is needed.  The mode is set on
+    the single write (not session-wide) so concurrent writers keep
+    STATIC semantics.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -332,3 +332,90 @@ class TestFixedWidth:
         p.write_text("1A\n")
         df = read_fixed_width(spark, str(p), [("k", 1, 1, "int"), ("v", 2, 1, "string")])
         assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestDynamicPartitionOverwrite:
+    def test_only_touched_partitions_replaced(self, spark, tmp_path):
+        import os
+
+        from etl_batch_spark.sources.io import overwrite_dynamic_partitions
+
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [("2026-01-01", 1, "a"), ("2026-01-02", 2, "b"), ("2026-01-03", 3, "c")],
+            "day string, k long, v string",
+        )
+        overwrite_dynamic_partitions(base, path, partition_by=["day"])
+
+        def mtimes():
+            out = {}
+            for d in os.listdir(path):
+                if d.startswith("day="):
+                    full = os.path.join(path, d)
+                    out[d] = max(os.path.getmtime(os.path.join(full, f))
+                                 for f in os.listdir(full) if f.endswith(".parquet"))
+            return out
+
+        before = mtimes()
+        # reload day 2 only, with different content
+        patch = spark.createDataFrame(
+            [("2026-01-02", 20, "B"), ("2026-01-02", 21, "B2")],
+            "day string, k long, v string",
+        )
+        overwrite_dynamic_partitions(patch, path, partition_by=["day"])
+        after = mtimes()
+        assert after["day=2026-01-01"] == before["day=2026-01-01"]
+        assert after["day=2026-01-03"] == before["day=2026-01-03"]
+
+        got = {(str(r["day"]), r["k"]) for r in spark.read.parquet(path).collect()}
+        assert got == {("2026-01-01", 1), ("2026-01-02", 20), ("2026-01-02", 21),
+                       ("2026-01-03", 3)}
+
+
+class TestCalendarDataSource:
+    def test_generates_partitioned_date_spine(self, spark):
+        from etl_batch_spark.sources.calendar_source import CalendarDataSource
+
+        spark.dataSource.register(CalendarDataSource)
+        df = (
+            spark.read.format("calendar")
+            .option("start", "2025-12-29")
+            .option("end", "2026-01-04")
+            .load()
+        )
+        rows = sorted(df.collect(), key=lambda r: r["day"])
+        assert len(rows) == 7
+        assert str(rows[0]["day"]) == "2025-12-29"
+        assert rows[0]["dow"] == 1 and rows[0]["iso_week"] == 1  # ISO week of 2026
+        assert rows[-1]["is_weekend"] is True
+        # year boundary -> two input partitions
+        assert df.rdd.getNumPartitions() == 2
+
+    def test_agrees_with_sql_sequence_spine(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_batch_spark.sources.calendar_source import CalendarDataSource
+
+        spark.dataSource.register(CalendarDataSource)
+        src = (
+            spark.read.format("calendar")
+            .option("start", "2026-02-25").option("end", "2026-03-05")
+            .load().select("day", "quarter", "iso_week")
+        )
+        sql = spark.sql(
+            "SELECT explode(sequence(DATE'2026-02-25', DATE'2026-03-05')) AS day"
+        ).select(
+            "day", F.quarter("day").alias("quarter"), F.weekofyear("day").alias("iso_week")
+        )
+        assert sorted(map(tuple, src.collect())) == sorted(map(tuple, sql.collect()))
+
+    def test_rejects_inverted_range(self, spark):
+        from etl_batch_spark.sources.calendar_source import CalendarDataSource
+
+        spark.dataSource.register(CalendarDataSource)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            (spark.read.format("calendar")
+             .option("start", "2026-01-02").option("end", "2026-01-01")
+             .load().collect())
