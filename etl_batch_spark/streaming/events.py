@@ -372,3 +372,66 @@ def ingest_incrementally(
     )
     q.awaitTermination()
     return n_batches
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4): the successor API to
+# applyInPandasWithState — typed per-key state primitives
+# (ValueState/ListState/MapState), timers, and state evolution.  The
+# running per-user aggregate below is the reference pattern: RocksDB-
+# backed ValueState at scale, one row emitted per key per micro-batch.
+# NB the TWS driver worker imports google.protobuf; environments
+# without a working protobuf install (this container) must stay on
+# applyInPandasWithState (sessionize_stateful above) — the test skips
+# itself when protobuf is absent.
+# ---------------------------------------------------------------------------
+RUNNING_AGG_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_AGG_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+)
+
+
+def running_user_aggregate(stream: DataFrame) -> DataFrame:
+    """Per-user lifetime (event count, value sum), maintained in typed
+    ValueState via ``transformWithStateInPandas`` and re-emitted on
+    every micro-batch that touches the user."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", _AGG_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningAgg(),
+            outputStructType=RUNNING_AGG_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -266,3 +266,41 @@ class TestIncrementalIngest:
         )
         rows = {(r["id"], r["doubled"]) for r in spark.read.parquet(dst).collect()}
         assert rows == {(1, 2), (2, 4)}
+
+
+def test_transform_with_state_running_agg_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas lifetime aggregate == batch groupBy.
+
+    Skips where the TWS python driver worker can't start (its runner
+    imports google.protobuf, broken in this container)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        import pytest
+        pytest.skip("transformWithState needs google.protobuf")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    from etl_batch_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        running_user_aggregate,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(
+        running_user_aggregate(stream), query_name="tws_agg", output_mode="update"
+    )
+    # update mode may emit a row per micro-batch per user: keep the last
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 2))
+        for r in spark.sql("select * from tws_agg").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert got == want
