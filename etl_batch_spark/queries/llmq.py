@@ -1490,3 +1490,89 @@ def sm08_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sm09 — LEAK-FREE train/val/test split: the naive per-doc split (sm08)
+# leaks when near-duplicate documents land in different splits — the
+# benchmark-contamination failure mode inside one's own corpus.  Here
+# the split is a hash of the near-dup CLUSTER id (dd07's components;
+# docs with no near-dup are their own cluster), so every cluster lands
+# in exactly one split by construction.  Output proves it: per split,
+# doc and cluster counts (sum of n_clusters == total distinct
+# clusters — no cluster is double-counted across splits).
+# ---------------------------------------------------------------------------
+@query(
+    "sm09_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_DUCK_MINHASH_SIG}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.i = b.i AND a.minh = b.minh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 4
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+      FROM reach GROUP BY u
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS cluster_id,
+             CASE
+               WHEN (('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)
+                                         || '|csplit'), 1, 15))::BIGINT)
+                    / CAST(1152921504606846976 AS DOUBLE) < 0.8 THEN 'train'
+               WHEN (('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)
+                                         || '|csplit'), 1, 15))::BIGINT)
+                    / CAST(1152921504606846976 AS DOUBLE) < 0.9 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster_id) AS n_clusters
+    FROM assigned GROUP BY split
+    """,
+)
+def sm09_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    sig = dedup.minhash_signatures(dedup.shingle_sets(docs), num_hashes=8)
+    edges = (
+        dedup.minhash_candidate_pairs(sig, num_hashes=8)
+        .filter(F.col("n_hash_agree") >= 4)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = dedup.connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(cluster.cast("string"), F.lit("|csplit"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 60))
+    )
+    assigned = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        cluster.alias("cluster_id"),
+        F.when(h < 0.8, "train").when(h < 0.9, "val").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )

@@ -3086,3 +3086,36 @@ def q90_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x.price", 2).alias("retail"),
         F.length("xp_name").cast("int").alias("name_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — running distinct count over a window: Spark has no
+# COUNT(DISTINCT) window aggregate; the engine's form is
+# size(collect_set() OVER w) — bounded state because the set is the
+# event-type vocabulary (|types| = 5), NOT the row count.  The oracle
+# uses DuckDB's native windowed DISTINCT, pinning the emulation
+# row-for-row.  One shuffle on user_id.  (For unbounded-cardinality
+# running distincts, the scalable form is the et07 HLL-sketch rollup.)
+# ---------------------------------------------------------------------------
+@query(
+    "q91_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS INT) AS n_types_seen
+    FROM events WHERE user_id % 20 = 7
+    """,
+)
+def q91_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 7)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("int").alias("n_types_seen"),
+    )
