@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 
 def _lttb_numpy(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
@@ -73,3 +74,43 @@ def lttb_downsample(
         return pdf.iloc[_lttb_numpy(x, y, n_out)]
 
     return sub.groupBy(key_col).applyInPandas(_one_series, schema=schema)
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-series exponentially-weighted moving average:
+    ``s_0 = x_0; s_t = alpha*x_t + (1-alpha)*s_{t-1}`` (adjust=False
+    recursion) appended as an ``ewma`` column.
+
+    The recursion is order-dependent within a series — not a window
+    expression — so, like :func:`lttb_downsample`, it runs as
+    ``applyInPandas`` per key: sequential inside a series, parallel
+    across series.  Ties on ts break by value for determinism.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    sub = df.select(key_col, ts_col, value_col)
+    out_schema = T.StructType(
+        list(sub.schema.fields) + [T.StructField("ewma", T.DoubleType())]
+    )
+
+    def _one_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        s = np.empty_like(x)
+        acc = x[0]
+        for i, v in enumerate(x):
+            acc = alpha * v + (1.0 - alpha) * acc if i else v
+            s[i] = acc
+        pdf["ewma"] = s
+        return pdf
+
+    return sub.groupBy(key_col).applyInPandas(_one_series, schema=out_schema)

@@ -1013,3 +1013,74 @@ def et20_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# et21 — EXACT distinct counting via mergeable bitmaps (the
+# ClickHouse/Roaring pattern): user ids pack into 64-bit words
+# (bucket = id div 63, bit = id mod 63 — 63 bits per word, because a
+# signed-BIGINT engine like DuckDB overflows on 1 << 63); per (day,
+# bucket) the words
+# BIT_OR together — an associative, mergeable partial like et04's
+# sums — and popcounts roll up to exact daily uniques.  Contrast with
+# et07's HLL (approximate, fixed-size): bitmaps are exact with state
+# ∝ id-space/8 bytes, the right trade when ids are dense integers.
+# The query proves bitmap == COUNT(DISTINCT) on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "et21_bitmap_distinct",
+    oracle="""
+    WITH words AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id // 63 AS bucket,
+             BIT_OR(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+      FROM events GROUP BY 1, 2
+    ),
+    bitmap AS (
+      SELECT day, CAST(SUM(bit_count(word)) AS BIGINT) AS n_bitmap
+      FROM words GROUP BY day
+    ),
+    exact AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT b.day, b.n_bitmap, e.n_exact
+    FROM bitmap b JOIN exact e USING (day)
+    """,
+)
+def et21_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    words = e.groupBy(
+        day, (F.col("user_id") / 63).cast("bigint").alias("bucket")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))")
+        ).alias("word")
+    )
+    bitmap = words.groupBy("day").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_bitmap")
+    )
+    exact = e.groupBy(day).agg(F.countDistinct("user_id").alias("n_exact"))
+    return bitmap.join(exact, "day")
+
+
+# ---------------------------------------------------------------------------
+# et22 — EWMA smoothing (rows-only: the recursion is order-dependent,
+# not SQL-expressible): per-user exponentially-weighted value series,
+# exactness pinned by tests/test_operators.py::TestEwma's independent
+# recursion replay.
+# ---------------------------------------------------------------------------
+@query(
+    "et22_ewma_smoothing",
+    oracle=None,
+    doc="per-user EWMA (alpha=0.3) via per-series applyInPandas",
+)
+def et22_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.downsample import ewma
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 4)
+    return ewma(e, alpha=0.3).select(
+        "user_id", "ts", F.round("value", 4).alias("value"), F.round("ewma", 6).alias("ewma")
+    )

@@ -869,3 +869,37 @@ class TestLttb:
             "user_id long, ts long, value double",
         )
         assert lttb_downsample(df, n_out=10).count() == 3
+
+
+class TestEwma:
+    def test_matches_recursion_replay(self, spark):
+        import datetime as dt
+        import random
+
+        from etl_batch_spark.operators.downsample import ewma
+
+        rng = random.Random(3)
+        rows = [
+            (uid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), rng.uniform(0, 10))
+            for uid in (1, 2) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = {
+            (r["user_id"], r["ts"]): r["ewma"]
+            for r in ewma(df, alpha=0.25).collect()
+        }
+        for uid in (1, 2):
+            series = sorted((ts, v) for u, ts, v in rows if u == uid)
+            acc = None
+            for ts, v in series:
+                acc = v if acc is None else 0.25 * v + 0.75 * acc
+                assert abs(got[(uid, ts)] - acc) < 1e-12
+
+    def test_rejects_bad_alpha(self, spark):
+        import pytest as _pytest
+
+        from etl_batch_spark.operators.downsample import ewma
+
+        df = spark.createDataFrame([(1, 1, 1.0)], "user_id long, ts long, value double")
+        with _pytest.raises(ValueError):
+            ewma(df, alpha=0.0)
