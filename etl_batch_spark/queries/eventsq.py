@@ -508,3 +508,41 @@ def ev10_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev11 — time since last occurrence of a marker event: for every event,
+# seconds since the user's most recent PRIOR purchase (NULL before the
+# first).  max(CASE …) over an expanding frame — one shuffle on
+# user_id, no self-join, no sequential scan state.  The recency
+# feature every churn/propensity model starts from.
+# ---------------------------------------------------------------------------
+@query(
+    "ev11_time_since_purchase",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           ROUND(epoch(ts) - MAX(CASE WHEN event_type = 'purchase'
+                                      THEN epoch(ts) END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2)
+             AS s_since_purchase
+    FROM events WHERE user_id % 25 = 11
+    """,
+)
+def ev11_time_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("user_id") % 25 == 11)
+    sec = F.unix_micros("ts") / F.lit(1e6)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", sec)
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(sec - last_purchase, 2).alias("s_since_purchase"),
+    )

@@ -3119,3 +3119,42 @@ def q91_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).cast("int").alias("n_types_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — period-over-period growth (MoM / YoY): the BI staple.  Monthly
+# revenue aggregates first (25-row table), THEN lag(1)/lag(12) windows
+# run over the aggregate — window cost is proportional to months, not
+# fact rows, at any scale.  NULL-safe percent change via nullif.
+# ---------------------------------------------------------------------------
+@query(
+    "q92_period_over_period",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(100.0 * (revenue - LAG(revenue, 1) OVER (ORDER BY month))
+                 / nullif(LAG(revenue, 1) OVER (ORDER BY month), 0), 4) AS mom_pct,
+           ROUND(100.0 * (revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                 / nullif(LAG(revenue, 12) OVER (ORDER BY month), 0), 4) AS yoy_pct
+    FROM monthly
+    """,
+)
+def q92_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = W.orderBy("month")
+    pct = lambda n: F.round(  # noqa: E731
+        100.0
+        * (F.col("revenue") - F.lag("revenue", n).over(w))
+        / F.nullif(F.lag("revenue", n).over(w), F.lit(0)),
+        4,
+    )
+    return monthly.select(
+        "month", "revenue", pct(1).alias("mom_pct"), pct(12).alias("yoy_pct")
+    )
