@@ -39,6 +39,10 @@ def _build_parser() -> argparse.ArgumentParser:
     sql.add_argument("statement")
     sql.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     sql.add_argument("--out", default="show")
+
+    ex = sub.add_parser("explain", help="print a query's formatted physical plan")
+    ex.add_argument("query")
+    ex.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     return p
 
 
@@ -87,6 +91,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown query {args.query!r}; try: python -m etl_batch_spark list",
               file=sys.stderr)
         return 2
+
+    if args.cmd == "explain":
+        QUERIES[args.query].build(spark, args.sf_dir).explain("formatted")
+        return 0
 
     from etl_batch_spark.orchestration.runner import BatchRunner
     from etl_batch_spark.orchestration.store import ControlStore

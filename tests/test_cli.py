@@ -39,3 +39,9 @@ def test_sql_over_views(spark, capsys):
         == 0
     )
     assert "sql: 1 rows" in capsys.readouterr().out
+
+
+def test_explain_prints_formatted_plan(spark, capsys):
+    assert main(["explain", "q01_pricing_summary", "--sf-dir", SF]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
