@@ -135,3 +135,42 @@ def test_et12_fifo_join_is_hash_on_partkey(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tx14_bm25_topk_is_take_ordered(spark, sf_dir):
+    df = QUERIES["tx14_bm25_search"].build(spark, sf_dir)
+    assert plans.count_ops(df, "TakeOrderedAndProject") == 1
+    # corpus stats + df join ride broadcasts, never a fact-side shuffle join
+    plans.assert_broadcast(df, at_least=2)
+
+
+def test_et17_skew_profile_hot_keys_bounded(spark, sf_dir):
+    df = QUERIES["et17_skew_profile"].build(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert plans.count_ops(df, "TakeOrderedAndProject") == 1  # top-5, not a sort
+    assert "CartesianProduct" not in p  # one-row sides cross via broadcast
+    plans.assert_broadcast(df, at_least=1)
+
+
+def test_ss09_centroids_broadcast_fact_stays_parallel(spark, sf_dir):
+    df = QUERIES["ss09_centroid_confusion"].build(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_et21_bitmap_words_partial_aggregate(spark, sf_dir):
+    df = QUERIES["et21_bitmap_distinct"].build(spark, sf_dir)
+    # both the word build and the popcount rollup are partial-aggregated
+    assert plans.count_ops(df, "HashAggregate") >= 4
+
+
+def test_q88_union_is_shuffle_free_before_agg(spark, sf_dir):
+    df = QUERIES["q88_union_evolving_schema"].build(spark, sf_dir)
+    # single global aggregate: exactly one exchange (to the 1-row agg)
+    assert plans.count_ops(df, "Exchange") <= 2
+
+
+def test_tx15_chunking_has_no_exchange(spark, sf_dir):
+    df = QUERIES["tx15_rag_chunks"].build(spark, sf_dir)
+    assert plans.count_ops(df, "Exchange") == 0  # narrow row expansion
