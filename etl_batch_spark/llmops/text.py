@@ -395,3 +395,37 @@ def bm25_topk(
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+    keep_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Sliding-window token chunks: (id, chunk_idx, n_tokens,
+    chunk_text[, keep_cols...]) — one row per window of ``size`` tokens
+    every ``stride`` (overlap = size - stride).  Pure higher-order
+    array expressions: a narrow, shuffle-free row expansion whose
+    output multiplies rows by ~n_tokens/stride.
+    """
+    from etl_batch_spark.llmops.dedup import tokens
+
+    d = df.select(id_col, *keep_cols, tokens(text_col).alias("toks"))
+    n = F.size("toks")
+    starts = d.filter(n > 0).select(
+        id_col,
+        *keep_cols,
+        "toks",
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(stride))).alias("start"),
+    )
+    return starts.select(
+        id_col,
+        *keep_cols,
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.least(F.lit(size), F.size("toks") - F.col("start")).cast("int").alias("n_tokens"),
+        F.array_join(F.slice("toks", F.col("start") + 1, size), " ").alias("chunk_text"),
+    )

@@ -1233,24 +1233,8 @@ _CHUNK, _STRIDE = 32, 24
     """,
 )
 def tx15_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_batch_spark.llmops.dedup import tokens
-
-    d = _documents(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
-    n = F.size("toks")
-    starts = d.filter(n > 0).select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_STRIDE))).alias("start"),
-    )
-    return starts.select(
-        "doc_id",
-        (F.col("start") / _STRIDE).cast("int").alias("chunk_idx"),
-        F.least(F.lit(_CHUNK), F.size("toks") - F.col("start"))
-        .cast("int")
-        .alias("n_tokens"),
-        F.array_join(F.slice("toks", F.col("start") + 1, _CHUNK), " ").alias(
-            "chunk_text"
-        ),
+    return text.chunk_tokens(
+        _documents(spark, sf_dir), size=_CHUNK, stride=_STRIDE
     )
 
 
@@ -1575,4 +1559,62 @@ def sm09_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe02 — RAG corpus preparation as ONE composed DAG: exact-dedup the
+# documents (keeper = min doc_id per content hash), chunk the keepers
+# into 32/24 token windows, fingerprint each chunk, and account per
+# source: kept docs, chunks, tokens, distinct chunk fingerprints (the
+# residual post-chunk duplication the next dedup round would remove).
+# The whole pipeline is dedup-shuffle + narrow chunk expansion +
+# one aggregate; the oracle chains the same stages as SQL CTEs.
+# ---------------------------------------------------------------------------
+@query(
+    "pipe02_rag_corpus",
+    bench=True,
+    doc="dedup -> chunk -> fingerprint -> per-source accounting",
+    oracle=f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source, {_DUCK_TOKENS} AS toks
+      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             CAST(LEAST(32, len(toks) - start) AS INT) AS n_tokens,
+             md5(array_to_string(list_slice(toks, start + 1, start + 32), ' '))
+               AS fp
+      FROM (
+        SELECT doc_id, source, toks,
+               UNNEST(generate_series(0, len(toks) - 1, 24)) AS start
+        FROM kept WHERE len(toks) > 0
+      )
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT fp) AS n_uniq_chunks
+    FROM chunks GROUP BY source
+    """,
+)
+def pipe02_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    keepers = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(keepers.select("doc_id"), "doc_id")
+    chunks = text.chunk_tokens(kept, size=32, stride=24, keep_cols=("source",))
+    return (
+        chunks.select("doc_id", "source", "n_tokens", F.md5("chunk_text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("fp").alias("n_uniq_chunks"),
+        )
     )

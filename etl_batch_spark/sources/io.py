@@ -419,3 +419,44 @@ def overwrite_dynamic_partitions(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def missing_partitions(
+    spark: SparkSession, path: str, *, start: str, end: str, day_col: str = "day"
+) -> "list[str]":
+    """Backfill planner: which ``day=`` partitions are absent from a
+    date-partitioned table over [start, end]?  The expected spine comes
+    from the calendar DataSource (partition-parallel generation), the
+    present set from the table's partition DIRECTORY listing (pure
+    metadata — no data files are read), and the answer is their anti
+    join.  Feed the result to the scheduler as the work list for
+    catch-up runs — the engine-side analogue of the reference's
+    loader-file resolution (pkg_batch_util_body.sql:1163–1251).
+    """
+    from pyspark.sql import functions as F
+
+    from etl_batch_spark.sources.calendar_source import CalendarDataSource
+
+    spark.dataSource.register(CalendarDataSource)
+    spine = (
+        spark.read.format("calendar")
+        .option("start", start)
+        .option("end", end)
+        .load()
+        .select(F.col("day").cast("string").alias("day"))
+    )
+    try:
+        listing = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+        fs = listing.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        present = [
+            f.getPath().getName().split("=", 1)[1]
+            for f in fs.listStatus(listing)
+            if f.isDirectory() and f.getPath().getName().startswith(f"{day_col}=")
+        ]
+    except Exception:
+        present = []
+    have = spark.createDataFrame(
+        [(d,) for d in present] or [(None,)], "day string"
+    ).filter(F.col("day").isNotNull())
+    missing = spine.join(have, "day", "left_anti").orderBy("day")
+    return [r["day"] for r in missing.collect()]

@@ -419,3 +419,26 @@ class TestCalendarDataSource:
             (spark.read.format("calendar")
              .option("start", "2026-01-02").option("end", "2026-01-01")
              .load().collect())
+
+
+class TestMissingPartitions:
+    def test_finds_gaps_in_partition_listing(self, spark, tmp_path):
+        from etl_batch_spark.sources.io import missing_partitions, write_partitioned
+
+        df = spark.createDataFrame(
+            [("2026-01-01 01:00:00", 1), ("2026-01-02 01:00:00", 2),
+             ("2026-01-04 01:00:00", 4)],
+            "ts string, k long",
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "k")
+        out = str(tmp_path / "t")
+        write_partitioned(df, out, day_column="ts")
+        got = missing_partitions(spark, out, start="2026-01-01", end="2026-01-05")
+        assert got == ["2026-01-03", "2026-01-05"]
+
+    def test_empty_table_returns_full_spine(self, spark, tmp_path):
+        from etl_batch_spark.sources.io import missing_partitions
+
+        got = missing_partitions(
+            spark, str(tmp_path / "nope"), start="2026-02-01", end="2026-02-03"
+        )
+        assert got == ["2026-02-01", "2026-02-02", "2026-02-03"]
