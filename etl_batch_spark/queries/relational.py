@@ -3158,3 +3158,49 @@ def q92_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "month", "revenue", pct(1).alias("mom_pct"), pct(12).alias("yoy_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — error-tolerant expression surface: Spark 4 runs ANSI mode by
+# default (overflow/malformed-cast/bad-index THROW), so robust ETL over
+# dirty feeds uses the try_* family — NULL on error, never a failed
+# job.  Pinned against DuckDB's TRY_CAST / NULL-guarded forms over a
+# deliberately dirty derived feed.  All row-local: no shuffle before
+# the final aggregate-free projection.
+# ---------------------------------------------------------------------------
+@query(
+    "q93_try_function_surface",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(dirty_num AS BIGINT) AS parsed_num,
+           TRY_CAST(dirty_date AS DATE) AS parsed_date,
+           CASE WHEN parts_n = 0 THEN NULL
+                ELSE CAST(o_orderkey AS DOUBLE) / parts_n END AS safe_ratio,
+           list_extract(string_split(o_orderpriority, '-'), 5) AS fifth_field
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+                  ELSE 'x' || CAST(o_orderkey AS VARCHAR) END AS dirty_num,
+             CASE WHEN o_orderkey % 4 = 0 THEN '2024-02-30'
+                  ELSE '2024-01-15' END AS dirty_date,
+             o_orderkey % 5 AS parts_n
+      FROM orders WHERE o_orderkey % 100 = 1
+    )
+    """,
+)
+def q93_try_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 1)
+    dirty_num = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_orderkey").cast("string")
+    ).otherwise(F.concat(F.lit("x"), F.col("o_orderkey").cast("string")))
+    dirty_date = F.when(F.col("o_orderkey") % 4 == 0, "2024-02-30").otherwise(
+        "2024-01-15"
+    )
+    parts_n = F.col("o_orderkey") % 5
+    return o.select(
+        "o_orderkey",
+        F.try_to_number(dirty_num, F.lit("999999999")).cast("bigint").alias("parsed_num"),
+        F.try_to_date(dirty_date, "yyyy-MM-dd").alias("parsed_date"),
+        F.try_divide(F.col("o_orderkey").cast("double"), parts_n).alias("safe_ratio"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias("fifth_field"),
+    )

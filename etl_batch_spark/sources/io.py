@@ -460,3 +460,25 @@ def missing_partitions(
     ).filter(F.col("day").isNotNull())
     missing = spine.join(have, "day", "left_anti").orderBy("day")
     return [r["day"] for r in missing.collect()]
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, *, sort_cols: "list[str]", num_files: int = 8
+) -> None:
+    """Write globally range-sorted parquet: repartitionByRange splits
+    the keyspace into ``num_files`` contiguous slices (sampled range
+    boundaries), sortWithinPartitions orders inside each, so file
+    min/max footer envelopes on ``sort_cols[0]`` are NON-OVERLAPPING —
+    a point/range predicate prunes to one file (vs z-order's
+    multi-column but overlapping envelopes; use z-order when queries
+    filter several independent columns, range-sort for one dominant
+    column).  No global sort on a single task at any scale.
+    """
+    if not sort_cols:
+        raise ValueError("sort_cols must be non-empty")
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

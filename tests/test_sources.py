@@ -442,3 +442,41 @@ class TestMissingPartitions:
             spark, str(tmp_path / "nope"), start="2026-02-01", end="2026-02-03"
         )
         assert got == ["2026-02-01", "2026-02-02", "2026-02-03"]
+
+
+class TestRangeSortedWrite:
+    def test_envelopes_disjoint_and_prunable(self, spark, tmp_path):
+        import glob as g
+
+        import pyarrow.parquet as pq
+
+        from etl_batch_spark.sources.io import write_range_sorted
+
+        df = spark.range(10_000).select(
+            (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+        )
+        path = str(tmp_path / "sorted")
+        write_range_sorted(df, path, sort_cols=["k"], num_files=4)
+
+        spans = []
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.to_arrow_schema().names
+            ki = names.index("k")
+            lo = min(md.row_group(rg).column(ki).statistics.min for rg in range(md.num_row_groups))
+            hi = max(md.row_group(rg).column(ki).statistics.max for rg in range(md.num_row_groups))
+            spans.append((lo, hi))
+        spans.sort()
+        assert len(spans) == 4
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+            assert a_hi < b_lo, f"overlap: {spans}"
+        # and the data round-trips
+        assert spark.read.parquet(path).count() == 10_000
+
+    def test_rejects_empty_sort_cols(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.io import write_range_sorted
+
+        with _pytest.raises(ValueError):
+            write_range_sorted(spark.range(1), str(tmp_path / "x"), sort_cols=[])
