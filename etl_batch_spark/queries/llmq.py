@@ -1618,3 +1618,57 @@ def pipe02_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").alias("n_uniq_chunks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dd10 — winnowing-based near-dup candidates (the MOSS / plagiarism
+# detector modality): documents sharing >= 3 winnowed fingerprints
+# (tx05's k=3 w=4 selection).  Winnowing guarantees any shared run of
+# >= w+k-1 tokens yields a shared fingerprint, so this catches
+# LOCALIZED copying that whole-document MinHash (dd04) dilutes away —
+# the complementary recall profile.  Same scale shape as dd04: join on
+# the fingerprint, count per pair; hot fingerprints are bounded by the
+# winnowing window density ~2/(w+1).
+# ---------------------------------------------------------------------------
+@query(
+    "dd10_winnow_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> {_DUCK_H60.format(expr="toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}) AS hs
+      FROM t WHERE len(toks) >= 3
+    ),
+    fp AS (
+      SELECT doc_id, UNNEST(fps) AS fingerprint
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= 4
+                    THEN list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                                                      i -> list_min(hs[i:i+3])))
+                    ELSE [list_min(hs)] END AS fps
+        FROM h
+      )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def dd10_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = text.winnow_fingerprints(_documents(spark, sf_dir), k=3, w=4)
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
