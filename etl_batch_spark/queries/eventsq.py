@@ -546,3 +546,68 @@ def ev11_time_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(sec - last_purchase, 2).alias("s_since_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev12 — time-bounded funnel (ClickHouse windowFunnel semantics):
+# view → click → purchase must complete within 24h of the FIRST view.
+# Unlike ev01's unbounded chain, each stage joins on user AND the
+# window bound, so conversion credit expires.  Still pure aggregates
+# on user_id — the stage joins reuse one exchange key; no sequential
+# scan state, no window functions over the fact table.
+# ---------------------------------------------------------------------------
+@query(
+    "ev12_windowed_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS step1_view,
+           (SELECT COUNT(*) FROM s2) AS step2_click_24h,
+           (SELECT COUNT(*) FROM s3) AS step3_purchase_24h
+    """,
+)
+def ev12_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr("INTERVAL 24 HOURS")
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("step1_view"))
+        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("step2_click_24h"))))
+        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("step3_purchase_24h"))))
+    )

@@ -304,3 +304,37 @@ def test_transform_with_state_running_agg_matches_batch(spark, sf_dir):
     )
     want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
     assert got == want
+
+
+def test_incremental_rollup_matches_batch_and_skips_replay(spark, sf_dir, tmp_path):
+    """Continuous aggregate: streamed partials == batch rollup; a second
+    drain with nothing new merges nothing new."""
+    from etl_batch_spark.operators.rollup import read_level, rollup_cascade
+    from etl_batch_spark.streaming.events import maintain_rollup_incrementally
+
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = maintain_rollup_incrementally(spark, sf_dir, rollup_dir, ckpt)
+    assert n1 >= 1
+
+    streamed = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_level(spark.read.parquet(rollup_dir)).collect()
+    }
+    batch = read_level(
+        rollup_cascade(load_table(spark, sf_dir, "events"), levels=("day",))["day"]
+    )
+    want = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert streamed == want
+
+    # re-drain: checkpoint knows every file was consumed -> no new batch
+    n2 = maintain_rollup_incrementally(spark, sf_dir, rollup_dir, ckpt)
+    assert n2 == 0
+    again = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_level(spark.read.parquet(rollup_dir)).collect()
+    }
+    assert again == want
