@@ -3204,3 +3204,36 @@ def q93_try_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("o_orderkey").cast("double"), parts_n).alias("safe_ratio"),
         F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias("fifth_field"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — rolling exact median (trailing-7-row percentile window): Spark
+# accepts its exact `percentile` aggregate over a window frame, DuckDB
+# its `quantile_cont` — both linear-interpolating, pinned equal here.
+# Frame cost is O(frame) per row; for wide frames at scale prefer the
+# et04-style bucket pre-aggregation or approx sketches.  One shuffle
+# on suppkey.
+# ---------------------------------------------------------------------------
+@query(
+    "q94_rolling_median",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(quantile_cont(l_quantity, 0.5) OVER (
+             PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM lineitem WHERE l_suppkey % 40 = 13
+    """,
+)
+def q94_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 40 == 13)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(-6, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.expr("percentile(l_quantity, 0.5)").over(w), 4).alias("med7"),
+    )
