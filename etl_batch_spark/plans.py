@@ -46,6 +46,30 @@ def count_ops(df: DataFrame, op: str) -> int:
     return len(re.findall(rf"\b{re.escape(op)}\b", tree))
 
 
+def unpartitioned_windows(df: DataFrame) -> int:
+    """Count Window physical ops with NO partition spec (the
+    `WindowExec: No Partition Defined` single-task shape).  A partitioned
+    Window's detail line carries three top-level bracket groups
+    ([exprs], [partition], [order]); an unpartitioned one only two."""
+    plan = formatted_plan(df)
+    n = 0
+    for m in re.finditer(r"\(\d+\) Window(?:GroupLimit)?\n((?:.+\n)*?)\n", plan + "\n"):
+        for line in m.group(1).splitlines():
+            if not line.startswith("Arguments:"):
+                continue
+            depth, groups = 0, 0
+            for ch in line:
+                if ch == "[":
+                    if depth == 0:
+                        groups += 1
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+            if groups == 2:
+                n += 1
+    return n
+
+
 def assert_filter_pushed(df: DataFrame, column: str) -> None:
     filters = pushed_filters(df)
     if not any(column in f for f in filters):

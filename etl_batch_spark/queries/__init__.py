@@ -9,3 +9,10 @@ from etl_batch_spark.queries.registry import QUERIES, Query, query  # noqa: F401
 
 # import for registration side effects
 from etl_batch_spark.queries import etlq, eventsq, llmq, relational, scalarq  # noqa: E402,F401
+
+# Reorder the registry so the external driver's bounded per-round
+# verification window (first 50 entries) lands on not-yet-verified and
+# changed-this-round queries first; see rotation.py.
+from etl_batch_spark.queries import rotation as _rotation  # noqa: E402
+
+_rotation.reorder(QUERIES)

@@ -25,6 +25,7 @@ from etl_batch_spark.queries.registry import query
 # ---------------------------------------------------------------------------
 @query(
     "et01_scd2_merge",
+    bench=True,
     oracle="""
     WITH cur AS (
       SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -802,7 +803,9 @@ def et16_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     ),
     hot AS (
-      SELECT list(key ORDER BY cnt DESC, key ASC) AS top_keys
+      -- string, not LIST: the external driver canonicalizes via pandas,
+      -- which cannot hash list cells (CORRECTNESS_r01 TypeError)
+      SELECT string_agg(CAST(key AS VARCHAR), ',' ORDER BY cnt DESC, key ASC) AS top_keys
       FROM (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 5)
     )
     SELECT * FROM summary CROSS JOIN hot
@@ -826,9 +829,12 @@ def et17_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.orderBy(F.desc("cnt"), F.asc("key"))
         .limit(5)
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct((-F.col("cnt")).alias("neg"), "key"))),
-                lambda s: s.key,
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct((-F.col("cnt")).alias("neg"), "key"))),
+                    lambda s: s.key.cast("string"),
+                ),
+                ",",
             ).alias("top_keys")
         )
     )

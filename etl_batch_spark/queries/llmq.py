@@ -683,6 +683,7 @@ def tx08_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tx09_decontaminate",
+    bench=True,
     doc="n-gram-overlap benchmark leak check: train (source<>src0) vs held-out "
     "src0 (llmops.text.contamination)",
     oracle=f"""
@@ -1266,7 +1267,13 @@ _IDX_TERMS = ("spark", "join", "merge", "window", "stream", "batch")
     SELECT term,
            COUNT(*) AS df,
            CAST(SUM(tf) AS BIGINT) AS total_tf,
-           (list(doc_id ORDER BY tf DESC, doc_id ASC))[1:5] AS top_docs
+           -- comma-joined string, not LIST: the external driver canonicalizes
+           -- via pandas, which cannot hash list cells
+           array_to_string(
+             list_transform((list(doc_id ORDER BY tf DESC, doc_id ASC))[1:5],
+                            x -> CAST(x AS VARCHAR)),
+             ','
+           ) AS top_docs
     FROM tf GROUP BY term
     """,
 )
@@ -1289,13 +1296,16 @@ def tx16_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
-        F.slice(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct((-F.col("tf")).alias("neg"), "doc_id"))),
-                lambda s: s.doc_id,
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct((-F.col("tf")).alias("neg"), "doc_id"))),
+                    lambda s: s.doc_id.cast("string"),
+                ),
+                1,
+                5,
             ),
-            1,
-            5,
+            ",",
         ).alias("top_docs"),
     )
 
@@ -1324,8 +1334,12 @@ def tx16_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            CAST(MAX(n) AS BIGINT) AS n_vectors,
            ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm,
-           list_transform(
-             (list(c ORDER BY pos))[1:8], x -> ROUND(x, 6)
+           -- fixed %.6f string, not LIST: the external driver canonicalizes
+           -- via pandas, which cannot hash list cells; printf keeps the float
+           -- repr byte-identical between DuckDB and Spark
+           array_to_string(
+             list_transform((list(c ORDER BY pos))[1:8], x -> printf('%.6f', x)),
+             ','
            ) AS centroid_head
     FROM cent GROUP BY label
     """,
@@ -1339,13 +1353,16 @@ def ss08_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.groupBy("label").agg(
         F.max("n").cast("bigint").alias("n_vectors"),
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
-        F.slice(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: F.round(s.c, 6),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: F.format_string("%.6f", s.c),
+                ),
+                1,
+                8,
             ),
-            1,
-            8,
+            ",",
         ).alias("centroid_head"),
     )
 
@@ -1439,6 +1456,7 @@ def ss09_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "sm08_train_val_test_split",
+    bench=True,
     oracle="""
     WITH assigned AS (
       SELECT n_chars,

@@ -2583,9 +2583,36 @@ def q77_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast — and the follow-up semi join shuffles a fraction of the
 # fact.  Result is exactly the semi join (false positives stripped).
 # ---------------------------------------------------------------------------
+def _q78_build(spark: SparkSession, sf_dir: str, *, exact: bool) -> DataFrame:
+    from etl_batch_spark.operators.bloom import bloom_semi_filter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    euro = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+    )
+    pruned = bloom_semi_filter(
+        li, euro, "l_suppkey", "s_suppkey", num_bits=1 << 16, exact=exact
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
 @query(
     "q78_bloom_semi_filter",
     bench=True,
+    # bench times the join-free probe (exact=False) — the plan the bloom
+    # operator exists to produce at 100 TB (scan-side prune, no shuffle,
+    # no dim broadcast).  Correctness keeps exact=True so the result is
+    # exactly the semi join the oracle computes.
+    bench_build=lambda spark, sf_dir: _q78_build(spark, sf_dir, exact=False),
     doc="bloom-pruned semi join (operators.bloom.bloom_semi_filter)",
     oracle="""
     SELECT l_returnflag,
@@ -2603,23 +2630,7 @@ def q77_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q78_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_batch_spark.operators.bloom import bloom_semi_filter
-
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    euro = (
-        s.join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
-        .filter(F.col("r_name") == "EUROPE")
-        .select("s_suppkey")
-    )
-    pruned = bloom_semi_filter(li, euro, "l_suppkey", "s_suppkey", num_bits=1 << 16)
-    return pruned.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-    )
+    return _q78_build(spark, sf_dir, exact=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2827,7 +2838,10 @@ def q84_udtf_split_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and NULLS LAST on DESC; engines disagree on defaults (DuckDB is the
 # opposite), so portable sorts must pin the placement explicitly.  The
 # query materializes both placements as rank columns over a nullable
-# derived key — the ordering contract, hash-checked.
+# derived key — the ordering contract, hash-checked.  The two GLOBAL
+# rankings use operators/ranks.py::global_row_number (range-partitioned
+# rank + slice offset) — never an unpartitioned WindowExec over a table
+# that grows with scale.
 # ---------------------------------------------------------------------------
 @query(
     "q85_null_ordering",
@@ -2856,21 +2870,26 @@ def q85_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("s_nationkey") % 6, F.lit(2)).alias("grp"),
         )
     )
-    return s.select(
-        "s_suppkey",
-        F.row_number()
-        .over(W.orderBy(F.col("bal").asc_nulls_first(), "s_suppkey"))
-        .cast("int")
-        .alias("rk_nulls_first"),
-        F.row_number()
-        .over(W.orderBy(F.col("bal").desc_nulls_last(), "s_suppkey"))
-        .cast("int")
-        .alias("rk_nulls_last"),
-        F.row_number()
-        .over(W.partitionBy("grp").orderBy(F.col("bal").asc_nulls_last(), "s_suppkey"))
-        .cast("int")
-        .alias("rk_in_group"),
+    from etl_batch_spark.operators.ranks import global_row_number
+
+    ranked = global_row_number(
+        s, [F.col("bal").asc_nulls_first(), F.col("s_suppkey").asc()], "rk_nulls_first"
     )
+    ranked = global_row_number(
+        ranked,
+        [F.col("bal").desc_nulls_last(), F.col("s_suppkey").asc()],
+        "rk_nulls_last",
+    )
+    # PARTITION BY grp is ~6 groups — low-cardinality, so a plain window
+    # would still serialize each huge group onto one task; the partitioned
+    # global_row_number spreads every group across range slices instead.
+    ranked = global_row_number(
+        ranked,
+        [F.col("bal").asc_nulls_last(), F.col("s_suppkey").asc()],
+        "rk_in_group",
+        partition_cols=["grp"],
+    )
+    return ranked.select("s_suppkey", "rk_nulls_first", "rk_nulls_last", "rk_in_group")
 
 
 # ---------------------------------------------------------------------------
@@ -3038,6 +3057,7 @@ _Q89_SQL = """
 
 @query(
     "q89_recursive_cte",
+    bench=True,
     oracle=_Q89_SQL.format(customer="customer", div="c.c_custkey // 10"),
 )
 def q89_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3199,7 +3219,10 @@ def q93_try_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts_n = F.col("o_orderkey") % 5
     return o.select(
         "o_orderkey",
-        F.try_to_number(dirty_num, F.lit("999999999")).cast("bigint").alias("parsed_num"),
+        # try_cast, not try_to_number('999999999'): the format string caps at
+        # 9 digits, silently NULLing 10+-digit bigint orderkeys at larger SFs
+        # while the TRY_CAST oracle still parses them (latent divergence).
+        dirty_num.try_cast("bigint").alias("parsed_num"),
         F.try_to_date(dirty_date, "yyyy-MM-dd").alias("parsed_date"),
         F.try_divide(F.col("o_orderkey").cast("double"), parts_n).alias("safe_ratio"),
         F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias("fifth_field"),

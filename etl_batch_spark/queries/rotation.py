@@ -1,0 +1,150 @@
+"""Driver-window rotation for the correctness gate.
+
+The external driver verifies the FIRST 50 entries of :data:`QUERIES` in
+registration order per round (CORRECTNESS_r01 checked exactly
+``list(QUERIES)[:50]``).  With 174+ registered queries, a static order
+would leave most of the surface driver-unverified forever.  This module
+pins an explicit order instead:
+
+1. ``DRIVER_WINDOW`` — the 50 names this round's driver run must check:
+   queries whose output or oracle changed this round (must re-verify)
+   plus the highest-priority never-checked queries.
+2. everything else not yet driver-green (any newly added query lands
+   here automatically), in registration order.
+3. ``DRIVER_GREEN`` — names already verified green by a previous round's
+   driver run, deprioritized to the back.
+
+Update both lists once per round from ``CORRECTNESS_r{N}.json``: move
+newly green names into DRIVER_GREEN and refill DRIVER_WINDOW with the
+next unchecked batch.  ``tools/parity.py`` still checks ALL queries
+locally every run, so rotation never weakens local coverage.
+"""
+
+from __future__ import annotations
+
+# Round 2 window: 5 changed-output queries (et17 driver FAIL fix; et16/et22
+# new oracles; tx16/ss08 de-arrayed) + 2 fixed-this-round relational queries
+# (q85 scale fix, q93 try_cast fix) + the first 43 never-checked SURVEY-core
+# relational mappings.
+DRIVER_WINDOW: list[str] = [
+    "et17_skew_profile",
+    "et16_lttb_downsample",
+    "et22_ewma_smoothing",
+    "tx16_inverted_postings",
+    "ss08_label_centroids",
+    "q85_null_ordering",
+    "q93_try_function_surface",
+    "q01_pricing_summary",
+    "q02_point_lookup",
+    "q03_min_default",
+    "q04_next_run_id",
+    "q05_date_trunc_daily",
+    "q06_latest_order_per_customer",
+    "q07_exists_semi_join",
+    "q08_not_exists_anti_join",
+    "q09_multiway_join_revenue",
+    "q10_decode_status_matrix",
+    "q11_prefix_match",
+    "q12_topk_orders",
+    "q13_union_all_branches",
+    "q14_string_agg_ordered",
+    "q15_window_running",
+    "q16_rollup",
+    "q17_cube",
+    "q18_intersect",
+    "q19_except",
+    "q20_json_props",
+    "q21_explode_words",
+    "q22_asof_join",
+    "q23_range_join_bands",
+    "q24_full_outer_join",
+    "q25_pivot_linestatus",
+    "q26_percentiles",
+    "q27_sessionize",
+    "q30_field_counter",
+    "q31_nth_field",
+    "q32_atoi_priority",
+    "q33_datediff_hms",
+    "q34_check_date_codes",
+    "q35_shipping_priority",
+    "q36_forecast_revenue",
+    "q37_from_json_map",
+    "q38_approx_aggregates",
+    "q39_decimal_exact",
+    "q40_grouping_sets",
+    "q41_lag_lead",
+    "q42_small_qty_revenue",
+    "q43_customer_distribution",
+    "q44_large_quantity_orders",
+    "q45_local_supplier_volume",
+]
+
+# Driver-green in CORRECTNESS_r01.json (rows+schema+hash all true, or
+# rows-only by design with no change since).  Deprioritized to the back
+# of the registry so the driver window reaches unchecked queries first.
+DRIVER_GREEN: list[str] = [
+    "et01_scd2_merge",
+    "et02_profile_columns",
+    "et03_fk_audit",
+    "et04_rollup_cascade",
+    "et05_hierarchy_levels",
+    "et06_table_checksum",
+    "et07_sketch_rollup",
+    "et08_snapshot_diff",
+    "et09_expectations",
+    "et10_apply_changelog",
+    "et11_fuzzy_match",
+    "et12_fifo_allocation",
+    "et13_incremental_agg",
+    "et14_mad_outliers",
+    "et15_triangle_count",
+    "et18_sequence_gaps",
+    "et19_benford_audit",
+    "et20_point_in_time_join",
+    "et21_bitmap_distinct",
+    "ev01_funnel",
+    "ev02_retention_cohorts",
+    "ev03_active_users",
+    "ev04_top_paths",
+    "ev05_asof_operator",
+    "ev06_interpolate_at_clicks",
+    "ev07_session_window_builtin",
+    "ev08_time_weighted_avg",
+    "ev09_ohlc_bars",
+    "ev10_markov_transitions",
+    "ev11_time_since_purchase",
+    "ev12_windowed_funnel",
+    "dd01_dedup_exact",
+    "dd02_fingerprint",
+    "dd03_ngram_jaccard",
+    "dd04_minhash_lsh",
+    "dd05_simhash",
+    "dd06_embedding_neardup",
+    "dd07_neardup_clusters",
+    "ss01_cosine_topk",
+    "ss02_lsh_bucketed_ann",
+    "ss03_ivf_ann",
+    "mm01_decode_resize",
+    "mm02_frame_sample",
+    "sm01_hash_sample",
+    "sm02_stratified_sample",
+    "tx01_text_stats",
+    "tx02_langid",
+]
+
+
+def reorder(queries: dict) -> None:
+    """Rebuild the registry dict in driver-window order, in place.
+
+    ``QUERIES`` is imported by name elsewhere, so the dict object must be
+    mutated rather than replaced.  Unknown names in the lists are skipped
+    (robust to renames); names in neither list keep registration order in
+    the middle tier.
+    """
+    window = [n for n in DRIVER_WINDOW if n in queries]
+    green = {n for n in DRIVER_GREEN if n not in DRIVER_WINDOW}
+    middle = [n for n in queries if n not in set(window) and n not in green]
+    tail = [n for n in queries if n in green]
+    items = {n: queries[n] for n in (*window, *middle, *tail)}
+    queries.clear()
+    queries.update(items)

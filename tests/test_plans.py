@@ -174,3 +174,51 @@ def test_q88_union_is_shuffle_free_before_agg(spark, sf_dir):
 def test_tx15_chunking_has_no_exchange(spark, sf_dir):
     df = QUERIES["tx15_rag_chunks"].build(spark, sf_dir)
     assert plans.count_ops(df, "Exchange") == 0  # narrow row expansion
+
+
+def test_q85_data_windows_are_partitioned(spark, sf_dir):
+    # The three rankings over the growing supplier-derived input must NOT
+    # plan a `WindowExec: No Partition Defined` over data (single-task at
+    # scale).  The only unpartitioned windows allowed are the two slice-
+    # offset cumsums inside global_row_number, which run over the bounded
+    # num_partitions-row count aggregates (the q92/et18-style exemption).
+    df = QUERIES["q85_null_ordering"].build(spark, sf_dir)
+    assert plans.unpartitioned_windows(df) <= 2
+
+
+def test_global_row_number_matches_window_semantics(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from etl_batch_spark.operators.ranks import global_row_number
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("k"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") % 13).alias("g"),
+        F.col("id"),
+    )
+    got = global_row_number(
+        df, [F.col("k").desc_nulls_last(), F.col("id").asc()], "rk"
+    )
+    want = df.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("k").desc_nulls_last(), F.col("id").asc()))
+        .cast("int"),
+    )
+    assert sorted(got.collect(), key=str) == sorted(want.collect(), key=str)
+    # partitioned form, nullable partition key (null-safe offset join)
+    got_p = global_row_number(
+        df, [F.col("k").asc_nulls_first(), F.col("id").asc()], "rk",
+        partition_cols=["g"],
+    )
+    want_p = df.withColumn(
+        "rk",
+        F.row_number()
+        .over(
+            Window.partitionBy("g").orderBy(
+                F.col("k").asc_nulls_first(), F.col("id").asc()
+            )
+        )
+        .cast("int"),
+    )
+    assert sorted(got_p.collect(), key=str) == sorted(want_p.collect(), key=str)
