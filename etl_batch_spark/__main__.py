@@ -56,7 +56,13 @@ def _sink(df, out: str) -> int:
     obs = Observation("cli")
     observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
     if out == "show":
-        observed.show(50, truncate=False)
+        # show(50) runs under CollectLimit, so only displayed rows would
+        # flow through the observe node — the lifecycle would record
+        # processed=50 for any large result.  Display first, then drive
+        # the observed count through a full noop write for the true
+        # cardinality.
+        df.show(50, truncate=False)
+        observed.write.format("noop").mode("overwrite").save()
     elif out.startswith("parquet:"):
         observed.write.mode("overwrite").parquet(out.split(":", 1)[1])
     else:

@@ -759,14 +759,76 @@ def et15_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# et16 — LTTB downsampling (rows-only: the pick is sequential within a
-# series, not SQL-expressible): each user's gauge history reduced to 12
-# shape-preserving points.  Exactness is pinned by
-# tests/test_operators.py::TestLttb's independent numpy replay.
+# et16 — LTTB downsampling: each user's gauge history reduced to 12
+# shape-preserving points (Steinarsson 2013).  The pick is sequential
+# within a series (each choice depends on the previous), so it is not a
+# window expression — but it IS a per-bucket recursion, and the oracle
+# replays it exactly: 0-indexed rows per series, precomputed next-bucket
+# averages per step, then a recursive CTE whose step picks the bucket
+# row maximizing the triangle area against the previous pick via a
+# LATERAL ORDER BY/LIMIT 1 (numpy argmax = first max → ties break on
+# smaller index).  x is epoch-ns as DOUBLE on both sides (pandas
+# datetime64[ns].astype(int64) ≡ epoch_ns(CAST(ts AS TIMESTAMP)); the
+# inner CAST pins micros precision if fixtures ever ship TIMESTAMP_NS).
 # ---------------------------------------------------------------------------
 @query(
     "et16_lttb_downsample",
-    oracle=None,
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, value,
+             CAST(epoch_ns(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x,
+             CAST(value AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS m
+      FROM events WHERE user_id % 10 = 3
+    ),
+    params AS (
+      SELECT user_id, MAX(m) AS m, (MAX(m) - 2) / CAST(10 AS DOUBLE) AS every
+      FROM base WHERE m > 12 GROUP BY user_id
+    ),
+    lastpt AS (
+      SELECT user_id, x AS lx, y AS ly FROM base WHERE i = m - 1
+    ),
+    nb AS (  -- avg of the NEXT bucket per step; empty next -> last point
+      SELECT st.user_id, st.s, st.every,
+             COALESCE(AVG(b.x), ANY_VALUE(l.lx)) AS ax,
+             COALESCE(AVG(b.y), ANY_VALUE(l.ly)) AS ay
+      FROM (SELECT p.user_id, p.m, p.every, UNNEST(range(10)) AS s FROM params p) st
+      JOIN lastpt l ON l.user_id = st.user_id
+      LEFT JOIN base b
+        ON b.user_id = st.user_id
+       AND b.i >= CAST(FLOOR((st.s + 1) * st.every) AS BIGINT) + 1
+       AND b.i <  LEAST(CAST(FLOOR((st.s + 2) * st.every) AS BIGINT) + 1, st.m)
+      GROUP BY st.user_id, st.s, st.every
+    ),
+    rec AS (
+      SELECT b.user_id, 0 AS step, b.x AS ax_, b.y AS ay_, b.ts, b.value
+      FROM base b WHERE b.i = 0 AND b.m > 12
+      UNION ALL
+      SELECT r.user_id, r.step + 1, t.x, t.y, t.ts, t.value
+      FROM rec r
+      JOIN nb n ON n.user_id = r.user_id AND n.s = r.step,
+      LATERAL (
+        SELECT b.x, b.y, b.ts, b.value
+        FROM base b
+        WHERE b.user_id = r.user_id
+          AND b.i >= CAST(FLOOR(r.step * n.every) AS BIGINT) + 1
+          AND b.i <  CAST(FLOOR((r.step + 1) * n.every) AS BIGINT) + 1
+        ORDER BY ABS((r.ax_ - n.ax) * (b.y - r.ay_)
+                     - (r.ax_ - b.x) * (n.ay - r.ay_)) DESC,
+                 b.i ASC
+        LIMIT 1
+      ) t
+      WHERE r.step < 10
+    )
+    SELECT user_id, ts, ROUND(value, 4) AS value
+    FROM base WHERE m <= 12           -- short series pass through whole
+    UNION ALL
+    SELECT user_id, ts, ROUND(value, 4) AS value FROM rec
+    UNION ALL
+    SELECT user_id, ts, ROUND(value, 4) AS value
+    FROM base WHERE i = m - 1 AND m > 12   -- last point always kept
+    """,
     doc="per-user LTTB shape-preserving downsample to 12 points",
 )
 def et16_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,14 +1135,35 @@ def et21_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# et22 — EWMA smoothing (rows-only: the recursion is order-dependent,
-# not SQL-expressible): per-user exponentially-weighted value series,
-# exactness pinned by tests/test_operators.py::TestEwma's independent
-# recursion replay.
+# et22 — EWMA smoothing: per-user exponentially-weighted value series.
+# The recursion s_t = a*x_t + (1-a)*s_{t-1} is order-dependent — not a
+# window expression — but IS a per-series recursive CTE, so the oracle
+# replays it exactly: row_number each series, recurse rn -> rn+1.
+# Float-bit discipline: the oracle writes (1.0 - 0.3), not 0.7 — DuckDB
+# folds the subtraction in IEEE doubles to the same constant numpy's
+# `1.0 - alpha` produces, whereas the literal 0.7 is a DIFFERENT double
+# and would drift the 6th decimal over long series.
 # ---------------------------------------------------------------------------
 @query(
     "et22_ewma_smoothing",
-    oracle=None,
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
+      FROM events WHERE user_id % 10 = 4
+    ),
+    rec AS (
+      SELECT user_id, ts, value, rn, CAST(value AS DOUBLE) AS ewma
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.ts, b.value, b.rn,
+             CAST(0.3 AS DOUBLE) * b.value
+               + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.ewma
+      FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, ts, ROUND(value, 4) AS value, ROUND(ewma, 6) AS ewma
+    FROM rec
+    """,
     doc="per-user EWMA (alpha=0.3) via per-series applyInPandas",
 )
 def et22_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:

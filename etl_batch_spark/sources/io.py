@@ -445,15 +445,18 @@ def missing_partitions(
         .load()
         .select(F.col("day").cast("string").alias("day"))
     )
-    try:
-        listing = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
-        fs = listing.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    # Only a genuinely absent table means "no partitions present" — a
+    # transient FS/permission error must PROPAGATE, or the backfill
+    # planner would return the whole spine and schedule a full re-load.
+    listing = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = listing.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if fs.exists(listing):
         present = [
             f.getPath().getName().split("=", 1)[1]
             for f in fs.listStatus(listing)
             if f.isDirectory() and f.getPath().getName().startswith(f"{day_col}=")
         ]
-    except Exception:
+    else:
         present = []
     have = spark.createDataFrame(
         [(d,) for d in present] or [(None,)], "day string"

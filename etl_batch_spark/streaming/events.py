@@ -453,9 +453,14 @@ def maintain_rollup_incrementally(
     Each micro-batch aggregates only its own rows to partials, then
     merges them into the stored partial table (read-merge-swap; the
     partial merge is associative, so batch boundaries don't matter).
-    The checkpoint tracks which source files were consumed — a crashed
-    run resumes instead of double-counting.  Returns micro-batches
-    processed.  Query the result with ``operators.rollup.read_level``.
+    The checkpoint tracks which source files were consumed, and the
+    rollup directory carries an ``_applied_batch_id`` marker written
+    atomically with the data (staged into the directory BEFORE the
+    swap): if a crash lands between the swap and the checkpoint commit,
+    the restart re-delivers the same batch_id, the marker shows it was
+    already merged, and the sink skips it — resume, never double-count.
+    Returns micro-batches processed.  Query the result with
+    ``operators.rollup.read_level``.
 
     At scale the merge touches only buckets present in the batch (a
     day's stream touches ~1 bucket); the swap is the same atomic
@@ -469,10 +474,20 @@ def maintain_rollup_incrementally(
 
     stream = read_events_stream(spark, src_dir)
     n_batches = 0
+    marker = "_applied_batch_id"  # leading _ => ignored by parquet readers
+
+    def applied_batch_id(path: str) -> int:
+        try:
+            with open(os.path.join(path, marker)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
+        if os.path.isdir(rollup_dir) and applied_batch_id(rollup_dir) >= batch_id:
+            return  # checkpoint replay of a batch already merged — skip
         fresh = _partials_from_raw(
             batch_df, ts_col="ts", key_cols=key_cols, value_col="value", level=level
         )
@@ -485,6 +500,8 @@ def maintain_rollup_incrementally(
             merged = fresh
         tmp = f"{rollup_dir}.__stage_{uuid.uuid4().hex}__"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, marker), "w") as f:
+            f.write(str(batch_id))
         old = f"{rollup_dir}.__old_{uuid.uuid4().hex}__"
         if os.path.isdir(rollup_dir):
             os.rename(rollup_dir, old)

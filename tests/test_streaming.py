@@ -338,3 +338,36 @@ def test_incremental_rollup_matches_batch_and_skips_replay(spark, sf_dir, tmp_pa
         for r in read_level(spark.read.parquet(rollup_dir)).collect()
     }
     assert again == want
+
+
+def test_incremental_rollup_replay_after_lost_checkpoint_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Crash between the directory swap and the checkpoint commit re-delivers
+    the same batch_id on restart; the _applied_batch_id marker (written
+    atomically with the data) makes the sink skip it instead of merging the
+    same partials twice."""
+    import os
+    import shutil
+
+    from etl_batch_spark.operators.rollup import read_level
+    from etl_batch_spark.streaming.events import maintain_rollup_incrementally
+
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    maintain_rollup_incrementally(spark, sf_dir, rollup_dir, ckpt)
+    want = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_level(spark.read.parquet(rollup_dir)).collect()
+    }
+    assert os.path.exists(os.path.join(rollup_dir, "_applied_batch_id"))
+
+    # simulate the torn crash: rollup (with marker) survived, commit lost
+    shutil.rmtree(ckpt)
+    n = maintain_rollup_incrementally(spark, sf_dir, rollup_dir, ckpt)
+    assert n >= 1  # batches were re-delivered...
+    got = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_level(spark.read.parquet(rollup_dir)).collect()
+    }
+    assert got == want  # ...but not re-merged
