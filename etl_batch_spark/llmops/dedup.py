@@ -412,3 +412,73 @@ def drop_duplicates_against(
     return (
         batch_keepers.join(corpus_hashes, "_ch", "left_anti").drop("_ch")
     )
+
+
+def hot_span_scrub(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring (hot-span) dedup summary, the distributed shape of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): any run of ``n`` consecutive tokens occurring ``min_count``+
+    times across the corpus (multiplicity — a within-document repeat
+    counts) is a scrub candidate; overlapping flagged n-grams merge into
+    maximal spans.  Returns per-document
+    ``(id, n_tokens, n_spans, n_scrubbed, keep_ratio)``.
+
+    This is the conservative scrub-ALL-copies variant — composing with
+    :func:`exact_groups` (keep one canonical copy first) recovers the
+    keep-one behavior.  Distributed shape: positioned n-grams shuffle
+    once by gram for the corpus count, flagged positions shuffle once by
+    document for the interval merge (per-document window — state is one
+    document's flagged positions, never the corpus).  No driver-side
+    loops; every stage is linear in total tokens.
+    """
+    toks = fan_out(df).select(id_col, tokens(text_col).alias("toks"))
+    sh = toks.select(
+        F.col(id_col),
+        F.size("toks").alias("n_tokens"),
+        F.posexplode(shingle_array("toks", n)).alias("pos", "gram"),
+    )
+    hot = (
+        sh.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    flagged = sh.join(hot, "gram").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_span = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    spans = (
+        flagged.withColumn("span_id", F.sum(new_span).over(w))
+        .groupBy(id_col, "span_id")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
+    )
+    summary = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("n_scrubbed"),
+    )
+    base = toks.select(F.col(id_col), F.size("toks").alias("n_tokens"))
+    return (
+        base.join(summary, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_scrubbed", F.lit(0)).cast("bigint").alias("n_scrubbed"),
+            F.round(
+                1.0
+                - F.coalesce("n_scrubbed", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("keep_ratio"),
+        )
+    )

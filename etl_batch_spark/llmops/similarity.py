@@ -345,8 +345,13 @@ def mmr_topk(
     inside ``applyInPandas`` — per-task state is one query's pool,
     never the corpus.  Deterministic: ties break on neighbor id.
 
-    Iterative-greedy semantics are not SQL-expressible — validated by
-    numpy replay in tests (rows-only driver check, like k-means).
+    Cross-engine determinism: the greedy compares similarities rounded
+    to 6 decimals (``rel`` reuses the pool's already-rounded cosine;
+    pairwise sims are rounded the same way), so an oracle that computes
+    the dots in a different summation order reaches identical argmax
+    picks — the same discipline :func:`cosine_topk` applies before its
+    rank.  The selection itself is a per-query recursive CTE in the
+    ss07 oracle, like et16's LTTB replay.
     """
     import numpy as np
     import pandas as pd
@@ -382,11 +387,12 @@ def mmr_topk(
         pdf = pdf.sort_values("neighbor_id", kind="mergesort")
         ids = pdf["neighbor_id"].to_numpy()
         V = np.stack(pdf["nvec"].to_numpy())
-        q = np.asarray(pdf["qvec"].iloc[0])
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        qn = q / np.linalg.norm(q)
-        rel = Vn @ qn                      # sim(query, candidate)
-        inter = Vn @ Vn.T                  # sim(candidate, candidate)
+        # sim(query, candidate): the pool's cosine, already rounded to 6dp
+        # by cosine_topk — identical to what any oracle engine computes
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        # sim(candidate, candidate), rounded the same way
+        inter = np.round(Vn @ Vn.T, 6)
         chosen: list[int] = []
         scores: list[float] = []
         avail = np.ones(len(ids), dtype=bool)
@@ -406,7 +412,11 @@ def mmr_topk(
                 "query_id": pdf["query_id"].iloc[0],
                 "neighbor_id": ids[chosen],
                 "rank": np.arange(1, len(chosen) + 1, dtype="int32"),
-                "mmr_score": np.round(scores, 6),
+                # NOT re-rounded: 0.5*(rel - pen) on 6dp-rounded inputs lands
+                # exactly on half-boundaries, where numpy (half-even) and SQL
+                # engines (half-away) disagree; the unrounded doubles are
+                # already bit-identical across engines.
+                "mmr_score": np.asarray(scores, dtype=np.float64),
             }
         )
 

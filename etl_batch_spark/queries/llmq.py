@@ -1142,9 +1142,59 @@ def tx13_regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ss07_mmr_topk",
     doc="maximal-marginal-relevance diversified top-5 for 10 query "
-    "vectors (llmops.similarity.mmr_topk; *rows-only* — iterative "
-    "greedy, validated by numpy replay in tests)",
-    oracle=None,
+    "vectors (llmops.similarity.mmr_topk); the greedy pick is replayed "
+    "exactly as a per-query recursive CTE over 6dp-rounded sims",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    pool AS (  -- cosine_topk(pool=20): 6dp-rounded cosine, id tie-break
+      SELECT query_id, neighbor_id, cosine
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
+                  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+                  WHERE q.vec_id < 10))
+      WHERE rn <= 20
+    ),
+    sims AS (  -- pairwise candidate sims within each pool, same rounding
+      SELECT a.query_id, a.neighbor_id AS ai, b.neighbor_id AS bi,
+             ROUND(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) AS sim
+      FROM pool a
+      JOIN pool b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+      JOIN v va ON va.vec_id = a.neighbor_id
+      JOIN v vb ON vb.vec_id = b.neighbor_id
+    ),
+    rec AS (  -- greedy: argmax(0.5*rel - 0.5*max sim to selected)
+      SELECT q.query_id, 1 AS rank, t.neighbor_id, t.mmr AS mmr_score,
+             [t.neighbor_id] AS sel
+      FROM (SELECT DISTINCT query_id FROM pool) q,
+      LATERAL (SELECT neighbor_id, 0.5 * cosine AS mmr FROM pool c
+               WHERE c.query_id = q.query_id
+               ORDER BY mmr DESC, neighbor_id LIMIT 1) t
+      UNION ALL
+      SELECT r.query_id, r.rank + 1, t.neighbor_id, t.mmr,
+             list_append(r.sel, t.neighbor_id)
+      FROM rec r,
+      LATERAL (
+        SELECT c.neighbor_id,
+               0.5 * c.cosine - 0.5 * (
+                 SELECT MAX(s.sim) FROM sims s
+                 WHERE s.query_id = r.query_id AND s.ai = c.neighbor_id
+                   AND list_contains(r.sel, s.bi)
+               ) AS mmr
+        FROM pool c
+        WHERE c.query_id = r.query_id AND NOT list_contains(r.sel, c.neighbor_id)
+        ORDER BY mmr DESC, c.neighbor_id LIMIT 1
+      ) t
+      WHERE r.rank < 5
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, mmr_score
+    FROM rec
+    """,
 )
 def ss07_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1690,3 +1740,61 @@ def dd10_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# dd11 — exact-substring (hot-span) dedup, Lee et al. 2022: every run
+# of 5 consecutive tokens occurring 2+ times corpus-wide is flagged;
+# overlapping flagged 5-grams merge into maximal spans (classic
+# running-max interval merge inside a per-document window).  Two linear
+# shuffles — by gram for the corpus count, by document for the merge —
+# never a pairwise comparison; the conservative scrub-all-copies
+# variant (compose with dd01 to keep a canonical copy).
+# ---------------------------------------------------------------------------
+@query(
+    "dd11_hot_span_scrub",
+    bench=True,
+    doc="exact-substring dedup summary: merged hot-5-gram spans per doc "
+    "(llmops.dedup.hot_span_scrub)",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(generate_series(1, len(toks) - 4)) AS i, toks
+      FROM toks
+    ),
+    g AS (SELECT doc_id, i - 1 AS pos, toks[i+0] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram FROM sh),
+    hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    fl AS (SELECT doc_id, pos FROM g JOIN hot USING (gram)),
+    m AS (
+      SELECT doc_id, pos,
+             MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM fl
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+      FROM sp GROUP BY doc_id, span_id
+    ),
+    summ AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS n_scrubbed
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INT) AS n_tokens,
+           CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(s.n_scrubbed, 0) AS BIGINT) AS n_scrubbed,
+           ROUND(1.0 - COALESCE(s.n_scrubbed, 0)
+                 / GREATEST(len(t.toks), 1), 4) AS keep_ratio
+    FROM toks t LEFT JOIN summ s USING (doc_id)
+    """,
+)
+def dd11_hot_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.hot_span_scrub(_documents(spark, sf_dir), n=5, min_count=2)

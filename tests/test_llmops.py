@@ -535,16 +535,18 @@ class TestMmrTopk:
                 reverse=True,
             )
             pool = sorted(-i for _, i in sims[:10])
-            rel = {i: cos(V[qid], V[i]) for i in pool}
+            # the operator's greedy compares 6dp-rounded sims (cross-engine
+            # determinism) — the replay must round identically
+            rel = {i: round(cos(V[qid], V[i]), 6) for i in pool}
             chosen = []
             while len(chosen) < 4:
                 best, best_s = None, -np.inf
                 for i in pool:
                     if i in chosen:
                         continue
-                    pen = max((cos(V[i], V[j]) for j in chosen), default=0.0)
+                    pen = max((round(cos(V[i], V[j]), 6) for j in chosen), default=0.0)
                     s = lam * rel[i] - (1 - lam) * pen
-                    if s > best_s + 1e-12 or (abs(s - best_s) <= 1e-12 and (best is None or i < best)):
+                    if s > best_s or (s == best_s and (best is None or i < best)):
                         best, best_s = i, s
                 chosen.append(best)
             assert [n for _, n in sorted(got[qid])] == chosen, f"query {qid}"
@@ -564,3 +566,34 @@ class TestMmrTopk:
         for r in mmr_topk(emb, q, k=5, pool=20).collect():
             mmr.setdefault(r["query_id"], []).append(r["neighbor_id"])
         assert any(plain[k] != mmr[k] for k in plain)
+
+
+class TestHotSpanScrub:
+    def test_spans_merge_and_edge_docs(self, spark):
+        from etl_batch_spark.llmops.dedup import hot_span_scrub
+
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+        rows = [
+            (1, shared + " one two three"),          # hot 7-token prefix
+            (2, "x y " + shared),                    # same run, offset 2
+            (3, "p q r s t u v w"),                  # nothing hot
+            (4, "short doc"),                        # < n tokens: no grams
+            (5, "r1 r2 r3 r4 r5 mid r1 r2 r3 r4 r5"),  # within-doc repeat
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in hot_span_scrub(df, n=5, min_count=2).collect()}
+
+        # docs 1 & 2: the 7-token shared run = 3 overlapping hot 5-grams
+        # merging into ONE span of 7 tokens
+        for d, n_tok in ((1, 10), (2, 9)):
+            assert (got[d]["n_spans"], got[d]["n_scrubbed"]) == (1, 7), d
+            assert got[d]["n_tokens"] == n_tok
+        # doc 3: untouched
+        assert (got[3]["n_spans"], got[3]["n_scrubbed"]) == (0, 0)
+        assert got[3]["keep_ratio"] == 1.0
+        # doc 4: shorter than n -> no grams, fully kept
+        assert (got[4]["n_tokens"], got[4]["n_scrubbed"]) == (2, 0)
+        # doc 5: "r1 r2 r3 r4 r5" occurs twice WITHIN the doc (multiplicity
+        # counts) -> two disjoint 5-token spans
+        assert (got[5]["n_spans"], got[5]["n_scrubbed"]) == (2, 10)
+        assert got[5]["keep_ratio"] == round(1 - 10 / 11, 4)

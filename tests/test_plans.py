@@ -222,3 +222,13 @@ def test_global_row_number_matches_window_semantics(spark, sf_dir):
         .cast("int"),
     )
     assert sorted(got_p.collect(), key=str) == sorted(want_p.collect(), key=str)
+
+
+def test_dd11_hot_span_scrub_is_linear(spark, sf_dir):
+    # exact-substring dedup must stay linear: no pairwise/cartesian shape,
+    # no single-task window (interval merge is per-document), bounded
+    # shuffle count (gram count, doc window, span/doc aggs, summary join)
+    df = QUERIES["dd11_hot_span_scrub"].build(spark, sf_dir)
+    assert plans.count_ops(df, "CartesianProduct") == 0
+    assert plans.unpartitioned_windows(df) == 0
+    assert plans.count_ops(df, "Exchange") <= 6
