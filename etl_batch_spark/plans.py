@@ -48,24 +48,39 @@ def count_ops(df: DataFrame, op: str) -> int:
 
 def unpartitioned_windows(df: DataFrame) -> int:
     """Count Window physical ops with NO partition spec (the
-    `WindowExec: No Partition Defined` single-task shape).  A partitioned
-    Window's detail line carries three top-level bracket groups
-    ([exprs], [partition], [order]); an unpartitioned one only two."""
+    `WindowExec: No Partition Defined` single-task shape).
+
+    A partitioned+ordered ``Window`` detail line carries three top-level
+    bracket groups ([exprs], [partition], [order]); two groups mean either
+    unpartitioned ([exprs], [order]) or partition-only ([exprs],
+    [partition]) — told apart by the sort direction (ASC/DESC) an order
+    spec always prints and a partition list never does.
+    ``WindowGroupLimit`` argument lines are ([partition], [order], fn, k,
+    mode) — for those only an EMPTY first group means unpartitioned."""
     plan = formatted_plan(df)
     n = 0
-    for m in re.finditer(r"\(\d+\) Window(?:GroupLimit)?\n((?:.+\n)*?)\n", plan + "\n"):
-        for line in m.group(1).splitlines():
+    for m in re.finditer(
+        r"\(\d+\) (Window(?:GroupLimit)?)\n((?:.+\n)*?)\n", plan + "\n"
+    ):
+        op = m.group(1)
+        for line in m.group(2).splitlines():
             if not line.startswith("Arguments:"):
                 continue
-            depth, groups = 0, 0
-            for ch in line:
+            groups: list[str] = []
+            depth, start = 0, -1
+            for i, ch in enumerate(line):
                 if ch == "[":
                     if depth == 0:
-                        groups += 1
+                        start = i
                     depth += 1
                 elif ch == "]":
                     depth -= 1
-            if groups == 2:
+                    if depth == 0:
+                        groups.append(line[start : i + 1])
+            ordered = lambda g: " ASC" in g or " DESC" in g  # noqa: E731
+            if op == "Window" and len(groups) == 2 and ordered(groups[1]):
+                n += 1
+            elif op == "WindowGroupLimit" and groups and groups[0] == "[]":
                 n += 1
     return n
 

@@ -773,10 +773,56 @@ def sm03_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ss04_kmeans_clusters",
-    doc="Lloyd k-means over embeddings: cluster sizes after 5 rounds "
-    "(llmops.similarity.kmeans_lloyd; iterative — rows-only check, "
-    "trajectory replayed exactly in numpy by test_llmops)",
-    oracle=None,
+    doc="Lloyd k-means over embeddings: cluster sizes after 3 rounds "
+    "(llmops.similarity.kmeans_lloyd); the Lloyd trajectory is replayed "
+    "exactly as a recursive CTE — centroid rows per iteration, argmin "
+    "assignment via lexicographic MIN(struct(sqdist, cluster)) (ties to "
+    "the smaller cluster, matching the Spark window tie-break), update "
+    "step a per-(cluster, dim) AVG re-assembled with list(ORDER BY pos)",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    init AS (
+      SELECT CAST(vec_id AS INT) AS cluster, e AS ce
+      FROM pts WHERE vec_id < 8
+    ),
+    cent AS (
+      SELECT 0 AS it, cluster, ce FROM init
+      UNION ALL
+      SELECT it, cluster, list(m ORDER BY pos) AS ce
+      FROM (
+        SELECT it, cluster, pos, AVG(x) AS m
+        FROM (
+          SELECT a.it, a.cluster, UNNEST(a.e) AS x,
+                 generate_subscripts(a.e, 1) AS pos
+          FROM (
+            SELECT r.it + 1 AS it, p.vec_id, p.e,
+                   (MIN(struct_pack(
+                      sqd := list_sum(list_transform(list_zip(p.e, r.ce),
+                                      z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                      cl := r.cluster))).cl AS cluster
+            FROM pts p, cent r
+            WHERE r.it < 3
+            GROUP BY r.it + 1, p.vec_id, p.e
+          ) a
+        )
+        GROUP BY it, cluster, pos
+      )
+      GROUP BY it, cluster
+    ),
+    final AS (
+      SELECT p.vec_id,
+             (MIN(struct_pack(
+                sqd := list_sum(list_transform(list_zip(p.e, r.ce),
+                                z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                cl := r.cluster))).cl AS cluster
+      FROM pts p, cent r
+      WHERE r.it = 3
+      GROUP BY p.vec_id
+    )
+    SELECT cluster, COUNT(*) AS n_vectors FROM final GROUP BY cluster
+    """,
 )
 def ss04_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -939,9 +985,41 @@ def dd08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ss05_doc_pagerank",
     doc="PageRank over the embedding near-dup graph: hub documents whose "
-    "content radiates through the corpus (operators.graph.pagerank; "
-    "iterative — rows-only check, numpy trajectory replay in tests)",
-    oracle=None,
+    "content radiates through the corpus (operators.graph.pagerank); the "
+    "power iteration is replayed exactly as a recursive CTE (the "
+    "symmetrized graph has no dangling nodes, so the per-round mass "
+    "redistribution is pure edge contributions + teleport)",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, e, {_DUCK_BUCKET} AS bucket,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.2
+    ),
+    e AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs)
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+    pr AS (
+      SELECT 0 AS it, node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+      UNION ALL
+      SELECT p.it + 1, e.v AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * SUM(p.rank / d.deg)
+      FROM pr p JOIN e ON e.u = p.node JOIN deg d ON d.u = p.node
+      WHERE p.it < 5
+      GROUP BY p.it + 1, e.v
+    )
+    SELECT node, ROUND(rank, 6) AS rank FROM pr WHERE it = 5
+    """,
 )
 def ss05_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_batch_spark.operators.graph import pagerank

@@ -73,10 +73,13 @@ DRIVER_WINDOW: list[str] = [
     "q39_decimal_exact",
     "q40_grouping_sets",
     "q41_lag_lead",
-    "q42_small_qty_revenue",
-    "q43_customer_distribution",
-    "q44_large_quantity_orders",
-    "q45_local_supplier_volume",
+    # changed-this-round: new exact oracles for formerly rows-only
+    # iterative ops + the new substring-dedup operator — verified here so
+    # any driver-canonicalizer quirk (vs local parity) surfaces this round
+    "ss04_kmeans_clusters",
+    "ss05_doc_pagerank",
+    "ss07_mmr_topk",
+    "dd11_hot_span_scrub",
 ]
 
 # Driver-green in CORRECTNESS_r01.json (rows+schema+hash all true, or

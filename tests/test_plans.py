@@ -232,3 +232,23 @@ def test_dd11_hot_span_scrub_is_linear(spark, sf_dir):
     assert plans.count_ops(df, "CartesianProduct") == 0
     assert plans.unpartitioned_windows(df) == 0
     assert plans.count_ops(df, "Exchange") <= 6
+
+
+def test_no_query_windows_over_unpartitioned_data(spark, sf_dir):
+    """Global invariant: no query plans a `WindowExec: No Partition
+    Defined` over data that grows with scale (single task at 100 TB).
+    The allowlist is exactly the bounded-aggregate exemptions: q85's two
+    slice-offset cumsums run over num_partitions-row count aggregates
+    (operators/ranks.py), q92's window ranks a months aggregate, et18's
+    closes gaps over per-bucket extrema — all O(small), never O(rows)."""
+    allowed = {
+        "q85_null_ordering": 2,
+        "q92_period_over_period": 1,
+        "et18_sequence_gaps": 1,
+    }
+    offenders = {}
+    for name, q in QUERIES.items():
+        n = plans.unpartitioned_windows(q.build(spark, sf_dir))
+        if n > allowed.get(name, 0):
+            offenders[name] = n
+    assert offenders == {}
