@@ -3260,3 +3260,41 @@ def q94_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.expr("percentile(l_quantity, 0.5)").over(w), 4).alias("med7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — salted skew join (operators/joins.py::salted_join), the remedy
+# et17's skew profile exists to trigger: lineitem's l_suppkey is the
+# skewed big side, supplier the non-broadcastable lookup.  Each fact row
+# takes a deterministic salt, the lookup replicates once per salt value,
+# and the join runs on (suppkey, salt) — every hot key spreads over 16
+# shuffle partitions.  The oracle is the PLAIN join: salting must be
+# invisible in the result, only in the partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "q95_salted_skew_join",
+    doc="skew-salted fact-lookup join, result-identical to the plain join",
+    oracle="""
+    SELECT s.s_nationkey AS nation,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+def q95_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, s, "suppkey", n_salts=16)
+    return joined.groupBy(F.col("s_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

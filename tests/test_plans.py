@@ -252,3 +252,13 @@ def test_no_query_windows_over_unpartitioned_data(spark, sf_dir):
         if n > allowed.get(name, 0):
             offenders[name] = n
     assert offenders == {}
+
+
+def test_q95_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The join must run on (key + salt) so hot suppkeys spread across
+    shuffle partitions; the only nested-loop is the 16-row salt spine
+    replicating the lookup side."""
+    df = QUERIES["q95_salted_skew_join"].build(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "__salt" in plan  # join keys carry the salt
+    assert plans.count_ops(df, "CartesianProduct") == 0
