@@ -1,0 +1,93 @@
+"""Engine-portable HyperLogLog distinct-count sketch.
+
+``operators/rollup.py::sketch_rollup`` demonstrates Spark's native
+Datasketches HLL (binary sketches, ``hll_union_agg``) — maximally
+efficient but engine-specific, so its estimates can only be
+closeness-tested.  This module is the complementary design point: a
+deterministic HLL (Flajolet et al. 2007) built from the same md5-based
+60-bit hash the MinHash oracle uses, so ANY engine that can md5 computes
+bit-identical registers and the whole sketch pipeline — including
+upward merges — is exactly oracle-checkable.
+
+Register layout: p=8 → m=256 registers; ``idx = h mod 256``; the
+remaining 52 bits ``w = h div 256`` give ``rho = 53 - bitlength(w)``
+(leading-zero count + 1, 53 when w = 0).  Partials are plain
+``(bucket, idx, max_rho)`` rows — mergeable upward with MAX, the same
+associativity argument as the numeric rollup partials, storable as
+ordinary parquet next to them.
+
+Estimator: raw HLL ``alpha·m²/Σ2^-rho`` (absent registers contribute
+2⁰ = 1) with the standard linear-counting correction below 2.5·m.
+The raw branch is bit-exact across engines (sums of dyadic rationals);
+the linear branch inherits libm's ~1e-8 ``ln`` spread, so estimates are
+reported rounded to 2 decimals.  The 60-bit hash makes the large-range
+correction irrelevant at any realistic cardinality.
+
+At 100 TB: registers are (buckets × 256) rows regardless of row count —
+partial-aggregated map-side, one shuffle; merges touch registers only,
+never raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_batch_spark.llmops.dedup import H60
+
+P_BITS = 8
+M = 1 << P_BITS  # 256 registers
+# linear-counting threshold 2.5·m and the m=256 bias constant
+_ALPHA = "0.7213 / (1.0 + 1.079 / 256.0)"
+
+
+def hll_register_cols(key_col: str) -> "tuple[Column, Column]":
+    """(idx, rho) register coordinates for one key value."""
+    h = H60.format(expr=f"cast({key_col} as string)")
+    idx = F.expr(f"pmod({h}, {M})").cast("int")
+    w = f"(({h}) div {M})"
+    rho = F.expr(
+        f"case when {w} = 0 then 53 else 53 - length(bin({w})) end"
+    ).cast("int")
+    return idx, rho
+
+
+def hll_partials(
+    df: DataFrame, *, key_col: str, bucket: Column, bucket_name: str = "bucket"
+) -> DataFrame:
+    """(bucket, idx, max_rho): the mergeable register table."""
+    idx, rho = hll_register_cols(key_col)
+    return (
+        df.select(bucket.alias(bucket_name), idx.alias("idx"), rho.alias("rho"))
+        .groupBy(bucket_name, "idx")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(partials: DataFrame, bucket: Column, bucket_name: str = "bucket") -> DataFrame:
+    """Merge finer partials upward (e.g. day → month): MAX per register."""
+    return (
+        partials.select(bucket.alias(bucket_name), "idx", "max_rho")
+        .groupBy(bucket_name, "idx")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(partials: DataFrame, bucket_name: str = "bucket") -> DataFrame:
+    """(bucket, est_distinct, est_branch) from a register table."""
+    agg = partials.groupBy(bucket_name).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("pow(2.0, -max_rho)")).alias("s_present"),
+    )
+    s = F.expr(f"({M} - n_present) * 1.0") + F.col("s_present")
+    e_raw = F.expr(f"{_ALPHA} * {M}.0 * {M}.0") / s
+    v = F.expr(f"{M} - n_present")
+    linear = (e_raw <= F.lit(2.5 * M)) & (v > 0)
+    est = F.when(linear, F.expr(f"{M}.0 * ln({M}.0 / ({M} - n_present))")).otherwise(
+        e_raw
+    )
+    return agg.select(
+        bucket_name,
+        F.round(est, 2).alias("est_distinct"),
+        F.when(linear, F.lit("linear")).otherwise(F.lit("raw")).alias("est_branch"),
+    )

@@ -1173,3 +1173,78 @@ def et22_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(e, alpha=0.3).select(
         "user_id", "ts", F.round("value", 4).alias("value"), F.round("ewma", 6).alias("ewma")
     )
+
+
+# ---------------------------------------------------------------------------
+# et23 — portable HLL distinct rollup (operators/sketch.py): monthly
+# distinct-user estimates computed by max-MERGING the daily register
+# partials upward — never re-scanning raw events — next to the exact
+# count for calibration.  Unlike et07's native Datasketches HLL (binary,
+# engine-specific, closeness-tested), these registers derive from the
+# md5-based 60-bit hash, so the oracle rebuilds the identical sketch
+# from scratch at month level: hash-identical registers + associative
+# MAX merge ⇒ value-identical estimates — the mergeability proof is the
+# parity check itself.
+# ---------------------------------------------------------------------------
+_DUCK_HLL_H = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+
+
+@query(
+    "et23_portable_hll",
+    doc="portable-HLL monthly distinct users from day-partial merges "
+    "(operators.sketch; registers bit-identical across engines)",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+             {_DUCK_HLL_H} AS h
+      FROM events
+    ),
+    r AS (
+      SELECT bucket, h % 256 AS idx,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT bucket, idx, MAX(rho) AS max_rho FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT bucket, COUNT(*) AS n_present,
+             SUM(pow(2.0, -max_rho)) AS s_present
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT bucket,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+               / ((256 - n_present) * 1.0 + s_present) AS e_raw,
+             256 - n_present AS v
+      FROM agg
+    ),
+    fin AS (
+      SELECT bucket,
+             CASE WHEN e_raw <= 640.0 AND v > 0
+                  THEN ROUND(256.0 * ln(256.0 / v), 2)
+                  ELSE ROUND(e_raw, 2) END AS est_distinct,
+             CASE WHEN e_raw <= 640.0 AND v > 0 THEN 'linear' ELSE 'raw' END
+               AS est_branch
+      FROM est
+    )
+    SELECT f.bucket, f.est_distinct, f.est_branch,
+           x.n_exact
+    FROM fin f
+    JOIN (SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+                 COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY 1) x USING (bucket)
+    """,
+)
+def et23_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.sketch import hll_estimate, hll_merge, hll_partials
+
+    e = load_table(spark, sf_dir, "events")
+    day = hll_partials(
+        e, key_col="user_id", bucket=F.date_trunc("DAY", F.col("ts"))
+    )
+    month = hll_merge(day, F.date_trunc("MONTH", F.col("bucket")))
+    est = hll_estimate(month)
+    exact = e.groupBy(F.date_trunc("MONTH", F.col("ts")).alias("bucket")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "bucket")

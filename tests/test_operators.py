@@ -903,3 +903,33 @@ class TestEwma:
         df = spark.createDataFrame([(1, 1, 1.0)], "user_id long, ts long, value double")
         with _pytest.raises(ValueError):
             ewma(df, alpha=0.0)
+
+
+class TestPortableHll:
+    def test_estimate_within_hll_error_and_merge_associative(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_batch_spark.operators.sketch import (
+            hll_estimate,
+            hll_merge,
+            hll_partials,
+        )
+
+        # 4 groups of 500 distinct keys each (disjoint ranges)
+        df = spark.range(2000).select(
+            (F.col("id") % 4).alias("g"), F.col("id").alias("k")
+        )
+        day = hll_partials(df, key_col="k", bucket=F.col("g"))
+        est = {r["bucket"]: r["est_distinct"] for r in hll_estimate(day).collect()}
+        for g in range(4):
+            # m=256 → standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+            assert abs(est[g] - 500) / 500 < 0.2, (g, est[g])
+
+        # merging the 4 per-group registers == sketching the union directly
+        merged = hll_merge(day, F.lit(0))
+        direct = hll_partials(df, key_col="k", bucket=F.lit(0))
+        m1 = {(r["idx"]): r["max_rho"] for r in merged.collect()}
+        m2 = {(r["idx"]): r["max_rho"] for r in direct.collect()}
+        assert m1 == m2
+        e_all = hll_estimate(merged).collect()[0]["est_distinct"]
+        assert abs(e_all - 2000) / 2000 < 0.2
