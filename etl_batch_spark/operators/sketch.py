@@ -91,3 +91,89 @@ def hll_estimate(partials: DataFrame, bucket_name: str = "bucket") -> DataFrame:
         F.round(est, 2).alias("est_distinct"),
         F.when(linear, F.lit("linear")).otherwise(F.lit("raw")).alias("est_branch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram quantile sketch — the quantile member of the
+# mergeable-partials family (numeric rollup: operators/rollup.py;
+# distincts: portable HLL above).  Bins are floor(value / width): pure
+# IEEE arithmetic, so — unlike log-spaced bins, whose ln() boundary
+# rows could land differently across engines — every engine bins every
+# row identically and the sketch is exactly oracle-checkable.  Counts
+# merge by SUM (associative); the estimator linearly interpolates
+# inside the target bin.  Accuracy is ±width; choose width from the
+# value scale (an et17-style profile pass).  At 100 TB partials are
+# (buckets × occupied bins) rows, partial-aggregated map-side.
+# ---------------------------------------------------------------------------
+
+
+def hist_partials(
+    df: DataFrame,
+    *,
+    value_col: str,
+    bucket: Column,
+    width: float,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """(bucket, bin, cnt): mergeable fixed-width histogram partials."""
+    b = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
+    return (
+        df.select(bucket.alias(bucket_name), b.alias("bin"))
+        .groupBy(bucket_name, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(partials: DataFrame, bucket: Column, bucket_name: str = "bucket") -> DataFrame:
+    """Merge finer partials upward: SUM per bin."""
+    return (
+        partials.select(bucket.alias(bucket_name), "bin", "cnt")
+        .groupBy(bucket_name, "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    partials: DataFrame,
+    *,
+    width: float,
+    qs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """(bucket, q, est): per-bucket quantile estimates from a histogram.
+
+    target = q·total; the answer bin is the first whose running count
+    reaches target, and the estimate interpolates linearly inside it:
+    ``bin·w + w·(target − cum_before)/cnt_bin``.  The per-(bucket, q)
+    window ranks occupied bins — bounded by the bin count, never by rows.
+    """
+    from pyspark.sql import Window
+
+    totals = partials.groupBy(bucket_name).agg(F.sum("cnt").alias("total"))
+    w_cum = Window.partitionBy(bucket_name).orderBy("bin")
+    cum = partials.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    q_df = partials.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+    cand = (
+        cum.join(F.broadcast(totals), bucket_name)
+        .crossJoin(F.broadcast(q_df))
+        .withColumn("target", F.col("q") * F.col("total"))
+        .filter(F.col("cum") >= F.col("target"))
+    )
+    w_pick = Window.partitionBy(bucket_name, "q").orderBy("bin")
+    return (
+        cand.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            bucket_name,
+            "q",
+            F.round(
+                F.col("bin") * F.lit(width)
+                + F.lit(width)
+                * (F.col("target") - F.col("cum_before"))
+                / F.col("cnt"),
+                4,
+            ).alias("est"),
+        )
+    )

@@ -1248,3 +1248,91 @@ def et23_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact")
     )
     return est.join(exact, "bucket")
+
+
+# ---------------------------------------------------------------------------
+# et24 — mergeable histogram quantiles (operators/sketch.py): per-event-
+# type p50/p90/p99 of value estimated from day-partial histograms merged
+# upward — the quantile sibling of et04 (numeric partials) and et23
+# (HLL distincts).  floor(value/8) binning is pure IEEE arithmetic, so
+# the oracle rebuilds identical bins directly at event_type level and
+# SUM-merge associativity is again what parity proves.  Exact
+# quantile_cont rides along for calibration.
+# ---------------------------------------------------------------------------
+@query(
+    "et24_histogram_quantiles",
+    doc="mergeable fixed-width-histogram p50/p90/p99 vs exact "
+    "(operators.sketch.hist_*)",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(FLOOR(value / 8.0) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM b
+    ),
+    qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+    pick AS (
+      SELECT event_type, q, bin, cnt, cum - cnt AS cum_before,
+             q * total AS target,
+             ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+      FROM cum CROSS JOIN qs
+      WHERE cum >= q * total
+    ),
+    est AS (
+      SELECT event_type, q,
+             ROUND(bin * 8.0 + 8.0 * (target - cum_before) / cnt, 4) AS est
+      FROM pick WHERE rn = 1
+    ),
+    exact AS (
+      SELECT event_type, UNNEST([0.5, 0.9, 0.99]) AS q,
+             UNNEST([ROUND(quantile_cont(value, 0.5), 4),
+                     ROUND(quantile_cont(value, 0.9), 4),
+                     ROUND(quantile_cont(value, 0.99), 4)]) AS exact_q
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.q, e.est, x.exact_q
+    FROM est e JOIN exact x ON e.event_type = x.event_type AND e.q = x.q
+    """,
+)
+def et24_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.sketch import (
+        hist_merge,
+        hist_partials,
+        hist_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    day = hist_partials(
+        e,
+        value_col="value",
+        bucket=F.struct(
+            F.date_trunc("DAY", F.col("ts")).alias("d"), F.col("event_type").alias("t")
+        ),
+        width=8.0,
+    )
+    merged = hist_merge(day, F.col("bucket.t"))
+    est = hist_quantiles(merged, width=8.0).withColumnRenamed("bucket", "event_type")
+    exact = (
+        e.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(value, {q})"), 4).alias(f"x{i}")
+                for i, q in enumerate((0.5, 0.9, 0.99))
+            ]
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                    F.array("x0", "x1", "x2"),
+                )
+            ).alias("q", "exact_q"),
+        )
+    )
+    return est.join(exact, ["event_type", "q"])

@@ -933,3 +933,29 @@ class TestPortableHll:
         assert m1 == m2
         e_all = hll_estimate(merged).collect()[0]["est_distinct"]
         assert abs(e_all - 2000) / 2000 < 0.2
+
+
+class TestHistogramQuantiles:
+    def test_estimate_within_bin_width_and_merge_associative(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_batch_spark.operators.sketch import (
+            hist_merge,
+            hist_partials,
+            hist_quantiles,
+        )
+
+        # uniform 0..999, two halves as "days" to exercise the merge
+        df = spark.range(1000).select(
+            (F.col("id") % 2).alias("d"), F.col("id").cast("double").alias("v")
+        )
+        day = hist_partials(df, value_col="v", bucket=F.col("d"), width=8.0)
+        merged = hist_merge(day, F.lit(0))
+        direct = hist_partials(df, value_col="v", bucket=F.lit(0), width=8.0)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        est = {r["q"]: r["est"] for r in hist_quantiles(merged, width=8.0).collect()}
+        # uniform true quantiles: 500, 900, 990 — histogram error ≤ width
+        for q, true in ((0.5, 500.0), (0.9, 900.0), (0.99, 990.0)):
+            assert abs(est[q] - true) <= 8.0, (q, est[q])
