@@ -467,10 +467,45 @@ def maintain_rollup_incrementally(
     directory rename every overwrite in this engine uses.
     """
     import os
+    from etl_batch_spark.operators.rollup import _merge_partials, _partials_from_raw
+
+    return maintain_partials_incrementally(
+        spark,
+        src_dir,
+        rollup_dir,
+        checkpoint_dir,
+        build=lambda batch: _partials_from_raw(
+            batch, ts_col="ts", key_cols=key_cols, value_col="value", level=level
+        ),
+        merge=lambda both: _merge_partials(both, key_cols=key_cols, level=level),
+    )
+
+
+def maintain_partials_incrementally(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    build,
+    merge,
+) -> int:
+    """Generic streaming continuous aggregate over ANY mergeable-partials
+    family: ``build(batch_df) -> partials`` turns one micro-batch into
+    partial rows, ``merge(stored ∪ fresh) -> partials`` re-aggregates —
+    the only requirement is that ``merge`` is associative/idempotent over
+    row UNION, which every partials family in this engine satisfies
+    (numeric n/sum/min/max: operators/rollup.py; HLL registers via MAX:
+    operators/sketch.py::hll_merge; histogram bins via SUM: hist_merge).
+
+    Shares one exactly-once discipline: the streaming checkpoint tracks
+    consumed files, and the ``_applied_batch_id`` marker staged into the
+    store directory BEFORE the atomic swap makes replayed batches no-ops
+    (see ``maintain_rollup_incrementally``).  Returns batches processed.
+    """
+    import os
     import shutil
     import uuid
-
-    from etl_batch_spark.operators.rollup import _merge_partials, _partials_from_raw
 
     stream = read_events_stream(spark, src_dir)
     n_batches = 0
@@ -486,26 +521,22 @@ def maintain_rollup_incrementally(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        if os.path.isdir(rollup_dir) and applied_batch_id(rollup_dir) >= batch_id:
+        if os.path.isdir(store_dir) and applied_batch_id(store_dir) >= batch_id:
             return  # checkpoint replay of a batch already merged — skip
-        fresh = _partials_from_raw(
-            batch_df, ts_col="ts", key_cols=key_cols, value_col="value", level=level
-        )
-        if os.path.isdir(rollup_dir):
-            existing = spark.read.parquet(rollup_dir)
-            merged = _merge_partials(
-                existing.unionByName(fresh), key_cols=key_cols, level=level
-            )
+        fresh = build(batch_df)
+        if os.path.isdir(store_dir):
+            existing = spark.read.parquet(store_dir)
+            merged = merge(existing.unionByName(fresh))
         else:
             merged = fresh
-        tmp = f"{rollup_dir}.__stage_{uuid.uuid4().hex}__"
+        tmp = f"{store_dir}.__stage_{uuid.uuid4().hex}__"
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, marker), "w") as f:
             f.write(str(batch_id))
-        old = f"{rollup_dir}.__old_{uuid.uuid4().hex}__"
-        if os.path.isdir(rollup_dir):
-            os.rename(rollup_dir, old)
-        os.rename(tmp, rollup_dir)
+        old = f"{store_dir}.__old_{uuid.uuid4().hex}__"
+        if os.path.isdir(store_dir):
+            os.rename(store_dir, old)
+        os.rename(tmp, store_dir)
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
 

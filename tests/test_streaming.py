@@ -371,3 +371,42 @@ def test_incremental_rollup_replay_after_lost_checkpoint_is_idempotent(
         for r in read_level(spark.read.parquet(rollup_dir)).collect()
     }
     assert got == want  # ...but not re-merged
+
+
+def test_incremental_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """The generic partials maintainer keeps portable-HLL registers live
+    under streaming ingestion; max-merge associativity means the streamed
+    store equals the batch-built registers exactly — and the estimates,
+    being pure functions of the registers, follow."""
+    from pyspark.sql import functions as F
+
+    from etl_batch_spark.catalog import load_table
+    from etl_batch_spark.operators.sketch import hll_estimate, hll_merge, hll_partials
+    from etl_batch_spark.streaming.events import maintain_partials_incrementally
+
+    store = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "ckpt")
+    n = maintain_partials_incrementally(
+        spark,
+        sf_dir,
+        store,
+        ckpt,
+        build=lambda b: hll_partials(
+            b, key_col="user_id", bucket=F.date_trunc("DAY", F.col("ts"))
+        ),
+        merge=lambda both: hll_merge(both, F.col("bucket")),
+    )
+    assert n >= 1
+    streamed = {
+        (r["bucket"], r["idx"]): r["max_rho"]
+        for r in spark.read.parquet(store).collect()
+    }
+    batch = hll_partials(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        bucket=F.date_trunc("DAY", F.col("ts")),
+    )
+    want = {(r["bucket"], r["idx"]): r["max_rho"] for r in batch.collect()}
+    assert streamed == want
+    est = hll_estimate(spark.read.parquet(store)).collect()
+    assert all(r["est_distinct"] > 0 for r in est)
