@@ -1275,7 +1275,9 @@ def et23_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(cnt) OVER (PARTITION BY event_type) AS total
       FROM b
     ),
-    qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+    -- DOUBLE, not DECIMAL: q and the target arithmetic must be IEEE
+    -- doubles to match Spark bit-for-bit
+    qs AS (SELECT UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
     pick AS (
       SELECT event_type, q, bin, cnt, cum - cnt AS cum_before,
              q * total AS target,
@@ -1289,7 +1291,7 @@ def et23_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pick WHERE rn = 1
     ),
     exact AS (
-      SELECT event_type, UNNEST([0.5, 0.9, 0.99]) AS q,
+      SELECT event_type, UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q,
              UNNEST([ROUND(quantile_cont(value, 0.5), 4),
                      ROUND(quantile_cont(value, 0.9), 4),
                      ROUND(quantile_cont(value, 0.99), 4)]) AS exact_q

@@ -1,0 +1,177 @@
+"""Property-based parity for the round-2 operators: each distributed
+implementation must agree with an independent pure-Python/numpy replay
+on arbitrary generated inputs, not just fixtures.
+
+Examples are kept small-count (each one runs real Spark jobs); every
+property evaluates ONE DataFrame per example.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Window, functions as F
+
+
+class TestGlobalRowNumberProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 9) | st.none(), st.integers(0, 4) | st.none()),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(min_value=2, max_value=8),
+    )
+    def test_matches_window_semantics(self, spark, rows, nparts):
+        from etl_batch_spark.operators.ranks import global_row_number
+
+        df = spark.createDataFrame(
+            [(k, g, i) for i, (k, g) in enumerate(rows)],
+            "k int, g int, id long",
+        )
+        got = global_row_number(
+            df,
+            [F.col("k").asc_nulls_last(), F.col("id").asc()],
+            "rk",
+            partition_cols=["g"],
+            num_partitions=nparts,
+        )
+        want = df.withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.partitionBy("g").orderBy(
+                    F.col("k").asc_nulls_last(), F.col("id").asc()
+                )
+            )
+            .cast("int"),
+        )
+        assert sorted(got.collect(), key=str) == sorted(want.collect(), key=str)
+
+
+def _py_hot_spans(docs: "list[list[str]]", n: int, min_count: int):
+    """Independent replay of hot_span_scrub semantics."""
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs:
+        for i in range(max(0, len(toks) - n + 1)):
+            grams[tuple(toks[i : i + n])] += 1
+    out = []
+    for toks in docs:
+        flagged = [
+            i
+            for i in range(max(0, len(toks) - n + 1))
+            if grams[tuple(toks[i : i + n])] >= min_count
+        ]
+        spans = []
+        for pos in flagged:
+            if spans and pos <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], pos + n)
+            else:
+                spans.append([pos, pos + n])
+        scrubbed = sum(e - s for s, e in spans)
+        out.append((len(toks), len(spans), scrubbed))
+    return out
+
+
+class TestHotSpanScrubProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("abcde"), min_size=0, max_size=25),
+            min_size=1,
+            max_size=12,
+        ),
+        st.integers(min_value=2, max_value=4),
+    )
+    def test_matches_python_replay(self, spark, docs, n):
+        from etl_batch_spark.llmops.dedup import hot_span_scrub
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_scrubbed"])
+            for r in hot_span_scrub(df, n=n, min_count=2).collect()
+        }
+        want = dict(enumerate(_py_hot_spans(docs, n, 2)))
+        assert got == want
+
+
+class TestPortableHllProperty:
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=80))
+    def test_registers_match_md5_replay(self, spark, keys):
+        from etl_batch_spark.operators.sketch import hll_partials
+
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r["idx"]: r["max_rho"]
+            for r in hll_partials(df, key_col="k", bucket=F.lit(0)).collect()
+        }
+        want: dict[int, int] = {}
+        for k in keys:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            idx, w = h % 256, h // 256
+            rho = 53 if w == 0 else 53 - w.bit_length()
+            want[idx] = max(want.get(idx, 0), rho)
+        assert got == want
+
+
+class TestHistogramQuantilesProperty:
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.floats(0, 1000, allow_nan=False, allow_infinity=False),
+            min_size=1,
+            max_size=80,
+        ),
+        st.sampled_from([4.0, 8.0, 16.0]),
+    )
+    def test_matches_python_replay(self, spark, values, width):
+        from collections import Counter
+
+        from etl_batch_spark.operators.sketch import hist_partials, hist_quantiles
+
+        df = spark.createDataFrame([(v,) for v in values], "v double")
+        part = hist_partials(df, value_col="v", bucket=F.lit(0), width=width)
+        got = {
+            r["q"]: r["est"]
+            for r in hist_quantiles(part, width=width, qs=(0.5, 0.9)).collect()
+        }
+        bins = Counter(int(v // width) for v in values)
+        total = len(values)
+        want = {}
+        for q in (0.5, 0.9):
+            target = q * total
+            cum = 0
+            for b in sorted(bins):
+                if cum + bins[b] >= target:
+                    want[q] = round(b * width + width * (target - cum) / bins[b], 4)
+                    break
+                cum += bins[b]
+        assert got == want
+
+
+class TestSaltedJoinProperty:
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(st.integers(0, 5), min_size=1, max_size=50),
+        st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)), max_size=10),
+    )
+    def test_result_identical_to_plain_join(self, spark, big_keys, small_rows):
+        from etl_batch_spark.operators.joins import salted_join
+
+        big = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(big_keys)], "k int, row long"
+        )
+        small = spark.createDataFrame(
+            list(set(small_rows)) or [(None, None)], "k int, v int"
+        ).filter(F.col("k").isNotNull())
+        got = sorted(salted_join(big, small, "k").collect(), key=str)
+        want = sorted(big.join(small, "k").collect(), key=str)
+        assert got == want
