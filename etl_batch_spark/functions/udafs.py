@@ -1,0 +1,23 @@
+"""Aggregating (GROUPED_AGG) pandas UDFs.
+
+NOTE: deliberately NO ``from __future__ import annotations`` here —
+``pandas_udf`` infers the UDF kind from the evaluated signature types,
+and stringified annotations break that inspection.
+
+Scale note (also on q96): a pandas UDAF ships each group's full value
+set to one task — no partial aggregation — so these are for
+aggregations with no native-expression form or for API parity; when a
+native form exists (e.g. geometric mean = exp(avg(ln(x)))), that plan
+map-side combines and is the one to run at 100 TB.
+"""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def geo_mean(v: pd.Series) -> float:
+    """Geometric mean of a positive series: exp(mean(log(x)))."""
+    return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))

@@ -3298,3 +3298,43 @@ def q95_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — pandas GROUPED_AGG UDAF (the third member of the UDF/UDAF/UDTF
+# surface next to scalars.py's register() and q84's UDTF): geometric
+# mean per return flag via an Arrow-batched aggregating pandas_udf.
+# SCALE NOTE, stated honestly: a pandas UDAF ships every group's values
+# to one task (no partial aggregation) — at 100 TB the native
+# exp(avg(ln(x))) expression (the oracle's form, map-side combined) is
+# the right plan; the UDAF exists for API parity and for aggregations
+# with no native expression.  The input is keyed down to a bounded
+# slice accordingly.
+# ---------------------------------------------------------------------------
+@query(
+    "q96_pandas_udaf_geomean",
+    doc="grouped-agg pandas UDAF (Arrow) geometric mean vs native oracle",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS geo_mean
+    FROM lineitem WHERE l_suppkey % 10 = 0
+    GROUP BY 1
+    """,
+)
+def q96_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.functions.udafs import geo_mean
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 10 == 0)
+    # a grouped-agg pandas UDF cannot share an agg() with native
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two aggs, one join on
+    # the 3-value group key
+    gm = li.groupBy("l_returnflag").agg(
+        F.round(geo_mean("l_extendedprice"), 4).alias("geo_mean")
+    )
+    counts = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return counts.join(gm, "l_returnflag").select(
+        "l_returnflag", "n_lines", "geo_mean"
+    )
