@@ -50,11 +50,16 @@ def sort_key(row):
     )
 
 
-def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols):
+    """Returns (errors, bit_exact).  The driver's canonicalizer hashes
+    values EXACTLY, so the gate here compares bit-exact first and only
+    then falls back to 1e-9 relative tolerance for floats — a
+    tolerance-only pass is reported as PASS(tol), a near-miss the driver
+    hash would flag."""
     errs: list[str] = []
     if sorted(spark_cols) != sorted(duck_cols):
         errs.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-        return errs
+        return errs, False
     if len(spark_rows) != len(duck_rows):
         errs.append(f"row count: spark={len(spark_rows)} duck={len(duck_rows)}")
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
@@ -62,6 +67,7 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
     s = sorted(([r[i] for i in order] for r in spark_rows), key=sort_key)
     d = sorted(([r[i] for i in dorder] for r in duck_rows), key=sort_key)
     n_bad = 0
+    bit_exact = True
     for ri, (sr, dr) in enumerate(zip(s, d)):
         for ci, (a, b) in enumerate(zip(sr, dr)):
             ok = True
@@ -70,6 +76,8 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
             elif isinstance(a, float) or isinstance(b, float):
                 try:
                     fa, fb = float(a), float(b)
+                    if fa != fb:
+                        bit_exact = False
                     ok = (fa == fb) or (
                         math.isfinite(fa)
                         and math.isfinite(fb)
@@ -88,7 +96,7 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
                     errs.append(f"row {ri} col {col}: spark={a!r} duck={b!r}")
     if n_bad > 3:
         errs.append(f"... {n_bad} mismatched cells total")
-    return errs
+    return errs, bit_exact
 
 
 def main() -> int:
@@ -120,12 +128,16 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {exc}")
             n_fail += 1
             continue
-        errs = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        errs, bit_exact = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
         if errs:
             print(f"FAIL {name} ({len(spark_rows)} vs {len(duck_rows)} rows):")
             for e in errs:
                 print(f"     {e}")
             n_fail += 1
+        elif not bit_exact:
+            print(f"PASS(tol) {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)"
+                  " — floats differ below 1e-9; the driver's exact hash may flag this")
+            n_pass += 1
         else:
             print(f"PASS {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
