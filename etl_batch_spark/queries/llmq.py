@@ -1876,3 +1876,138 @@ def dd10_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd11_hot_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hot_span_scrub(_documents(spark, sf_dir), n=5, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# pipe03 — per-source curation report composing the round-2 operators
+# in ONE Catalyst plan: tx04's quality gate, dd11's hot-span scrub
+# ratios, and et24's histogram-quantile sketch over token counts, all
+# rolled up per source.  Like pipe01/pipe02, the point is pinning that
+# the FUSED composition still matches the stage-by-stage oracle — the
+# documents scan is shared, the per-doc intermediates never
+# materialize.  Rounded per-source averages carry the same +1e-9
+# half-boundary nudge tx04 documents.
+# ---------------------------------------------------------------------------
+@query(
+    "pipe03_curation_report",
+    doc="per-source curation report: quality pass-rate + scrub keep-ratio "
+    "+ token-count p50/p90 (quality_score ∘ hot_span_scrub ∘ hist sketch)",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, text, {{tok}} AS toks FROM documents),
+    quality AS (
+      SELECT doc_id, source,
+             ROUND(0.4 * LEAST(1.0, len(toks) / 100.0)
+                   + 0.3 * (len(list_distinct(toks))
+                            / CAST(NULLIF(len(toks), 0) AS DOUBLE))
+                   + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                            / CAST(NULLIF(length(text), 0) AS DOUBLE)) + 1e-9,
+                   4) AS quality
+      FROM toks
+    ),
+    sh AS (
+      SELECT doc_id, UNNEST(generate_series(1, len(toks) - 4)) AS i, toks
+      FROM toks
+    ),
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 {" || ' ' || ".join(f"toks[i+{j}]" for j in range(5))} AS gram
+          FROM sh),
+    hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    fl AS (SELECT doc_id, pos FROM g JOIN hot USING (gram)),
+    m AS (
+      SELECT doc_id, pos,
+             MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM fl
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM m
+    ),
+    spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+              FROM sp GROUP BY 1, 2),
+    summ AS (SELECT doc_id, SUM(e - s) AS n_scrubbed FROM spans GROUP BY 1),
+    perdoc AS (
+      SELECT t.doc_id, t.source, CAST(len(t.toks) AS INT) AS n_tokens,
+             ROUND(1.0 - COALESCE(s.n_scrubbed, 0)
+                   / GREATEST(len(t.toks), 1), 4) AS keep_ratio
+      FROM toks t LEFT JOIN summ s USING (doc_id)
+    ),
+    bins AS (
+      SELECT source, CAST(FLOOR(n_tokens / 16.0) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM perdoc GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS total
+      FROM bins
+    ),
+    qs AS (SELECT UNNEST(CAST([0.5, 0.9] AS DOUBLE[])) AS q),
+    pick AS (
+      SELECT source, q, bin, cnt, cum - cnt AS cum_before, q * total AS target,
+             ROW_NUMBER() OVER (PARTITION BY source, q ORDER BY bin) AS rn
+      FROM cum CROSS JOIN qs
+      WHERE cum >= q * total
+    ),
+    tokq AS (
+      SELECT source,
+             MAX(CASE WHEN q = 0.5 THEN
+               ROUND(bin * 16.0 + 16.0 * (target - cum_before) / cnt, 4) END)
+               AS p50_tokens,
+             MAX(CASE WHEN q = 0.9 THEN
+               ROUND(bin * 16.0 + 16.0 * (target - cum_before) / cnt, 4) END)
+               AS p90_tokens
+      FROM pick WHERE rn = 1 GROUP BY source
+    ),
+    agg AS (
+      SELECT p.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(AVG(CASE WHEN q.quality >= 0.5 THEN 1.0 ELSE 0.0 END) + 1e-9, 4)
+               AS quality_pass_rate,
+             ROUND(AVG(p.keep_ratio) + 1e-9, 4) AS mean_keep_ratio
+      FROM perdoc p JOIN quality q USING (doc_id)
+      GROUP BY 1
+    )
+    SELECT a.source, a.n_docs, a.quality_pass_rate, a.mean_keep_ratio,
+           t.p50_tokens, t.p90_tokens
+    FROM agg a JOIN tokq t USING (source)
+    """.format(tok=_DUCK_TOKENS),
+)
+def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.llmops.text import quality_score
+    from etl_batch_spark.operators.sketch import hist_partials, hist_quantiles
+
+    docs = _documents(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    q = quality_score(docs)
+    scrub = dedup.hot_span_scrub(docs, n=5, min_count=2)
+    perdoc = scrub.join(src, "doc_id").join(q, "doc_id")
+
+    tok_hist = hist_partials(
+        perdoc.withColumn("tokd", F.col("n_tokens").cast("double")),
+        value_col="tokd",
+        bucket=F.col("source"),
+        width=16.0,
+    )
+    tokq = (
+        hist_quantiles(tok_hist, width=16.0, qs=(0.5, 0.9))
+        .groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("p50_tokens"),
+            F.max(F.when(F.col("q") == 0.9, F.col("est"))).alias("p90_tokens"),
+        )
+        .withColumnRenamed("bucket", "source")
+    )
+    agg = perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.avg(F.when(F.col("quality") >= 0.5, 1.0).otherwise(0.0)) + F.lit(1e-9), 4
+        ).alias("quality_pass_rate"),
+        F.round(F.avg("keep_ratio") + F.lit(1e-9), 4).alias("mean_keep_ratio"),
+    )
+    return agg.join(tokq, "source")

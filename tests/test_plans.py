@@ -262,3 +262,11 @@ def test_q95_salted_join_spreads_hot_keys(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "__salt" in plan  # join keys carry the salt
     assert plans.count_ops(df, "CartesianProduct") == 0
+
+
+def test_pipe03_composes_without_cartesian_or_python(spark, sf_dir):
+    df = QUERIES["pipe03_curation_report"].build(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    assert plans.count_ops(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in s  # all stages native expressions
+    assert plans.unpartitioned_windows(df) == 0
