@@ -1520,7 +1520,11 @@ def q52_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, MIN(unit_cost) AS best_cost FROM offers GROUP BY 1
     )
     SELECT p.p_partkey, p.p_type, s.s_name, n.n_name, s.s_acctbal,
-           ROUND(b.best_cost, 4) AS best_unit_cost
+           -- +1e-9 before rounding: unit costs land on exact .xxxx5 halves
+           -- at larger SFs, where decimal-string HALF_UP (Spark) and raw-
+           -- double half-away (DuckDB) disagree (first seen at sf0.1); the
+           -- nudge rounds boundary values consistently up on every engine
+           ROUND(b.best_cost + 1e-9, 4) AS best_unit_cost
     FROM offers o
     JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_cost = b.best_cost
     JOIN part p ON p.p_partkey = o.l_partkey
@@ -1555,7 +1559,7 @@ def q53_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select(
             "p_partkey", "p_type", "s_name", "n_name", "s_acctbal",
-            F.round("best_cost", 4).alias("best_unit_cost"),
+            F.round(F.col("best_cost") + F.lit(1e-9), 4).alias("best_unit_cost"),
         )
     )
 
