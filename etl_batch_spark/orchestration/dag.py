@@ -1,0 +1,151 @@
+"""DAG-level batch orchestration over the reference's module lifecycle.
+
+The reference sequences modules indirectly: DAILY000 drives daily
+cycles and each module's ``func_batch_startup`` gates on its
+dependencies' completion status, polling every 120 s
+(pkg_batch_util_body.sql:300-380).  That admits correct orders but
+discovers them by waiting.  This extension computes the order
+directly: modules declare their upstream edges, a Kahn topological
+sort schedules them, and independent branches run concurrently on a
+thread pool — each module still enters and leaves through the SAME
+``BatchRunner.startup`` / ``RunContext.finish`` machinery, so every
+run lands in the monitor's event log with the reference's exact
+status strings and the per-module dependency gates stay as a second
+line of defense.
+
+Failure semantics: a failed module records FAILURE via the normal
+lifecycle; its transitive dependents never start and are reported as
+``"SKIPPED"`` (no monitor row — they were never admitted, matching
+the reference's behavior for a module whose dependency gate would
+block forever).  A dependency cycle raises before anything runs.
+
+Scale note: this is control-plane code — module counts are 10²-10³,
+on-driver scheduling state is trivial; the heavy lifting inside each
+module is whatever Spark plan the module runs.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+from collections.abc import Callable
+from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
+
+from etl_batch_spark.orchestration.runner import BatchError, BatchRunner, RunContext
+
+ModuleFn = Callable[[RunContext], "tuple[int, int]"]  # -> (processed, errors)
+
+
+class DagCycle(BatchError):
+    pass
+
+
+def topological_order(deps: "dict[str, list[str]]") -> "list[str]":
+    """Kahn order over ``{module: [upstream, ...]}``; deterministic
+    (lexicographic among ready modules); raises :class:`DagCycle`."""
+    nodes = set(deps)
+    for ups in deps.values():
+        nodes.update(ups)
+    indeg = {n: 0 for n in nodes}
+    down: dict[str, list[str]] = {n: [] for n in nodes}
+    for n, ups in deps.items():
+        for u in ups:
+            indeg[n] += 1
+            down[u].append(n)
+    ready = deque(sorted(n for n in nodes if indeg[n] == 0))
+    out: list[str] = []
+    while ready:
+        n = ready.popleft()
+        out.append(n)
+        became = []
+        for d in down[n]:
+            indeg[d] -= 1
+            if indeg[d] == 0:
+                became.append(d)
+        for d in sorted(became):
+            ready.append(d)
+    if len(out) != len(nodes):
+        raise DagCycle(f"cycle among {sorted(nodes - set(out))}")
+    return out
+
+
+class DagRunner:
+    """Run a module DAG through an existing :class:`BatchRunner`."""
+
+    def __init__(self, runner: BatchRunner, *, max_workers: int = 4):
+        self.runner = runner
+        self.max_workers = max_workers
+
+    def run(
+        self,
+        modules: "dict[str, ModuleFn]",
+        deps: "dict[str, list[str]]",
+        *,
+        run_level: int = 1,
+    ) -> "dict[str, str]":
+        """Execute ``modules`` respecting ``deps``; returns
+        ``{module: "SUCCESS" | "FAILURE" | "SKIPPED"}``.
+
+        Independent modules run concurrently (bounded by
+        ``max_workers``); a module starts only when every upstream
+        finished SUCCESS.  Unknown modules in ``deps`` must still have
+        a callable in ``modules``.
+        """
+        order = topological_order({m: deps.get(m, []) for m in modules})
+        missing = [m for m in order if m not in modules]
+        if missing:
+            raise BatchError(f"deps reference modules without callables: {missing}")
+
+        status: dict[str, str] = {}
+        lock = threading.Lock()
+
+        def upstreams_ok(m: str) -> bool:
+            return all(status.get(u) == "SUCCESS" for u in deps.get(m, []))
+
+        def run_one(m: str) -> None:
+            try:
+                ctx = self.runner.startup(m.upper(), run_level, exclusive_run_yn="N")
+            except BatchError:
+                # admission failure (disabled / duplicate / dependency gate)
+                # is a module failure for DAG purposes; the lifecycle has
+                # already logged the reference's status strings
+                with lock:
+                    status[m] = "FAILURE"
+                return
+            try:
+                processed, errors = modules[m](ctx)
+            except Exception:
+                ctx.finish("FAILURE", 0, 0)
+                with lock:
+                    status[m] = "FAILURE"
+                return
+            ctx.finish("SUCCESS", processed, errors)
+            with lock:
+                status[m] = "SUCCESS"
+
+        pending = list(order)
+        futures: "dict[Future, str]" = {}
+        with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+            while pending or futures:
+                progressed = False
+                for m in list(pending):
+                    ups = deps.get(m, [])
+                    with lock:
+                        states = [status.get(u) for u in ups]
+                    if any(s in ("FAILURE", "SKIPPED") for s in states):
+                        with lock:
+                            status[m] = "SKIPPED"
+                        pending.remove(m)
+                        progressed = True
+                    elif all(s == "SUCCESS" for s in states):
+                        futures[pool.submit(run_one, m)] = m
+                        pending.remove(m)
+                        progressed = True
+                if futures:
+                    done, _ = wait(futures, return_when=FIRST_COMPLETED)
+                    for f in done:
+                        futures.pop(f)
+                        f.result()  # propagate unexpected scheduler errors
+                elif not progressed and pending:
+                    raise BatchError(f"deadlock scheduling {pending}")  # defensive
+        return dict(status)

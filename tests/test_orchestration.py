@@ -497,3 +497,85 @@ class TestAuditStamp:
             assert r["_module"] == "STAMPME"
             assert r["_load_ts"] == ctx.run_date  # snapshotted, not now()
         ctx.success()
+
+
+class TestDagRunner:
+    def _mk(self, names):
+        r = make_runner()
+        for i, n in enumerate(names, start=1):
+            register(r.store, i, n.upper())
+        from etl_batch_spark.orchestration.dag import DagRunner
+
+        return r, DagRunner(r, max_workers=3)
+
+    def test_diamond_runs_in_dependency_order(self):
+        r, dag = self._mk(["a", "b", "c", "d"])
+        seen = []
+        lock = __import__("threading").Lock()
+
+        def mod(name):
+            def fn(ctx):
+                with lock:
+                    seen.append(name)
+                return (1, 0)
+            return fn
+
+        out = dag.run(
+            {n: mod(n) for n in "abcd"},
+            {"b": ["a"], "c": ["a"], "d": ["b", "c"]},
+        )
+        assert out == {n: "SUCCESS" for n in "abcd"}
+        assert seen[0] == "a" and seen[-1] == "d"
+        assert set(seen[1:3]) == {"b", "c"}
+        # every module went through the real lifecycle
+        assert sorted(x["run_status"] for x in r.monitor.latest_states()) == [
+            "SUCCESS"] * 4
+
+    def test_failure_skips_transitive_dependents_only(self):
+        r, dag = self._mk(["a", "b", "c", "d", "e"])
+
+        def ok(ctx):
+            return (1, 0)
+
+        def boom(ctx):
+            raise RuntimeError("module failed")
+
+        out = dag.run(
+            {"a": ok, "b": boom, "c": ok, "d": ok, "e": ok},
+            {"b": ["a"], "c": ["b"], "d": ["c"], "e": ["a"]},
+        )
+        assert out == {
+            "a": "SUCCESS", "b": "FAILURE", "c": "SKIPPED", "d": "SKIPPED",
+            "e": "SUCCESS",
+        }
+        got = sorted(x["run_status"] for x in r.monitor.latest_states())
+        # skipped modules were never admitted: only 3 monitor rows
+        assert got == ["FAILURE", "SUCCESS", "SUCCESS"]
+
+    def test_cycle_raises_before_running(self):
+        import pytest as _pytest
+
+        from etl_batch_spark.orchestration.dag import DagCycle
+
+        r, dag = self._mk(["a", "b"])
+        with _pytest.raises(DagCycle):
+            dag.run({"a": lambda c: (1, 0), "b": lambda c: (1, 0)},
+                    {"a": ["b"], "b": ["a"]})
+        assert r.monitor.latest_states() == []
+
+    def test_admission_failure_is_module_failure(self):
+        # module disabled in batch_master -> startup raises BatchDisabled ->
+        # DAG marks FAILURE and skips dependents
+        r = make_runner()
+        register(r.store, 1, "A")
+        from datetime import datetime as _dt
+
+        register(r.store, 2, "B", disabled=_dt(2026, 1, 1))
+        from etl_batch_spark.orchestration.dag import DagRunner
+
+        dag = DagRunner(r)
+        out = dag.run(
+            {"a": lambda c: (1, 0), "b": lambda c: (1, 0)}, {"b": ["a"]},
+        )
+        # a succeeds; b's startup hits BatchDisabled
+        assert out == {"a": "SUCCESS", "b": "FAILURE"}

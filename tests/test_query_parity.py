@@ -42,5 +42,7 @@ def test_query_matches_oracle(spark, duck, name):
     res = duck.execute(q.oracle)
     duck_cols = [c[0] for c in res.description]
     duck_rows = res.fetchall()
-    errs = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+    errs, bit_exact = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
     assert not errs, f"{name}: {errs[:5]}"
+    # the driver hashes exactly — tolerance-only passes are latent failures
+    assert bit_exact, f"{name}: floats differ below 1e-9 (driver hash risk)"
