@@ -1,0 +1,161 @@
+"""Transaction-log table format (lakehouse mechanics, Spark-first).
+
+A minimal implementation of the idea behind Delta Lake / Iceberg's
+commit protocol (Armbrust et al., VLDB 2020): the TABLE is not "all
+parquet under a directory" but "the file set named by the newest entry
+of an ordered log".  That single inversion buys, with plain parquet
+underneath:
+
+- **atomic commits** — a version becomes visible when its JSON entry
+  appears in ``_txlog/`` (one atomic rename); partial parquet writes
+  are invisible because unreferenced files are not part of any version;
+- **snapshot isolation** — a reader resolves its file list from the log
+  once; compaction/overwrite commits ADD files and mark old ones
+  removed but never delete them, so in-flight readers keep a
+  consistent view;
+- **time travel** — ``read(version=N)`` replays the log prefix;
+- **safe compaction** — ``compact()`` rewrites small files into large
+  ones as just another commit; ``vacuum()`` is the only physical
+  delete and respects a retention horizon of versions.
+
+At 100 TB the log is metadata (KBs per commit, file names + counts) —
+table state resolution never lists the filesystem, which is exactly
+what makes S3-scale tables usable.  Concurrency: this implementation
+is single-writer (the engine's batch lifecycle already serializes
+writers per table via DuplicateRun); a multi-writer deployment swaps
+the rename for a conditional put / commit service without changing the
+reader protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txlog"
+
+
+@dataclass(frozen=True)
+class Version:
+    version: int
+    action: str  # append | overwrite | compact
+    added: "list[str]"
+    removed: "list[str]"
+    n_rows: int
+
+
+class TxTable:
+    """A parquet table whose contents are defined by ``_txlog/``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- log ---------------------------------------------------------------
+
+    def versions(self) -> "list[Version]":
+        out = []
+        for name in sorted(os.listdir(self.log_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.log_dir, name)) as f:
+                e = json.load(f)
+            out.append(Version(**e))
+        return out
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1].version if vs else -1
+
+    def _active_files(self, version: "int | None" = None) -> "list[str]":
+        live: "set[str]" = set()
+        for v in self.versions():
+            if version is not None and v.version > version:
+                break
+            live -= set(v.removed)
+            live |= set(v.added)
+        return sorted(live)
+
+    def _commit(self, action: str, added: "list[str]", removed: "list[str]", n_rows: int) -> int:
+        version = self.latest_version() + 1
+        entry = Version(version=version, action=action, added=added,
+                        removed=removed, n_rows=n_rows)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(entry.__dict__, f)
+        # the atomic visibility point
+        os.rename(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
+        return version
+
+    # -- writes ------------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> "tuple[list[str], int]":
+        """Write df as new parquet files under a unique subdir; returns
+        (relative file paths, row count).  Files are invisible until a
+        commit references them."""
+        sub = f"data-{uuid.uuid4().hex}"
+        out = os.path.join(self.path, sub)
+        df.write.mode("overwrite").parquet(out)
+        files = [
+            os.path.join(sub, n)
+            for n in os.listdir(out)
+            if n.endswith(".parquet")
+        ]
+        n_rows = self.spark.read.parquet(out).count()
+        return sorted(files), n_rows
+
+    def append(self, df: DataFrame) -> int:
+        added, n = self._write_files(df)
+        return self._commit("append", added, [], n)
+
+    def overwrite(self, df: DataFrame) -> int:
+        added, n = self._write_files(df)
+        return self._commit("overwrite", added, self._active_files(), n)
+
+    def compact(self, *, target_files: int = 4) -> int:
+        """Rewrite the current snapshot into ``target_files`` files —
+        logically a no-op (same rows), physically the small-file fix.
+        Old files stay on disk for in-flight readers until vacuum()."""
+        current = self.read()
+        added, n = self._write_files(current.coalesce(target_files))
+        return self._commit("compact", added, self._active_files(), n)
+
+    def vacuum(self, *, retain_versions: int = 1) -> "list[str]":
+        """Physically delete files not referenced by the newest
+        ``retain_versions`` versions.  The ONLY destructive operation."""
+        horizon = self.latest_version() - retain_versions + 1
+        keep: "set[str]" = set()
+        for v in range(max(horizon, 0), self.latest_version() + 1):
+            keep |= set(self._active_files(v))
+        removed = []
+        for v in self.versions():
+            for f in v.added:
+                if f not in keep:
+                    full = os.path.join(self.path, f)
+                    if os.path.exists(full):
+                        os.remove(full)
+                        removed.append(f)
+        return sorted(removed)
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, version: "int | None" = None) -> DataFrame:
+        """Snapshot read: resolve the file list from the log (never a
+        filesystem listing), then read exactly those files."""
+        files = self._active_files(version)
+        if not files:
+            raise ValueError(f"table {self.path} has no data at version {version}")
+        return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+
+    def history(self) -> "list[dict]":
+        return [
+            {"version": v.version, "action": v.action, "n_rows": v.n_rows,
+             "n_added": len(v.added), "n_removed": len(v.removed)}
+            for v in self.versions()
+        ]

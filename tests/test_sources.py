@@ -480,3 +480,63 @@ class TestRangeSortedWrite:
 
         with _pytest.raises(ValueError):
             write_range_sorted(spark.range(1), str(tmp_path / "x"), sort_cols=[])
+
+
+class TestTxTable:
+    def _table(self, spark, tmp_path):
+        from etl_batch_spark.sources.txlog import TxTable
+
+        return TxTable(spark, str(tmp_path / "tx"))
+
+    def test_append_overwrite_time_travel(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        v0 = t.append(spark.range(0, 10))
+        v1 = t.append(spark.range(10, 15))
+        assert (v0, v1) == (0, 1)
+        assert t.read().count() == 15
+        assert t.read(version=0).count() == 10  # time travel
+        v2 = t.overwrite(spark.range(100, 103))
+        assert t.read().count() == 3
+        assert t.read(version=v1).count() == 15  # old snapshot intact
+        assert [h["action"] for h in t.history()] == ["append", "append", "overwrite"]
+        assert t.history()[v2]["n_rows"] == 3
+
+    def test_compact_preserves_rows_and_old_readers(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        for lo in range(0, 50, 10):
+            t.append(spark.range(lo, lo + 10))
+        before = sorted(r["id"] for r in t.read().collect())
+        pre_version = t.latest_version()
+        # a reader resolves its snapshot BEFORE compaction...
+        old_snapshot = t.read(version=pre_version)
+        t.compact(target_files=2)
+        after = sorted(r["id"] for r in t.read().collect())
+        assert before == after == list(range(50))
+        # ...and still reads consistently afterwards (files not deleted)
+        assert old_snapshot.count() == 50
+
+    def test_vacuum_deletes_only_unreferenced_old_files(self, spark, tmp_path):
+        import os
+
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(0, 20))
+        t.append(spark.range(20, 40))
+        t.compact(target_files=1)
+        removed = t.vacuum(retain_versions=1)
+        assert removed  # pre-compaction files physically gone
+        assert sorted(r["id"] for r in t.read().collect()) == list(range(40))
+        for f in removed:
+            assert not os.path.exists(os.path.join(t.path, f))
+        # time travel past the vacuum horizon is now (correctly) impossible,
+        # but the log itself remains for audit
+        assert len(t.history()) == 3
+
+    def test_partial_write_invisible_without_commit(self, spark, tmp_path):
+        import os
+
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(5))
+        # simulate a crashed writer: data files land but no commit entry
+        stray = os.path.join(t.path, "data-stray")
+        spark.range(1000).write.mode("overwrite").parquet(stray)
+        assert t.read().count() == 5  # unreferenced files are not the table
