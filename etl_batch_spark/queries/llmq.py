@@ -2011,3 +2011,58 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("keep_ratio") + F.lit(1e-9), 4).alias("mean_keep_ratio"),
     )
     return agg.join(tokq, "source")
+
+
+# ---------------------------------------------------------------------------
+# mm04 — perceptual-hash near-dup pairs across modalities: dHash over
+# the decoded feature vector (bit i set when feature[i+1] > feature[i],
+# the classic difference-hash shape), candidates from an equi-join on
+# the hash bucket — the multimodal twin of dd05's SimHash, composing
+# mapInPandas decode with dedup-style bucketing.  With the container's
+# deterministic fake codec the whole pipeline is exactly oracle-checked;
+# a real codec swaps _fake_decode only, the bucketing plan is identical.
+# Exact-duplicate payloads (same md5) necessarily share the phash, so
+# recall for true copies is 1.0 at any scale; bucket sizes are n/2^7.
+# ---------------------------------------------------------------------------
+@query(
+    "mm04_phash_neardup",
+    doc="difference-hash (dHash) near-dup pairs over decoded features "
+    "(multimodal.decode_image ∘ phash bucket join)",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 8),
+               i -> ROUND((('0x' || substr(md5(text), 3 + 2 * i, 2))::BIGINT)
+                          / 255.0, 6)) AS f
+      FROM documents
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST((CASE WHEN f[2] > f[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN f[3] > f[2] THEN 2 ELSE 0 END)
+                + (CASE WHEN f[4] > f[3] THEN 4 ELSE 0 END)
+                + (CASE WHEN f[5] > f[4] THEN 8 ELSE 0 END)
+                + (CASE WHEN f[6] > f[5] THEN 16 ELSE 0 END)
+                + (CASE WHEN f[7] > f[6] THEN 32 ELSE 0 END)
+                + (CASE WHEN f[8] > f[7] THEN 64 ELSE 0 END) AS INT) AS phash
+      FROM feat
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash
+    FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id
+    """,
+)
+def mm04_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(_documents(spark, sf_dir))
+    decoded = multimodal.decode_image(docs, fake=True)
+    bits = " + ".join(
+        f"(case when feature[{i + 1}] > feature[{i}] then {1 << i} else 0 end)"
+        for i in range(7)
+    )
+    ph = decoded.select("doc_id", F.expr(f"cast({bits} as int)").alias("phash"))
+    a = ph.select(F.col("doc_id").alias("doc_a"), "phash")
+    b = ph.select(F.col("doc_id").alias("doc_b"), "phash")
+    return (
+        a.join(b, "phash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "phash")
+    )
