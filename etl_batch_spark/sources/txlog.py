@@ -46,6 +46,10 @@ class Version:
     added: "list[str]"
     removed: "list[str]"
     n_rows: int
+    # free-form commit metadata (e.g. the streaming maintainer records
+    # the micro-batch id here, making replay detection part of the
+    # atomic commit itself)
+    meta: "dict | None" = None
 
 
 class TxTable:
@@ -82,10 +86,11 @@ class TxTable:
             live |= set(v.added)
         return sorted(live)
 
-    def _commit(self, action: str, added: "list[str]", removed: "list[str]", n_rows: int) -> int:
+    def _commit(self, action: str, added: "list[str]", removed: "list[str]",
+                n_rows: int, meta: "dict | None" = None) -> int:
         version = self.latest_version() + 1
         entry = Version(version=version, action=action, added=added,
-                        removed=removed, n_rows=n_rows)
+                        removed=removed, n_rows=n_rows, meta=meta)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(entry.__dict__, f)
@@ -110,13 +115,17 @@ class TxTable:
         n_rows = self.spark.read.parquet(out).count()
         return sorted(files), n_rows
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, *, meta: "dict | None" = None) -> int:
         added, n = self._write_files(df)
-        return self._commit("append", added, [], n)
+        return self._commit("append", added, [], n, meta)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, *, meta: "dict | None" = None) -> int:
         added, n = self._write_files(df)
-        return self._commit("overwrite", added, self._active_files(), n)
+        return self._commit("overwrite", added, self._active_files(), n, meta)
+
+    def latest_meta(self) -> "dict | None":
+        vs = self.versions()
+        return vs[-1].meta if vs else None
 
     def compact(self, *, target_files: int = 4) -> int:
         """Rewrite the current snapshot into ``target_files`` files —
