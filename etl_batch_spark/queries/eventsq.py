@@ -611,3 +611,75 @@ def ev12_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("step2_click_24h"))))
         .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("step3_purchase_24h"))))
     )
+
+
+# ---------------------------------------------------------------------------
+# ev13 — last-touch attribution (batch twin of the streaming
+# purchase_attribution_join): every purchase attributes to the latest
+# same-user click within the preceding hour via the engine's as-of join
+# (backward + tolerance — one union+window shuffle on user_id, never an
+# inequality join); revenue splits into attributed vs organic per day.
+# The oracle replays the pick with a LATERAL ORDER BY/LIMIT 1.
+# ---------------------------------------------------------------------------
+@query(
+    "ev13_last_touch_attribution",
+    doc="per-day attributed vs organic purchase revenue "
+    "(operators.asof.asof_join, backward, 1h tolerance)",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    att AS (
+      SELECT p.ts, p.value, t.click_ts
+      FROM p LEFT JOIN LATERAL (
+        SELECT c.click_ts FROM c
+        WHERE c.user_id = p.user_id AND c.click_ts <= p.ts
+          AND c.click_ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY c.click_ts DESC LIMIT 1
+      ) t ON TRUE
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_attributed,
+           ROUND(SUM(CASE WHEN click_ts IS NOT NULL THEN value ELSE 0 END), 2)
+             AS attributed_revenue,
+           ROUND(SUM(CASE WHEN click_ts IS NULL THEN value ELSE 0 END), 2)
+             AS organic_revenue
+    FROM att GROUP BY 1
+    """,
+)
+def ev13_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    att = asof_join(
+        p,
+        c,
+        on="ts",
+        by=["user_id"],
+        direction="backward",
+        tolerance_s=3600.0,
+        right_value_cols=["click_ts"],
+    )
+    attributed = F.col("click_ts_right").isNotNull()  # asof suffixes right cols
+    return att.groupBy(F.date_trunc("DAY", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(attributed.cast("int")).cast("bigint").alias("n_attributed"),
+        F.round(F.sum(F.when(attributed, F.col("value")).otherwise(0.0)), 2).alias(
+            "attributed_revenue"
+        ),
+        F.round(F.sum(F.when(~attributed, F.col("value")).otherwise(0.0)), 2).alias(
+            "organic_revenue"
+        ),
+    )
