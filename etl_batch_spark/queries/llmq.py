@@ -2022,7 +2022,11 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic fake codec the whole pipeline is exactly oracle-checked;
 # a real codec swaps _fake_decode only, the bucketing plan is identical.
 # Exact-duplicate payloads (same md5) necessarily share the phash, so
-# recall for true copies is 1.0 at any scale; bucket sizes are n/2^7.
+# recall for true copies is 1.0 at any scale.  Scale parameterization:
+# pair count is Σ C(bucket, 2) ≈ n²/2^(bits+1) — 7 bits is what the
+# fixture's 8-dim fake feature yields and is fine to ~10⁴ docs; a real
+# codec emits ≥64-dim features ⇒ a 63-bit dHash, the same plan with
+# bucket sizes ~n/2^63 (dd05's SimHash plays the same card at 16 bits).
 # ---------------------------------------------------------------------------
 @query(
     "mm04_phash_neardup",
