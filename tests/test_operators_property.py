@@ -175,3 +175,110 @@ class TestSaltedJoinProperty:
         got = sorted(salted_join(big, small, "k").collect(), key=str)
         want = sorted(big.join(small, "k").collect(), key=str)
         assert got == want
+
+
+class TestAsofJoinProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+            min_size=1,
+            max_size=40,
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(0, 99)),
+            min_size=1,
+            max_size=40,
+        ),
+        st.sampled_from([None, 500.0, 2000.0]),
+    )
+    def test_matches_pandas_merge_asof(self, spark, lrows, rrows, tol):
+        """pandas.merge_asof is the semantics contract (independent
+        implementation) for the engine's backward as-of join."""
+        import pandas as pd
+
+        from etl_batch_spark.operators.asof import asof_join
+
+        # dedupe (by, ts) on the right: with equal keys the matched VALUE
+        # is implementation-defined in both engines; keep the max value
+        # (deterministic) by building a dict keyed on (k, ts)
+        rmap = {}
+        for k, ts, v in rrows:
+            rmap[(k, ts)] = max(v, rmap.get((k, ts), -1))
+        rrows = [(k, ts, v) for (k, ts), v in sorted(rmap.items())]
+
+        ldf = spark.createDataFrame(
+            [(k, ts, i) for i, (k, ts) in enumerate(lrows)],
+            "k int, tsl long, lid long",
+        ).select("k", F.timestamp_micros("tsl").alias("ts"), "lid")
+        rdf = spark.createDataFrame(
+            rrows, "k int, tsl long, v int"
+        ).select("k", F.timestamp_micros("tsl").alias("ts"), "v")
+
+        got = {
+            r["lid"]: r["v_right"]
+            for r in asof_join(
+                ldf, rdf, on="ts", by=["k"], direction="backward",
+                tolerance_s=(tol / 1e6 if tol else None),
+                right_value_cols=["v"],
+            ).collect()
+        }
+
+        lp = pd.DataFrame(
+            [(k, ts, i) for i, (k, ts) in enumerate(lrows)],
+            columns=["k", "ts", "lid"],
+        ).sort_values("ts", kind="mergesort")
+        rp = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values(
+            "ts", kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="backward",
+            tolerance=int(tol) if tol else None,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else int(r.v))
+            for r in merged.itertuples()
+        }
+        assert got == want
+
+
+class TestTxTableModelProperty:
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.tuples(st.just("append"), st.integers(1, 5)),
+                st.tuples(st.just("overwrite"), st.integers(1, 5)),
+                st.tuples(st.just("compact"), st.just(0)),
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def test_every_version_matches_model(self, spark, tmp_path_factory, ops):
+        """Model-based check: after an arbitrary commit sequence, EVERY
+        version's snapshot equals an in-memory replay of the log."""
+        from etl_batch_spark.sources.txlog import TxTable
+
+        t = TxTable(spark, str(tmp_path_factory.mktemp("tx")))
+        model: list[list[int]] = []  # version -> expected ids
+        next_id = 0
+        for op, n in ops:
+            if op == "append":
+                rows = list(range(next_id, next_id + n))
+                next_id += n
+                t.append(spark.range(rows[0], rows[-1] + 1))
+                model.append((model[-1] if model else []) + rows)
+            elif op == "overwrite":
+                rows = list(range(next_id, next_id + n))
+                next_id += n
+                t.overwrite(spark.range(rows[0], rows[-1] + 1))
+                model.append(rows)
+            else:
+                if not model:
+                    continue  # compact on an empty table is undefined
+                t.compact(target_files=1)
+                model.append(model[-1])
+        for v, want in enumerate(model):
+            got = sorted(r["id"] for r in t.read(version=v).collect())
+            assert got == sorted(want), f"version {v}"
