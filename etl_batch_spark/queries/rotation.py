@@ -82,6 +82,14 @@ DRIVER_WINDOW: list[str] = [
     "dd11_hot_span_scrub",
 ]
 
+# ROUND 3 PREP (written end of round 2): once CORRECTNESS_r02.json
+# lands, (1) append the newly green window names to DRIVER_GREEN,
+# (2) refill DRIVER_WINDOW from the still-unchecked middle tier, in
+# priority order: q42..q84, q86..q94 relational (minus q85/q93 if green),
+# then q95/q96, tx03–tx15, sm03–sm09, dd08–dd10, ss06/ss09, mm03/mm04,
+# et23/et24, ev13, pipe01–03 — about 82 names, so rounds 3–4 complete
+# the sweep.  tests/test_rotation.py pins the mechanism's invariants.
+
 # Driver-green in CORRECTNESS_r01.json (rows+schema+hash all true, or
 # rows-only by design with no change since).  Deprioritized to the back
 # of the registry so the driver window reaches unchecked queries first.
