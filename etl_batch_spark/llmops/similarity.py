@@ -421,3 +421,79 @@ def mmr_topk(
         )
 
     return pool_v.groupBy("query_id").applyInPandas(select, schema=out_schema)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space, then inside each cluster drop every item that has an
+    earlier (lower-id) neighbor at cosine ≥ ``threshold``.
+
+    Complements the lexical family: MinHash/SimHash catch copies of the
+    same TEXT; this catches semantically redundant rephrasings that share
+    no n-grams.  Returns one row per input — ``(id, cluster, kept)`` — so
+    callers can either filter ``kept`` or audit the drop rate per cluster.
+
+    Distributed shape: assignment is the IVF plan (broadcast the
+    ``n_clusters`` seed centroids against one corpus scan, argmin via a
+    per-row window — no shuffle of the corpus); the candidate pair step is
+    an EQUI-join on the cluster id, never an all-pairs cross join.  The
+    within-cluster work is quadratic in cluster size only — at 100 TB you
+    raise ``n_clusters`` ~ sqrt(n) (the paper runs 50k clusters for
+    LAION-scale corpora) so per-cluster membership stays bounded, and the
+    equi-join shuffle stays linear in the corpus.  Seeding is the first
+    ``n_clusters`` vectors by id — deterministic and oracle-replayable;
+    a production index would train seeds with :func:`kmeans_lloyd` and
+    the rest of the plan is unchanged.
+    """
+    c = _normed(corpus, id_col=id_col, vec_col=vec_col)
+    cents = c.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    sim = F.round(
+        F.expr(DOT.format(a="e", b="ce")) / (F.col("nrm") * F.col("cn")), round_to
+    )
+    rn_w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cent_id"))
+    assign = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "e", "nrm", F.col("cent_id").alias("cluster"))
+    )
+    a = assign.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), round_to)
+    dropped = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assign.join(dropped.withColumn("is_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -339,6 +339,27 @@ def ss03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd12_semantic_dedup",
+    doc="SemDeDup: cluster embeddings, drop items with an earlier same-cluster "
+    "neighbor at cosine >= 0.35 (llmops.similarity.semantic_dedup)",
+    oracle=f"""
+    WITH {_DUCK_IVF_ASSIGN},
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35
+    )
+    SELECT s.vec_id, s.cent_id AS cluster, (d.vec_id IS NULL) AS kept
+    FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """,
+)
+def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, n_clusters=16, threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns (llmops.multimodal): binary payload + mapInPandas
 # decode plumbing; the codec is a deterministic md5-derived stub, so the

@@ -98,6 +98,47 @@ class TestSimilarity:
         assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
         assert not any(2 in p for p in pairs)  # opposite vector never pairs
 
+    def test_semantic_dedup_drops_planted_rephrase(self, spark):
+        base = [round(((i * 37) % 101 - 50) / 50.0, 3) for i in range(16)]
+        near = [x * 1.1 for x in base]  # scaled copy: cosine == 1
+        far = [((i * 53) % 97 - 48) / 48.0 for i in range(16)]
+        emb = spark.createDataFrame(
+            [(0, base), (1, far), (2, near)],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r for r in
+               similarity.semantic_dedup(emb, n_clusters=2, threshold=0.95).collect()}
+        assert len(out) == 3  # one row per input, kept or not
+        assert out[0]["kept"] and out[1]["kept"]
+        assert not out[2]["kept"]  # later twin of 0 is the one dropped
+        assert out[2]["cluster"] == out[0]["cluster"]
+
+    def test_semantic_dedup_numpy_replay(self, spark, sf_dir):
+        import numpy as np
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = {r["vec_id"]: r for r in
+               similarity.semantic_dedup(emb, n_clusters=16, threshold=0.35).collect()}
+        rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+        ids = [r["vec_id"] for r in rows]
+        V = np.array([[float(x) for x in r["embedding"]] for r in rows])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sim = np.round(Vn @ Vn[:16].T, 6)
+        # argmax with cent-id tiebreak = first max
+        cluster = {ids[i]: int(np.argmax(sim[i])) for i in range(len(ids))}
+        dropped = set()
+        for j in range(len(ids)):
+            for i in range(j):
+                if cluster[ids[i]] == cluster[ids[j]] and np.round(
+                    float(Vn[i] @ Vn[j]), 6
+                ) >= 0.35:
+                    dropped.add(ids[j])
+                    break
+        assert len(out) == len(ids)
+        for vid in ids:
+            assert out[vid]["cluster"] == cluster[vid]
+            assert out[vid]["kept"] == (vid not in dropped)
+
     def test_ivf_recall_vs_bruteforce(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         q = emb.filter(F.col("vec_id") < 10)
