@@ -423,6 +423,132 @@ def mmr_topk(
     return pool_v.groupBy("query_id").applyInPandas(select, schema=out_schema)
 
 
+def _pq_parts(
+    corpus: DataFrame, *, m: int, ks: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Shared PQ prep: (prepared vectors, codebook, subdim).
+
+    The codebook is deterministic — for each of the ``m`` subspaces, the
+    ``ks`` sub-vectors sliced from the first ``ks`` corpus rows by id
+    (same seeding convention as :func:`ivf_topk`; a production index
+    trains per-subspace centroids with k-means and the plans below are
+    unchanged).  Codebook size is m·ks rows of subdim doubles — broadcast
+    state, like kmeans' centroid matrix.
+    """
+    d = _normed(corpus, id_col=id_col, vec_col=vec_col).select(id_col, "e")
+    dim = len(d.select("e").first()["e"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    codebook = (
+        d.filter(F.col(id_col) < ks)
+        .select(
+            F.col(id_col).alias("code"),
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"),
+            F.col("e"),
+        )
+        .select("sub", "code", F.expr(f"slice(e, sub * {sd} + 1, {sd})").alias("cvec"))
+    )
+    return d, codebook, sd
+
+
+def _sqd_micro(a: str, b: str) -> Column:
+    """Squared L2 distance in integer micro-units (≈6dp).
+
+    Integer distances make every downstream SUM and argmin
+    order-independent and therefore bit-identical across engines —
+    float partial-distance sums would drift with aggregation order.
+    """
+    sqd = SQDIST.format(a=a, b=b)
+    return F.round(F.expr(sqd) * 1e6, 0).cast("long")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: ``(id, sub, code)`` long form.
+
+    Each vector is split into ``m`` subspaces; each sub-vector is replaced
+    by the id of its nearest codebook entry — compressing a 64-dim float
+    vector to ``m`` small ints (32× smaller at m=8/ks=16; the reason PQ is
+    THE 100 TB embedding-store layout).  Long form is exactly what the
+    ADC search join consumes; the compact ``array<int>`` storage form is
+    one ``groupBy(id).agg(sort_array(collect_list(...)))`` away.
+
+    Distributed shape: explode to rows×m sub-vectors, equi-join the
+    broadcast codebook on ``sub``, argmin per (id, sub) via
+    ``min(struct(dist, code))`` — a partial-aggregating groupBy, ONE
+    shuffle linear in rows×m, no window, no cross join against data.
+    """
+    d, codebook, sd = _pq_parts(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    exploded = d.select(
+        id_col, F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"), "e"
+    ).withColumn("sv", F.expr(f"slice(e, sub * {sd} + 1, {sd})"))
+    return (
+        exploded.join(F.broadcast(codebook), "sub")
+        .withColumn("sqd", _sqd_micro("sv", "cvec"))
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct("sqd", "code")).alias("best"))
+        .select(id_col, "sub", F.col("best.code").alias("code"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: the compressed-corpus ANN path.
+
+    The corpus is only ever touched through its PQ codes; per query, a
+    lookup table of m·ks partial squared distances (query sub-vector vs
+    codebook entry) is broadcast, and each candidate's approximate
+    distance is the SUM of m table hits — no corpus vector is read at
+    search time.  Returned ``adist_micro`` is that sum in integer
+    micro-units (see :func:`_sqd_micro`).
+
+    Distributed shape: codes ⋈ broadcast LUT on (sub, code) — a broadcast
+    hash join over the rows×m code table — then a partial-aggregating
+    groupBy(query, id) SUM and a per-query top-k window over k·|queries|
+    candidates.  Everything is linear in corpus size; the 100 TB knobs
+    are m (compression) and ks (fidelity), not the join shape.
+    """
+    codes = pq_encode(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    # LUT slices pair query sub-vectors with the CORPUS codebook
+    _, corpus_cb, sd = _pq_parts(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    q = _normed(queries, id_col=id_col, vec_col=vec_col).select(id_col, "e")
+    q_exploded = q.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"),
+        "e",
+    ).withColumn("qv", F.expr(f"slice(e, sub * {sd} + 1, {sd})"))
+    lut = q_exploded.join(F.broadcast(corpus_cb), "sub").select(
+        "query_id", "sub", "code", _sqd_micro("qv", "cvec").alias("pd")
+    )
+    dist = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("pd").alias("adist_micro"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist_micro"), F.asc(id_col))
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adist_micro")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,

@@ -360,6 +360,72 @@ def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(emb, n_clusters=16, threshold=0.35)
 
 
+# squared L2 distance between two 8-dim slices, in integer micro-units —
+# integer partials keep every SUM/argmin order-independent, so Spark and
+# DuckDB agree bit-for-bit (float partial sums would drift with agg order)
+_DUCK_SQD_MICRO = (
+    "CAST(round(list_sum(list_transform(generate_series(1, 8), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1e6, 0) AS BIGINT)"
+)
+
+_DUCK_PQ = f"""
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    subs AS (SELECT UNNEST(generate_series(0, 7)) AS sub),
+    cb AS (
+      SELECT s.sub, v.vec_id AS code, v.e[s.sub * 8 + 1 : s.sub * 8 + 8] AS cvec
+      FROM v, subs s WHERE v.vec_id < 16
+    ),
+    sv AS (
+      SELECT v.vec_id, s.sub, v.e[s.sub * 8 + 1 : s.sub * 8 + 8] AS svec
+      FROM v, subs s
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT sv.vec_id, sv.sub, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY {_DUCK_SQD_MICRO.format(a="sv.svec", b="cb.cvec")}, cb.code
+               ) AS rn
+        FROM sv JOIN cb ON sv.sub = cb.sub
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT sv.vec_id AS query_id, sv.sub, cb.code,
+             {_DUCK_SQD_MICRO.format(a="sv.svec", b="cb.cvec")} AS pd
+      FROM sv JOIN cb ON sv.sub = cb.sub
+      WHERE sv.vec_id < 20
+    )
+"""
+
+
+@query(
+    "ss10_pq_ann",
+    doc="product-quantization ANN: m=8 subspaces, ks=16 codes, asymmetric-"
+    "distance top-3 over PQ codes only (llmops.similarity.pq_topk)",
+    oracle=f"""
+    WITH {_DUCK_PQ},
+    dist AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.pd) AS BIGINT) AS adist_micro
+      FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adist_micro
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adist_micro, neighbor_id) AS rn
+          FROM dist)
+    WHERE rn <= 3
+    """,
+)
+def ss10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, m=8, ks=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns (llmops.multimodal): binary payload + mapInPandas
 # decode plumbing; the codec is a deterministic md5-derived stub, so the

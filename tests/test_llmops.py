@@ -98,6 +98,42 @@ class TestSimilarity:
         assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
         assert not any(2 in p for p in pairs)  # opposite vector never pairs
 
+    def test_pq_encode_shape_and_code_range(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        codes = similarity.pq_encode(emb, m=8, ks=16).collect()
+        n = emb.count()
+        assert len(codes) == n * 8  # one code per (vector, subspace)
+        assert {r["sub"] for r in codes} == set(range(8))
+        assert all(0 <= r["code"] < 16 for r in codes)
+        # a codebook seed vector encodes to itself in every subspace
+        assert all(r["code"] == 0 for r in codes if r["vec_id"] == 0)
+
+    def test_pq_topk_recall_vs_exact_l2(self, spark, sf_dir):
+        import numpy as np
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+        approx = similarity.pq_topk(emb, q, k=3, m=8, ks=16).collect()
+        rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.array([[float(x) for x in r["embedding"]] for r in rows])
+        got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        exact = set()
+        pctiles = []
+        for qi in range(10):
+            d2 = ((V - V[ids == qi][0]) ** 2).sum(axis=1)
+            d2[ids == qi] = np.inf
+            order = np.argsort(d2, kind="stable")
+            for j in order[:3]:
+                exact.add((qi, int(ids[j])))
+            rank = {int(ids[j]): pos for pos, j in enumerate(order)}
+            pctiles += [rank[n] / len(ids) for (q_, n) in got if q_ == qi]
+        assert len(got) == len(exact)  # k rows per query
+        # untrained 16-entry codebooks: recall well above the 3/500 random
+        # baseline, and returned neighbors sit in the true nearest tail
+        assert len(got & exact) / len(exact) >= 0.15
+        assert float(np.mean(pctiles)) <= 0.15
+
     def test_semantic_dedup_drops_planted_rephrase(self, spark):
         base = [round(((i * 37) % 101 - 50) / 50.0, 3) for i in range(16)]
         near = [x * 1.1 for x in base]  # scaled copy: cosine == 1
