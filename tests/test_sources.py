@@ -482,6 +482,62 @@ class TestRangeSortedWrite:
             write_range_sorted(spark.range(1), str(tmp_path / "x"), sort_cols=[])
 
 
+class TestZorderWrite:
+    def _envelopes(self, path, col):
+        import glob as g
+
+        import pyarrow.parquet as pq
+
+        spans = []
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.to_arrow_schema().names
+            ci = names.index(col)
+            lo = min(md.row_group(rg).column(ci).statistics.min for rg in range(md.num_row_groups))
+            hi = max(md.row_group(rg).column(ci).statistics.max for rg in range(md.num_row_groups))
+            spans.append((lo, hi))
+        return spans
+
+    def test_both_columns_prunable(self, spark, tmp_path):
+        from etl_batch_spark.sources.io import write_range_sorted, write_zorder
+
+        # two independent uniform keys: a single-column sort can only
+        # cluster one of them
+        df = spark.range(20_000).select(
+            (F.col("id") * 37 % 10_000).alias("k1"),
+            (F.col("id") * 91 % 10_000).alias("k2"),
+        )
+        zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+        write_zorder(df, zpath, zorder_cols=["k1", "k2"], num_files=16)
+        write_range_sorted(df, spath, sort_cols=["k1"], num_files=16)
+
+        def mean_width(spans):
+            return sum(hi - lo for lo, hi in spans) / len(spans)
+
+        for col in ("k1", "k2"):
+            zw = mean_width(self._envelopes(zpath, col))
+            # 16 files over a 2-d curve ≈ 4 splits per dimension: every
+            # z-column's envelope must be well under the full range
+            assert zw < 0.6 * 10_000, f"{col}: z envelope {zw}"
+        # and it beats single-column range sort on the second column
+        sw2 = mean_width(self._envelopes(spath, "k2"))
+        zw2 = mean_width(self._envelopes(zpath, "k2"))
+        assert zw2 < 0.75 * sw2
+        # data round-trips intact
+        assert spark.read.parquet(zpath).count() == 20_000
+
+    def test_rejects_single_column_and_overflow(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.io import write_zorder
+
+        df = spark.range(10).select(F.col("id").alias("a"), F.col("id").alias("b"))
+        with _pytest.raises(ValueError):
+            write_zorder(df, str(tmp_path / "x"), zorder_cols=["a"])
+        with _pytest.raises(ValueError):
+            write_zorder(df, str(tmp_path / "y"), zorder_cols=["a", "b"], bits=32)
+
+
 class TestTxTable:
     def _table(self, spark, tmp_path):
         from etl_batch_spark.sources.txlog import TxTable
