@@ -218,6 +218,77 @@ def token_entropy(
     )
 
 
+def bigram_lm_score(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Self-scored bigram language-model fluency — the KenLM-perplexity
+    quality signal (CCNet / Gopher filtering) without an external model:
+    the corpus IS the LM.  Per doc: ``(n_bigrams, sum_logp_centi,
+    avg_logp)`` where each bigram contributes Laplace-smoothed
+    ``log10((c12 + 1) / (c1 + V))`` against corpus-wide counts.  Fluent,
+    common-phrase text scores high; gibberish and boilerplate-with-rare-
+    token-soup score low.
+
+    Cross-engine determinism: each bigram's log-prob is integerized to
+    centi units BEFORE aggregation, so the per-doc SUM is an exact
+    integer in any aggregation order (same discipline as pq_topk's
+    micro-unit distances); ``avg_logp`` is derived from those exact ints.
+
+    Distributed shape: counts are two partial-aggregating groupBys over
+    the exploded bigram stream; scoring joins the stream back on the
+    bigram key — shuffles linear in token count, and V is one broadcast
+    scalar.  At 100 TB you'd prune the LM to its top-V bigrams and
+    broadcast it; the scoring join is unchanged.
+    """
+    from etl_batch_spark.catalog import fan_out
+    from etl_batch_spark.llmops.dedup import tokens
+
+    toks = (
+        fan_out(df)
+        .withColumn("toks", tokens(text_col))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> struct(toks[i] as w1, toks[i+1] as w2))"
+            )
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    logp_centi = F.round(
+        (
+            F.log10((F.col("c12") + 1).cast("double"))
+            - F.log10((F.col("c1") + F.col("v")).cast("double"))
+        )
+        * 100,
+        0,
+    ).cast("long")
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("logp_centi", logp_centi)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_centi").alias("sum_logp_centi"),
+        )
+        .withColumn(
+            "avg_logp",
+            F.round(F.col("sum_logp_centi") / 100.0 / F.col("n_bigrams"), 3),
+        )
+    )
+
+
 def contamination(
     train: DataFrame,
     bench: DataFrame,

@@ -1525,6 +1525,45 @@ def tx16_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tx17_bigram_lm_score",
+    doc="self-scored bigram LM fluency: Laplace-smoothed log10 probs in "
+    "exact centi-units (llmops.text.bigram_lm_score)",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ),
+    t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   UNNEST(generate_series(1, len(toks) - 1)) AS i
+            FROM t2)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT UNNEST(toks) AS tok FROM t2)
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(round((log10(CAST(c2.c12 + 1 AS DOUBLE))
+                         - log10(CAST(c1.c1 + vocab.v AS DOUBLE))) * 100, 0)
+                  AS BIGINT) AS logp_centi
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(logp_centi) AS BIGINT) AS sum_logp_centi,
+           ROUND(CAST(SUM(logp_centi) AS DOUBLE) / 100.0 / COUNT(*), 3) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_lm_score(_documents(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # ss08 — per-label centroids: element-wise mean of the embedding
 # vectors per label, plus the centroid L2 norm.  The scale shape is

@@ -337,6 +337,34 @@ class TestSampling:
 
 
 class TestTextQuality:
+    def test_bigram_lm_ranks_common_phrases_above_rare_soup(self, spark):
+        from etl_batch_spark.llmops import text
+
+        common = "the cat sat on the mat"
+        rows = [
+            (1, common),
+            (2, common),
+            (3, common),
+            (4, "zxq wvul brrtk nmop qqa lzee"),  # every bigram unique
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in text.bigram_lm_score(df).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert out[1]["n_bigrams"] == 5
+        # corpus-frequent bigrams beat one-off gibberish bigrams
+        assert out[1]["avg_logp"] > out[4]["avg_logp"]
+        assert out[1]["sum_logp_centi"] == out[2]["sum_logp_centi"]
+
+    def test_bigram_lm_drops_sub_two_token_docs(self, spark):
+        from etl_batch_spark.llmops import text
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "two tokens")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"] for r in text.bigram_lm_score(df).collect()}
+        assert out == {3}
+
     def test_repetition_flags_repeated_doc(self, spark):
         from etl_batch_spark.llmops import text
 
