@@ -343,6 +343,7 @@ def ss03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd12_semantic_dedup",
     doc="SemDeDup: cluster embeddings, drop items with an earlier same-cluster "
     "neighbor at cosine >= 0.35 (llmops.similarity.semantic_dedup)",
+    bench=True,
     oracle=f"""
     WITH {_DUCK_IVF_ASSIGN},
     dropped AS (
@@ -404,6 +405,7 @@ _DUCK_PQ = f"""
     "ss10_pq_ann",
     doc="product-quantization ANN: m=8 subspaces, ks=16 codes, asymmetric-"
     "distance top-3 over PQ codes only (llmops.similarity.pq_topk)",
+    bench=True,
     oracle=f"""
     WITH {_DUCK_PQ},
     dist AS (

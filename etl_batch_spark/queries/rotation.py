@@ -70,9 +70,6 @@ DRIVER_WINDOW: list[str] = [
     "q36_forecast_revenue",
     "q37_from_json_map",
     "q38_approx_aggregates",
-    "q39_decimal_exact",
-    "q40_grouping_sets",
-    "q41_lag_lead",
     # changed-this-round: new exact oracles for formerly rows-only
     # iterative ops + the new substring-dedup operator — verified here so
     # any driver-canonicalizer quirk (vs local parity) surfaces this round
@@ -80,15 +77,21 @@ DRIVER_WINDOW: list[str] = [
     "ss05_doc_pagerank",
     "ss07_mmr_topk",
     "dd11_hot_span_scrub",
+    # brand-new this round (new operators, new oracles — highest quirk
+    # risk, so they take the window slots of three low-risk relational
+    # mappings q39-q41, which move to the round-3 refill)
+    "dd12_semantic_dedup",
+    "ss10_pq_ann",
+    "tx17_bigram_lm_score",
 ]
 
 # ROUND 3 PREP (written end of round 2): once CORRECTNESS_r02.json
 # lands, (1) append the newly green window names to DRIVER_GREEN,
 # (2) refill DRIVER_WINDOW from the still-unchecked middle tier, in
-# priority order: q42..q84, q86..q94 relational (minus q85/q93 if green),
-# then q95/q96, tx03–tx15, sm03–sm09, dd08–dd10, ss06/ss09, mm03/mm04,
-# et23/et24, ev13, pipe01–03 — about 82 names, so rounds 3–4 complete
-# the sweep.  tests/test_rotation.py pins the mechanism's invariants.
+# priority order: q39–q41, q42..q84, q86..q94 relational (minus q85/q93
+# if green), then q95/q96, tx03–tx15, sm03–sm09, dd08–dd10, ss06/ss09,
+# mm03/mm04, et23/et24, ev13, pipe01–03 — about 85 names, so rounds 3–4
+# complete the sweep.  tests/test_rotation.py pins the invariants.
 
 # Driver-green in CORRECTNESS_r01.json (rows+schema+hash all true, or
 # rows-only by design with no change since).  Deprioritized to the back
