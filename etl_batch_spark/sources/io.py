@@ -213,35 +213,65 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
-def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 10) -> "F.Column":
-    """Z-order (Morton) key over numeric columns: each column is scaled
-    to a ``bits``-bit integer by min/max, then the bit strings are
-    interleaved, so rows close on EVERY column get close keys.
+def zorder_key(
+    df: DataFrame, cols: list[str], *, bits: int = 10, equal_frequency: bool = False
+) -> "F.Column":
+    """Z-order (Morton) key over numeric columns: each column is mapped
+    to a ``bits``-bit bucket id, then the bit strings are interleaved,
+    so rows close on EVERY column get close keys.
 
-    The min/max scan is one 1-row aggregate (driver-bounded); the key
-    itself is pure shift/mask arithmetic — whole-stage-codegen'd, no
-    UDF.  ``bits * len(cols)`` must fit a long (≤ 62).
+    Bucketing modes:
+
+    - default (linear): scale by min/max — one 1-row aggregate of
+      driver state, monotone and cheap.  A single outlier stretches the
+      range and collapses the data mass onto few buckets.
+    - ``equal_frequency=True``: bucket by ``approxQuantile`` boundaries
+      (2^bits − 1 cut points of bounded driver state) — equal-POPULATION
+      buckets, so heavy-hitter regions and outliers cannot starve the
+      rest of the keyspace of bits.  Bucket lookup is a codegen'd fold
+      over the boundary literals; NULLs bucket to 0.
+
+    Either way the key itself is pure shift/mask arithmetic —
+    whole-stage-codegen'd, no UDF.  ``bits * len(cols)`` must fit a
+    long (≤ 62).  Keep ``bits`` small (8–10) with ``equal_frequency``:
+    boundary-literal count is 2^bits per column.
     """
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     if bits * len(cols) > 62:
         raise ValueError(f"bits*cols = {bits * len(cols)} exceeds long range")
-    stats = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
-    ).first()
     n_buckets = 1 << bits
-    key = F.lit(0).cast("long")
-    for ci, c in enumerate(cols):
-        mn = float(stats[f"mn_{c}"] or 0)
-        span = float(stats[f"mx_{c}"] or 0) - mn
-        scaled = (
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col(c) - mn) / (span / n_buckets) if span > 0 else F.lit(0)),
+    if equal_frequency:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.stat.approxQuantile(cols, probs, 0.001)
+        scaled_cols = []
+        for c, bs in zip(cols, bounds):
+            cuts = sorted(set(bs))
+            arr = "array(" + ",".join(f"cast({b!r} as double)" for b in cuts) + ")"
+            q = F.expr(
+                f"aggregate({arr}, 0L, (acc, b) -> acc + "
+                f"(case when cast({c} as double) >= b then 1L else 0L end))"
             )
-            .cast("long")
-        )
+            scaled_cols.append(F.coalesce(q, F.lit(0)).cast("long"))
+    else:
+        stats = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).first()
+        scaled_cols = []
+        for c in cols:
+            mn = float(stats[f"mn_{c}"] or 0)
+            span = float(stats[f"mx_{c}"] or 0) - mn
+            scaled_cols.append(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.col(c) - mn) / (span / n_buckets) if span > 0 else F.lit(0)
+                    ),
+                ).cast("long")
+            )
+    key = F.lit(0).cast("long")
+    for ci, scaled in enumerate(scaled_cols):
         # interleave: bit i of this column lands at position i*len(cols)+ci
         for i in range(bits):
             key = key + F.shiftleft(
@@ -259,6 +289,7 @@ def write_zordered(
     bits: int = 10,
     n_files: int = 8,
     mode: str = "overwrite",
+    equal_frequency: bool = False,
 ) -> None:
     """Write parquet clustered on a z-order curve over ``cols`` (the
     Delta/Iceberg OPTIMIZE ZORDER layout, as a plain write path).
@@ -268,8 +299,9 @@ def write_zordered(
     footer stats prune files/row-groups for predicates on any subset of
     them — the data-skipping story for multi-dimension point/range
     lookups at 100 TB, where date partitioning alone can't help the
-    second dimension."""
-    z = zorder_key(df, cols, bits=bits)
+    second dimension.  Pass ``equal_frequency=True`` for skewed or
+    outlier-carrying columns (see :func:`zorder_key`)."""
+    z = zorder_key(df, cols, bits=bits, equal_frequency=equal_frequency)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")
@@ -487,54 +519,3 @@ def write_range_sorted(
     )
 
 
-def write_zorder(
-    df: DataFrame,
-    path: str,
-    *,
-    zorder_cols: "list[str]",
-    num_files: int = 8,
-    bits: int = 8,
-) -> None:
-    """Write parquet clustered on a Z-order (Morton) curve over several
-    columns, so file min/max footer envelopes are narrow on EVERY
-    z-column at once — point/range predicates on any of them prune most
-    files.  The multi-column complement of :func:`write_range_sorted`
-    (which gives perfect pruning on one dominant column and none on the
-    rest).
-
-    Each column is first mapped to an equal-FREQUENCY bucket id via
-    ``approxQuantile`` boundaries (2^bits - 1 cut points — bounded
-    driver state, and skew-robust where linear min/max scaling would
-    collapse a heavy-hitter region onto one bucket); bucket lookup is a
-    codegen'd fold over the boundary literals, no UDF.  Bucket bits are
-    then interleaved into one long and the rows range-partitioned and
-    sorted by it — the same no-global-sort shape as range-sorted writes.
-    NULLs bucket to 0, keeping them clustered in the first file.
-    """
-    if len(zorder_cols) < 2:
-        raise ValueError("z-order needs at least 2 columns; use write_range_sorted")
-    if bits * len(zorder_cols) > 63:
-        raise ValueError("bits * len(zorder_cols) must fit in a long")
-    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    bounds = df.stat.approxQuantile(zorder_cols, probs, 0.001)
-    z = F.lit(0).cast("long")
-    for i, (c, bs) in enumerate(zip(zorder_cols, bounds)):
-        cuts = sorted(set(bs))
-        arr = "array(" + ",".join(f"cast({b!r} as double)" for b in cuts) + ")"
-        q = F.expr(
-            f"aggregate({arr}, 0L, (acc, b) -> acc + "
-            f"(case when cast({c} as double) >= b then 1L else 0L end))"
-        )
-        q = F.coalesce(q, F.lit(0)).cast("long")
-        for b in range(bits):
-            z = z + F.shiftleft(
-                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * len(zorder_cols) + i
-            )
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )

@@ -270,3 +270,35 @@ def test_pipe03_composes_without_cartesian_or_python(spark, sf_dir):
     assert plans.count_ops(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in s  # all stages native expressions
     assert plans.unpartitioned_windows(df) == 0
+
+
+def test_ss10_pq_searches_codes_via_broadcast_joins(spark, sf_dir):
+    """PQ's whole point is that search touches only codes: the LUT and
+    codebook joins must broadcast (never shuffle the code table against
+    a sort-merge join), with no cartesian against data and no Python."""
+    df = QUERIES["ss10_pq_ann"].build(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    plans.assert_broadcast(df, at_least=2)  # codebook join + LUT join
+    assert plans.count_ops(df, "CartesianProduct") == 0
+    assert "SortMergeJoin" not in s
+    assert "BatchEvalPython" not in s
+    assert plans.unpartitioned_windows(df) == 0  # top-k partitioned by query
+
+
+def test_dd12_semantic_dedup_pairs_only_within_cluster(spark, sf_dir):
+    """Candidate pairs come from an equi-join on the cluster id — the
+    only nested-loop is the broadcast of the tiny seed-centroid table."""
+    df = QUERIES["dd12_semantic_dedup"].build(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    assert plans.count_ops(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in s
+    assert plans.unpartitioned_windows(df) == 0  # argmin windows keyed by id
+
+
+def test_tx17_bigram_lm_all_native_no_cartesian(spark, sf_dir):
+    df = QUERIES["tx17_bigram_lm_score"].build(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    # the only nested-loop input is the broadcast 1-row vocab scalar
+    assert plans.count_ops(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in s
+    assert plans.unpartitioned_windows(df) == 0

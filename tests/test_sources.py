@@ -482,7 +482,7 @@ class TestRangeSortedWrite:
             write_range_sorted(spark.range(1), str(tmp_path / "x"), sort_cols=[])
 
 
-class TestZorderWrite:
+class TestZorderEqualFrequency:
     def _envelopes(self, path, col):
         import glob as g
 
@@ -498,44 +498,50 @@ class TestZorderWrite:
             spans.append((lo, hi))
         return spans
 
-    def test_both_columns_prunable(self, spark, tmp_path):
-        from etl_batch_spark.sources.io import write_range_sorted, write_zorder
+    def test_outlier_does_not_starve_bucketing(self, spark, tmp_path):
+        from etl_batch_spark.sources.io import write_zordered
 
-        # two independent uniform keys: a single-column sort can only
-        # cluster one of them
+        # mass in [0, 10000), one outlier at 1e9: linear min/max scaling
+        # collapses the whole mass into bucket 0 (no k1 clustering at
+        # all); quantile buckets ignore the outlier's leverage
+        df = spark.range(20_000).select(
+            F.when(F.col("id") == 0, F.lit(1_000_000_000))
+            .otherwise(F.col("id") * 37 % 10_000)
+            .alias("k1"),
+            (F.col("id") * 91 % 10_000).alias("k2"),
+        )
+        lin, eqf = str(tmp_path / "lin"), str(tmp_path / "eqf")
+        write_zordered(df, lin, ["k1", "k2"], bits=8, n_files=16)
+        write_zordered(
+            df, eqf, ["k1", "k2"], bits=8, n_files=16, equal_frequency=True
+        )
+
+        def median_width(spans):
+            ws = sorted(hi - lo for lo, hi in spans if hi < 1_000_000)  # mass files
+            return ws[len(ws) // 2]
+
+        lin_w = median_width(self._envelopes(lin, "k1"))
+        eqf_w = median_width(self._envelopes(eqf, "k1"))
+        assert eqf_w < lin_w / 2, f"eqf {eqf_w} vs linear {lin_w}"
+        assert eqf_w < 6_000  # real clustering of the mass region
+        # data round-trips intact
+        assert spark.read.parquet(eqf).count() == 20_000
+
+    def test_equal_frequency_still_prunes_both_columns(self, spark, tmp_path):
+        from etl_batch_spark.sources.io import write_zordered
+
         df = spark.range(20_000).select(
             (F.col("id") * 37 % 10_000).alias("k1"),
             (F.col("id") * 91 % 10_000).alias("k2"),
         )
-        zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
-        write_zorder(df, zpath, zorder_cols=["k1", "k2"], num_files=16)
-        write_range_sorted(df, spath, sort_cols=["k1"], num_files=16)
-
-        def mean_width(spans):
-            return sum(hi - lo for lo, hi in spans) / len(spans)
+        path = str(tmp_path / "z")
+        write_zordered(df, path, ["k1", "k2"], bits=8, n_files=16, equal_frequency=True)
 
         for col in ("k1", "k2"):
-            zw = mean_width(self._envelopes(zpath, col))
-            # 16 files over a 2-d curve ≈ 4 splits per dimension: every
-            # z-column's envelope must be well under the full range
-            assert zw < 0.6 * 10_000, f"{col}: z envelope {zw}"
-        # and it beats single-column range sort on the second column
-        sw2 = mean_width(self._envelopes(spath, "k2"))
-        zw2 = mean_width(self._envelopes(zpath, "k2"))
-        assert zw2 < 0.75 * sw2
-        # data round-trips intact
-        assert spark.read.parquet(zpath).count() == 20_000
-
-    def test_rejects_single_column_and_overflow(self, spark, tmp_path):
-        import pytest as _pytest
-
-        from etl_batch_spark.sources.io import write_zorder
-
-        df = spark.range(10).select(F.col("id").alias("a"), F.col("id").alias("b"))
-        with _pytest.raises(ValueError):
-            write_zorder(df, str(tmp_path / "x"), zorder_cols=["a"])
-        with _pytest.raises(ValueError):
-            write_zorder(df, str(tmp_path / "y"), zorder_cols=["a", "b"], bits=32)
+            spans = self._envelopes(path, col)
+            mean_w = sum(hi - lo for lo, hi in spans) / len(spans)
+            # 16 files over a 2-d curve ≈ 4 splits per dimension
+            assert mean_w < 0.6 * 10_000, f"{col}: envelope {mean_w}"
 
 
 class TestTxTable:
