@@ -127,12 +127,41 @@ class TxTable:
         vs = self.versions()
         return vs[-1].meta if vs else None
 
-    def compact(self, *, target_files: int = 4) -> int:
+    def compact(
+        self,
+        *,
+        target_files: int = 4,
+        zorder_cols: "list[str] | None" = None,
+        equal_frequency: bool = False,
+    ) -> int:
         """Rewrite the current snapshot into ``target_files`` files —
         logically a no-op (same rows), physically the small-file fix.
-        Old files stay on disk for in-flight readers until vacuum()."""
+        Old files stay on disk for in-flight readers until vacuum().
+
+        With ``zorder_cols`` this is OPTIMIZE ZORDER: the rewrite
+        clusters rows along the Morton curve (``sources.io.zorder_key``)
+        so the new files carry tight footer envelopes on every listed
+        column — compaction and data-skipping layout in one commit,
+        exactly how Delta/Iceberg table services fold the two.  Readers
+        keep snapshot isolation throughout: the clustered rewrite is one
+        atomic commit like any other.
+        """
         current = self.read()
-        added, n = self._write_files(current.coalesce(target_files))
+        if zorder_cols:
+            from etl_batch_spark.sources.io import zorder_key
+
+            z = zorder_key(
+                current, zorder_cols, equal_frequency=equal_frequency
+            )
+            clustered = (
+                current.withColumn("__z", z)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            clustered = current.coalesce(target_files)
+        added, n = self._write_files(clustered)
         return self._commit("compact", added, self._active_files(), n)
 
     def vacuum(self, *, retain_versions: int = 1) -> "list[str]":

@@ -563,6 +563,38 @@ class TestTxTable:
         assert [h["action"] for h in t.history()] == ["append", "append", "overwrite"]
         assert t.history()[v2]["n_rows"] == 3
 
+    def test_compact_with_zorder_clusters_both_columns(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        df = spark.range(8_000).select(
+            (F.col("id") * 37 % 1_000).alias("k1"),
+            (F.col("id") * 91 % 1_000).alias("k2"),
+        )
+        t.append(df)
+        before = sorted((r["k1"], r["k2"]) for r in t.read().collect())
+        t.compact(target_files=8, zorder_cols=["k1", "k2"])
+        after = sorted((r["k1"], r["k2"]) for r in t.read().collect())
+        assert before == after  # logically a no-op
+        assert t.history()[-1]["action"] == "compact"
+        # the compacted snapshot's files have tight envelopes on BOTH cols
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        files = [
+            _os.path.join(t.path, f)
+            for f in t._active_files()  # noqa: SLF001
+        ]
+        assert len(files) == 8
+        for col in ("k1", "k2"):
+            widths = []
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                names = md.schema.to_arrow_schema().names
+                ci = names.index(col)
+                st = [md.row_group(rg).column(ci).statistics for rg in range(md.num_row_groups)]
+                widths.append(max(s.max for s in st) - min(s.min for s in st))
+            assert sum(widths) / len(widths) < 0.7 * 1_000, f"{col}: {widths}"
+
     def test_compact_preserves_rows_and_old_readers(self, spark, tmp_path):
         t = self._table(spark, tmp_path)
         for lo in range(0, 50, 10):
