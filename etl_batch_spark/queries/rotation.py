@@ -91,7 +91,9 @@ DRIVER_WINDOW: list[str] = [
 # priority order: q39–q41, q42..q84, q86..q94 relational (minus q85/q93
 # if green), then q95/q96, tx03–tx15, sm03–sm09, dd08–dd10, ss06/ss09,
 # mm03/mm04, et23/et24, ev13, pipe01–03 — about 85 names, so rounds 3–4
-# complete the sweep.  tests/test_rotation.py pins the invariants.
+# complete the sweep.  Run `python tools/rotate.py CORRECTNESS_r02.json
+# --write` to do this mechanically (--prepend for round-3 changed
+# queries).  tests/test_rotation.py pins the invariants.
 
 # Driver-green in CORRECTNESS_r01.json (rows+schema+hash all true, or
 # rows-only by design with no change since).  Deprioritized to the back
