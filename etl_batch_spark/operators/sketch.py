@@ -133,6 +133,78 @@ def hist_merge(partials: DataFrame, bucket: Column, bucket_name: str = "bucket")
     )
 
 
+def cms_partials(
+    df: DataFrame,
+    *,
+    key_col: str,
+    bucket: Column,
+    bucket_name: str = "bucket",
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """(bucket, r, c, cnt): mergeable count-min-sketch counters.
+
+    The frequency member of the mergeable-partials family (Cormode &
+    Muthukrishnan 2005): ``d`` md5-derived hash rows × ``w`` counters.
+    Counters SUM-merge upward like the histogram bins; a point estimate
+    is the MIN over the key's ``d`` counters (:func:`cms_estimate`) —
+    an upper bound on the true count with error ≤ 2N/w at confidence
+    1 − 2^-d.  At 100 TB the sketch is (buckets × d × w) rows no matter
+    the event count, partial-aggregated map-side in one shuffle.
+    """
+    rows = F.explode(F.expr(f"sequence(0, {d - 1})")).alias("r")
+    keyed = df.select(bucket.alias(bucket_name), F.col(key_col).alias("k"), rows)
+    h = H60.format(expr="concat(cast(r as string), '|', cast(k as string))")
+    return (
+        keyed.withColumn("c", F.expr(f"pmod({h}, {w})").cast("int"))
+        .groupBy(bucket_name, "r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(partials: DataFrame, bucket: Column, bucket_name: str = "bucket") -> DataFrame:
+    """Merge finer partials upward (e.g. day → month): SUM per counter."""
+    return (
+        partials.select(bucket.alias(bucket_name), "r", "c", "cnt")
+        .groupBy(bucket_name, "r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    partials: DataFrame,
+    probes: DataFrame,
+    *,
+    key_col: str,
+    bucket_name: str = "bucket",
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """(bucket, key, est_count) point queries against a counter table.
+
+    ``probes`` is the (small) key list to interrogate; its (key, r, c)
+    coordinates broadcast against the counter table per bucket — absent
+    counters read 0.  MIN over the d counters gives the estimate.
+    """
+    rows = F.explode(F.expr(f"sequence(0, {d - 1})")).alias("r")
+    h = H60.format(expr="concat(cast(r as string), '|', cast(k as string))")
+    coords = (
+        probes.select(F.col(key_col).alias("k"), rows)
+        .withColumn("c", F.expr(f"pmod({h}, {w})").cast("int"))
+    )
+    spine = (
+        partials.select(bucket_name).distinct()
+        .crossJoin(F.broadcast(coords))
+    )
+    return (
+        spine.join(partials, [bucket_name, "r", "c"], "left")
+        .withColumn("cnt0", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(bucket_name, "k")
+        .agg(F.min("cnt0").alias("est_count"))
+        .withColumnRenamed("k", key_col)
+    )
+
+
 def hist_quantiles(
     partials: DataFrame,
     *,

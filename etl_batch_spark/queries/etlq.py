@@ -1338,3 +1338,88 @@ def et24_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.join(exact, ["event_type", "q"])
+
+
+# ---------------------------------------------------------------------------
+# et25 — count-min sketch frequencies (operators/sketch.py): per-month
+# event counts for a probe set of users, estimated from day-partial
+# counters SUM-merged upward — the frequency sibling of et23 (HLL
+# distincts) and et24 (histogram quantiles).  md5-derived row hashes
+# make the counters bit-identical across engines, so the oracle rebuilds
+# the sketch at month level and parity again proves merge associativity.
+# CMS never under-counts: est_count >= n_exact always, and the exact
+# count rides along to show it.
+# ---------------------------------------------------------------------------
+_DUCK_CMS_H = (
+    "((('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST({k} AS VARCHAR)), 1, 15))"
+    "::BIGINT) % 256)"
+)
+
+
+@query(
+    "et25_count_min_freq",
+    doc="count-min-sketch monthly user frequencies from day-partial "
+    "merges vs exact (operators.sketch.cms_*)",
+    oracle=f"""
+    WITH rws AS (SELECT UNNEST(generate_series(0, 3)) AS r),
+    counters AS (
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, rws.r,
+             {_DUCK_CMS_H.format(k="user_id")} AS c,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN rws
+      GROUP BY 1, 2, 3
+    ),
+    probes AS (SELECT UNNEST(generate_series(0, 9)) AS user_id),
+    coords AS (
+      SELECT p.user_id, rws.r, {_DUCK_CMS_H.format(k="p.user_id")} AS c
+      FROM probes p CROSS JOIN rws
+    ),
+    spine AS (
+      SELECT b.bucket, coords.user_id, coords.r, coords.c
+      FROM (SELECT DISTINCT bucket FROM counters) b CROSS JOIN coords
+    ),
+    est AS (
+      SELECT s.bucket, s.user_id,
+             MIN(COALESCE(t.cnt, 0)) AS est_count
+      FROM spine s LEFT JOIN counters t
+        ON s.bucket = t.bucket AND s.r = t.r AND s.c = t.c
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, user_id,
+             COUNT(*) AS n_exact
+      FROM events WHERE user_id < 10 GROUP BY 1, 2
+    )
+    SELECT e.bucket, e.user_id, CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(COALESCE(x.n_exact, 0) AS BIGINT) AS n_exact
+    FROM est e LEFT JOIN exact x
+      ON e.bucket = x.bucket AND e.user_id = x.user_id
+    """,
+)
+def et25_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_partials,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    day = cms_partials(
+        e, key_col="user_id", bucket=F.date_trunc("DAY", F.col("ts"))
+    )
+    month = cms_merge(day, F.date_trunc("MONTH", F.col("bucket")))
+    probes = e.sparkSession.range(10).select(F.col("id").alias("user_id"))
+    est = cms_estimate(month, probes, key_col="user_id")
+    exact = (
+        e.filter(F.col("user_id") < 10)
+        .groupBy(
+            F.date_trunc("MONTH", F.col("ts")).alias("bucket"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.join(exact, ["bucket", "user_id"], "left").select(
+        "bucket",
+        "user_id",
+        "est_count",
+        F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+    )

@@ -157,6 +157,57 @@ class TestHistogramQuantilesProperty:
         assert got == want
 
 
+class TestCountMinProperty:
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.integers(0, 40), min_size=1, max_size=120))
+    def test_never_undercounts_and_matches_replay(self, spark, keys):
+        from collections import Counter
+
+        from etl_batch_spark.operators.sketch import cms_estimate, cms_partials
+
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        part = cms_partials(df, key_col="k", bucket=F.lit(0))
+        probes = spark.createDataFrame([(k,) for k in set(keys)], "k long")
+        got = {
+            r["k"]: r["est_count"]
+            for r in cms_estimate(part, probes, key_col="k").collect()
+        }
+        truth = Counter(keys)
+        # python replay of the d=4 x w=256 counters
+        counters: dict[tuple[int, int], int] = {}
+        for k in keys:
+            for r in range(4):
+                h = int(hashlib.md5(f"{r}|{k}".encode()).hexdigest()[:15], 16)
+                counters[(r, h % 256)] = counters.get((r, h % 256), 0) + 1
+        for k, n in truth.items():
+            est = min(
+                counters.get(
+                    (r, int(hashlib.md5(f"{r}|{k}".encode()).hexdigest()[:15], 16) % 256),
+                    0,
+                )
+                for r in range(4)
+            )
+            assert got[k] == est
+            assert got[k] >= n  # CMS never under-counts
+
+    def test_merge_equals_rebuild(self, spark):
+        from etl_batch_spark.operators.sketch import cms_merge, cms_partials
+
+        df = spark.createDataFrame(
+            [(d, k) for d in (1, 2, 3) for k in range(d * 10)], "day int, k long"
+        )
+        fine = cms_partials(df, key_col="k", bucket=F.col("day"))
+        merged = {
+            (r["r"], r["c"]): r["cnt"]
+            for r in cms_merge(fine, F.lit(0)).collect()
+        }
+        rebuilt = {
+            (r["r"], r["c"]): r["cnt"]
+            for r in cms_partials(df, key_col="k", bucket=F.lit(0)).collect()
+        }
+        assert merged == rebuilt  # SUM-merge associativity
+
+
 class TestSaltedJoinProperty:
     @settings(max_examples=6, deadline=None)
     @given(
