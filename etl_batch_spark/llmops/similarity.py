@@ -549,6 +549,64 @@ def pq_topk(
     )
 
 
+def _rademacher_sign(i: int, j: int, seed: str = "rp") -> int:
+    """Deterministic ±1 from the shared md5-60bit hash — any engine that
+    can md5 derives the identical projection matrix."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def random_project(
+    df: DataFrame,
+    *,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims,
+    long-form ``(id, j, proj_micro)`` — the ANN pre-processing step that
+    shrinks embedding storage/compute before LSH or PQ indexing, with
+    pairwise distances preserved to ~1/sqrt(out_dim) relative error
+    (Achlioptas 2003: Rademacher ±1 entries suffice).
+
+    Determinism: inputs integerize to micro units first, and ±1 signs
+    keep every output an exact INTEGER sum — bit-identical in any
+    engine and any aggregation order (the pq_topk discipline).  The
+    projection matrix is md5-derived from ``seed``, never stored.
+
+    Distributed shape: the whole operator is one row-local projection —
+    ``out_dim`` codegen'd sums of ±x[i] with NO shuffle and NO UDF; at
+    100 TB it runs at scan speed.  (Callers wanting unit-scale floats
+    divide by 1e6·sqrt(out_dim) downstream.)
+    """
+    x = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform({vec_col}, v -> cast(round(cast(v as double) * 1e6, 0) as bigint))"
+            ).alias("x"),
+        )
+    )
+    projs = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"({_rademacher_sign(i, j, seed)} * x[{i}])" for i in range(in_dim)
+        )
+        projs.append(F.expr(terms).alias(f"p{j}"))
+    wide = x.select(id_col, *projs)
+    return wide.select(
+        id_col,
+        F.posexplode(F.array(*[f"p{j}" for j in range(out_dim)])).alias(
+            "j", "proj_micro"
+        ),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,

@@ -428,6 +428,36 @@ def ss10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ss11_random_projection",
+    doc="Johnson-Lindenstrauss 64->16 Rademacher projection, exact integer "
+    "micro-units, row-local no-shuffle (llmops.similarity.random_project)",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    x AS (
+      SELECT vec_id,
+             list_transform(e, w -> CAST(round(w * 1e6, 0) AS BIGINT)) AS x
+      FROM v
+    ),
+    grid AS (
+      SELECT i.i, j.j,
+             CASE WHEN (('0x' || substr(md5('rp|' || CAST(i.i AS VARCHAR)
+                         || '|' || CAST(j.j AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT UNNEST(generate_series(0, 63)) AS i) i
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS j) j
+    )
+    SELECT x.vec_id, CAST(g.j AS INT) AS j,
+           CAST(SUM(g.s * x.x[g.i + 1]) AS BIGINT) AS proj_micro
+    FROM x CROSS JOIN grid g
+    GROUP BY x.vec_id, g.j
+    """,
+)
+def ss11_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_project(emb, out_dim=16, in_dim=64)
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns (llmops.multimodal): binary payload + mapInPandas
 # decode plumbing; the codec is a deterministic md5-derived stub, so the

@@ -134,6 +134,32 @@ class TestSimilarity:
         assert len(got & exact) / len(exact) >= 0.15
         assert float(np.mean(pctiles)) <= 0.15
 
+    def test_random_projection_preserves_pairwise_distances(self, spark, sf_dir):
+        import numpy as np
+
+        emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+        long = similarity.random_project(emb, out_dim=16, in_dim=64).collect()
+        P = {}
+        for r in long:
+            P.setdefault(r["vec_id"], [0.0] * 16)[r["j"]] = r["proj_micro"] / 1e6
+        rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+        V = {r["vec_id"]: np.array([float(x) for x in r["embedding"]]) for r in rows}
+        ids = sorted(V)
+        ratios = []
+        for a_i in range(0, len(ids), 7):
+            for b_i in range(a_i + 1, len(ids), 11):
+                a, b = ids[a_i], ids[b_i]
+                orig = np.linalg.norm(V[a] - V[b]) ** 2
+                proj = (
+                    np.linalg.norm(np.array(P[a]) - np.array(P[b])) ** 2 / 16.0
+                )
+                if orig > 0:
+                    ratios.append(proj / orig)
+        # JL with k=16: squared distances preserved in expectation;
+        # individual pairs fluctuate but the median ratio sits near 1
+        med = sorted(ratios)[len(ratios) // 2]
+        assert 0.5 < med < 2.0, med
+
     def test_semantic_dedup_drops_planted_rephrase(self, spark):
         base = [round(((i * 37) % 101 - 50) / 50.0, 3) for i in range(16)]
         near = [x * 1.1 for x in base]  # scaled copy: cosine == 1

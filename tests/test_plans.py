@@ -295,6 +295,20 @@ def test_dd12_semantic_dedup_pairs_only_within_cluster(spark, sf_dir):
     assert plans.unpartitioned_windows(df) == 0  # argmin windows keyed by id
 
 
+def test_ss11_random_projection_is_shuffle_free(spark, sf_dir):
+    """JL projection must run at scan speed: a row-local codegen'd
+    projection with zero Exchange, zero joins, zero Python."""
+    df = QUERIES["ss11_random_projection"].build(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    # the only exchange is fan_out's round-robin spread of the
+    # single-split fixture file — never a key (hash/range) shuffle
+    assert plans.count_ops(df, "Exchange") == 1
+    assert "RoundRobinPartitioning" in s
+    assert "hashpartitioning" not in s and "rangepartitioning" not in s
+    assert "Join" not in s
+    assert "BatchEvalPython" not in s
+
+
 def test_tx17_bigram_lm_all_native_no_cartesian(spark, sf_dir):
     df = QUERIES["tx17_bigram_lm_score"].build(spark, sf_dir)
     s = plans.formatted_plan(df)
