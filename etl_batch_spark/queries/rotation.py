@@ -67,8 +67,6 @@ DRIVER_WINDOW: list[str] = [
     "q33_datediff_hms",
     "q34_check_date_codes",
     "q35_shipping_priority",
-    "q36_forecast_revenue",
-    "q37_from_json_map",
     "q38_approx_aggregates",
     # changed-this-round: new exact oracles for formerly rows-only
     # iterative ops + the new substring-dedup operator — verified here so
@@ -83,6 +81,8 @@ DRIVER_WINDOW: list[str] = [
     "dd12_semantic_dedup",
     "ss10_pq_ann",
     "tx17_bigram_lm_score",
+    "ss11_random_projection",
+    "et25_count_min_freq",
 ]
 
 # ROUND 3 PREP (written end of round 2): once CORRECTNESS_r02.json
