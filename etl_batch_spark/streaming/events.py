@@ -496,7 +496,8 @@ def maintain_partials_incrementally(
     the only requirement is that ``merge`` is associative/idempotent over
     row UNION, which every partials family in this engine satisfies
     (numeric n/sum/min/max: operators/rollup.py; HLL registers via MAX:
-    operators/sketch.py::hll_merge; histogram bins via SUM: hist_merge).
+    operators/sketch.py::hll_merge; histogram bins and count-min
+    counters via SUM: hist_merge / cms_merge).
 
     Shares one exactly-once discipline: the streaming checkpoint tracks
     consumed files, and the ``_applied_batch_id`` marker staged into the

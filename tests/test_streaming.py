@@ -412,6 +412,57 @@ def test_incremental_hll_registers_match_batch(spark, sf_dir, tmp_path):
     assert all(r["est_distinct"] > 0 for r in est)
 
 
+def test_incremental_cms_counters_match_batch(spark, sf_dir, tmp_path):
+    """Count-min counters are the SUM-merge member of the partials
+    family: streamed maintenance must equal the batch-built sketch
+    exactly, and point estimates never under-count the true frequency."""
+    from pyspark.sql import functions as F
+
+    from etl_batch_spark.catalog import load_table
+    from etl_batch_spark.operators.sketch import cms_estimate, cms_merge, cms_partials
+    from etl_batch_spark.streaming.events import maintain_partials_incrementally
+
+    store = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    n = maintain_partials_incrementally(
+        spark,
+        sf_dir,
+        store,
+        ckpt,
+        build=lambda b: cms_partials(
+            b, key_col="user_id", bucket=F.date_trunc("MONTH", F.col("ts"))
+        ),
+        merge=lambda both: cms_merge(both, F.col("bucket")),
+    )
+    assert n >= 1
+    streamed = {
+        (r["bucket"], r["r"], r["c"]): r["cnt"]
+        for r in spark.read.parquet(store).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    batch = cms_partials(
+        events, key_col="user_id", bucket=F.date_trunc("MONTH", F.col("ts"))
+    )
+    want = {(r["bucket"], r["r"], r["c"]): r["cnt"] for r in batch.collect()}
+    assert streamed == want
+    probes = spark.range(5).select(F.col("id").alias("user_id"))
+    est = {
+        (r["bucket"], r["user_id"]): r["est_count"]
+        for r in cms_estimate(
+            spark.read.parquet(store), probes, key_col="user_id"
+        ).collect()
+    }
+    exact = {
+        (r["bucket"], r["user_id"]): r["n"]
+        for r in events.filter(F.col("user_id") < 5)
+        .groupBy(F.date_trunc("MONTH", F.col("ts")).alias("bucket"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for k, n_true in exact.items():
+        assert est[k] >= n_true
+
+
 def test_versioned_partials_history_and_replay(spark, sf_dir, tmp_path):
     """TxTable-backed continuous aggregate: every micro-batch is a
     versioned commit carrying its batch id — replay after a lost
