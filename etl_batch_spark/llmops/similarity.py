@@ -156,15 +156,32 @@ def ivf_topk(
     sim = F.round(
         F.expr(DOT.format(a="e", b="ce")) / (F.col("nrm") * F.col("cn")), round_to
     )
-    rn_w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cent_id"))
+    # corpus-side argmin via min(struct(...)): identical pick to a
+    # row_number window (maximize sim, tie on cent_id — the ordering
+    # keys lead the struct and are unique per group), but PARTIAL-
+    # aggregable: the ×C broadcast expansion collapses map-side, so the
+    # shuffle carries rows, not rows×C, and there is no sort
     assign = (
         c.crossJoin(F.broadcast(cents))
         .withColumn("sim", sim)
-        .withColumn("rn", F.row_number().over(rn_w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), "e", "nrm", "cent_id")
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sim")).alias("negsim"),
+                    F.col("cent_id").alias("cent_id"),
+                    F.col("e").alias("e"),
+                    F.col("nrm").alias("nrm"),
+                )
+            ).alias("best")
+        )
+        .select(F.col(id_col), F.col("best.e").alias("e"),
+                F.col("best.nrm").alias("nrm"), F.col("best.cent_id").alias("cent_id"))
     )
     q = _normed(queries, id_col=id_col, vec_col=vec_col)
+    # the query side needs top-NPROBE (not argmin) — a window is right
+    # here, and it runs over the small query set only
+    rn_w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cent_id"))
     qprobe = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("sim", sim)
@@ -289,13 +306,24 @@ def kmeans_lloyd(
             [(i, v) for i, v in enumerate(centroids)],
             "cluster int, ce array<double>",
         )
-        rn_w = W.partitionBy(id_col).orderBy(F.asc("sqd"), F.asc("cluster"))
+        # argmin via min(struct) — partial-aggregable, no sort, and the
+        # ×k broadcast expansion collapses map-side; see ivf_topk
         return (
             d.crossJoin(F.broadcast(cdf))
             .withColumn("sqd", F.expr(SQDIST.format(a="e", b="ce")))
-            .withColumn("rn", F.row_number().over(rn_w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "e", "cluster", "sqd")
+            .groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("sqd").alias("sqd"),
+                        F.col("cluster").alias("cluster"),
+                        F.col("e").alias("e"),
+                    )
+                ).alias("best")
+            )
+            .select(id_col, F.col("best.e").alias("e"),
+                    F.col("best.cluster").alias("cluster"),
+                    F.col("best.sqd").alias("sqd"))
         )
 
     for _ in range(max_iterations):
@@ -644,13 +672,23 @@ def semantic_dedup(
     sim = F.round(
         F.expr(DOT.format(a="e", b="ce")) / (F.col("nrm") * F.col("cn")), round_to
     )
-    rn_w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cent_id"))
+    # argmin via min(struct) — partial-aggregable, no sort; see ivf_topk
     assign = (
         c.crossJoin(F.broadcast(cents))
         .withColumn("sim", sim)
-        .withColumn("rn", F.row_number().over(rn_w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), "e", "nrm", F.col("cent_id").alias("cluster"))
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sim")).alias("negsim"),
+                    F.col("cent_id").alias("cent_id"),
+                    F.col("e").alias("e"),
+                    F.col("nrm").alias("nrm"),
+                )
+            ).alias("best")
+        )
+        .select(F.col(id_col), F.col("best.e").alias("e"),
+                F.col("best.nrm").alias("nrm"), F.col("best.cent_id").alias("cluster"))
     )
     a = assign.select(
         F.col("cluster"),
