@@ -175,6 +175,38 @@ def fixed_quota_sample(
     )
 
 
+def quantile_calibrate(
+    df: DataFrame,
+    *,
+    score_col: str,
+    group_col: str,
+    out_col: str = "calibrated",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group quantile normalization: replace each row's score with
+    its PERCENT_RANK within its group — uniform on [0, 1] per group.
+
+    The curation problem this solves: quality scores from heterogeneous
+    sources live on incompatible scales (a 0.6 from crawl A ≠ a 0.6
+    from curated source B), so one global threshold silently keeps 90%
+    of one source and 2% of another.  Calibrated scores make a single
+    global cut take the SAME top fraction from every source; mixture
+    weights then control composition explicitly (sm03) instead of
+    leaking in through score-scale accidents.
+
+    percent_rank depends only on (score ordering, group) — ties share a
+    rank — so it is deterministic without a tiebreak column and exactly
+    reproducible in any engine ((rank-1)/(n-1) on small ints).  The
+    window is partitioned per group; if one mega-source dominates at
+    100 TB, pre-split it with the range-partitioned rank pattern in
+    ``operators/ranks.py`` and union the offsets.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(score_col)
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), round_to))
+
+
 def shard_assign(df: DataFrame, *, key_col: str, n_shards: int, salt: str = "shard") -> DataFrame:
     """Add a deterministic ``shard`` column in [0, n_shards).
 

@@ -1866,6 +1866,43 @@ def sm09_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sm10_calibrated_quality",
+    doc="per-source quantile-normalized quality: one global cut takes the "
+    "same top fraction of every source (llmops.sampling.quantile_calibrate)",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             ROUND(0.4 * LEAST(1.0, len(toks) / 100.0)
+                   + 0.3 * (len(list_distinct(toks))
+                            / CAST(NULLIF(len(toks), 0) AS DOUBLE))
+                   + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                            / CAST(NULLIF(length(text), 0) AS DOUBLE)) + 1e-9,
+                   4) AS quality
+      FROM (SELECT doc_id, source, text, {_DUCK_TOKENS} AS toks FROM documents)
+    ),
+    cal AS (
+      SELECT doc_id, source, quality,
+             ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality), 6)
+               AS calibrated
+      FROM scored
+    )
+    SELECT doc_id, source, quality, calibrated, (calibrated >= 0.8) AS kept
+    FROM cal
+    """,
+)
+def sm10_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    scored = docs.select("doc_id", "source").join(text.quality_score(docs), "doc_id")
+    cal = sampling.quantile_calibrate(
+        scored, score_col="quality", group_col="source"
+    )
+    return cal.select(
+        "doc_id", "source", "quality", "calibrated",
+        (F.col("calibrated") >= 0.8).alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pipe02 — RAG corpus preparation as ONE composed DAG: exact-dedup the
 # documents (keeper = min doc_id per content hash), chunk the keepers

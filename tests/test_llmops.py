@@ -457,6 +457,44 @@ class TestTextQuality:
         assert covered == set(range(max(covered) + 1))
 
 
+class TestQuantileCalibrate:
+    def test_equal_fraction_survives_per_group(self, spark):
+        from etl_batch_spark.llmops import sampling
+
+        # source A scores cluster high, source B low: a raw 0.5 cut
+        # would keep all of A and none of B; calibrated keeps ~top 20%
+        # of each
+        rows = [("A", i, 0.8 + i / 1000.0) for i in range(50)]
+        rows += [("B", 100 + i, 0.1 + i / 1000.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "source string, doc_id long, score double")
+        cal = sampling.quantile_calibrate(df, score_col="score", group_col="source")
+        kept = cal.filter(F.col("calibrated") >= 0.8).groupBy("source").count()
+        counts = {r["source"]: r["count"] for r in kept.collect()}
+        assert counts["A"] == counts["B"] == 10
+        # monotone within group: higher score never gets lower rank
+        a = sorted(
+            (r["score"], r["calibrated"])
+            for r in cal.filter(F.col("source") == "A").collect()
+        )
+        assert all(x[1] <= y[1] for x, y in zip(a, a[1:]))
+
+    def test_ties_share_rank(self, spark):
+        from etl_batch_spark.llmops import sampling
+
+        df = spark.createDataFrame(
+            [("A", 1, 0.5), ("A", 2, 0.5), ("A", 3, 0.9)],
+            "source string, doc_id long, score double",
+        )
+        cal = {
+            r["doc_id"]: r["calibrated"]
+            for r in sampling.quantile_calibrate(
+                df, score_col="score", group_col="source"
+            ).collect()
+        }
+        assert cal[1] == cal[2] == 0.0
+        assert cal[3] == 1.0
+
+
 class TestTemperatureSampling:
     def test_alpha_one_is_flat_and_small_strata_upweighted(self, spark):
         from etl_batch_spark.llmops import sampling
