@@ -365,6 +365,91 @@ def pack_chunks(
     )
 
 
+def pack_nextfit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 256,
+    n_shards: int = 4,
+    salt: str = "pack",
+) -> DataFrame:
+    """Next-fit-DECREASING bin packing: ``(id, shard, n_tok, bin,
+    fill_after)`` — whole-document packing into fixed-capacity training
+    bins without splitting documents (the padding-free alternative to
+    :func:`pack_chunks`, which splits documents across chunk
+    boundaries; use this when attention must never cross a document
+    boundary).  Docs longer than ``capacity`` get a bin of their own.
+
+    Within each hash shard, docs sort by (tokens DESC, id) and a
+    sequential walk keeps filling the CURRENT bin until a doc doesn't
+    fit, then opens the next — state is one (bin, fill) pair, so the
+    walk replays exactly as a per-shard recursive CTE (the oracle), the
+    et22/ss07 discipline for sequential operators.
+
+    Distributed shape: the sequential part runs per shard inside
+    ``applyInPandas`` — at 100 TB raise ``n_shards`` so one shard's doc
+    list fits a task comfortably (packing quality is per-shard NFD
+    either way; shard count trades global optimality nobody needs for
+    unbounded parallelism).  Everything before it is one hash, no
+    shuffle beyond the shard groupBy.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_batch_spark.catalog import fan_out
+    from etl_batch_spark.llmops.dedup import H60, tokens
+
+    h = H60.format(expr=f"concat('{salt}', '|', cast({id_col} as string))")
+    prepped = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.size(tokens(text_col)).cast("long").alias("n_tok"),
+            F.expr(f"pmod({h}, {n_shards})").cast("int").alias("shard"),
+        )
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("shard", IntegerType()),
+            StructField("n_tok", LongType()),
+            StructField("bin", IntegerType()),
+            StructField("fill_after", LongType()),
+        ]
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+        bins, fills = [], []
+        cur_bin, fill = 0, 0
+        for n in pdf["n_tok"]:
+            if cur_bin == 0 or fill + n > capacity:
+                cur_bin += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            bins.append(cur_bin)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf[id_col].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "n_tok": pdf["n_tok"].to_numpy(),
+                "bin": pd.array(bins, dtype="int32"),
+                "fill_after": pd.array(fills, dtype="int64"),
+            }
+        )
+
+    return prepped.groupBy("shard").applyInPandas(walk, schema=out_schema)
+
+
 def score_batch(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, score): a quality-classifier forward pass as an Arrow-batched
     pandas UDF — the inference plumbing (featurize → vectorized model →

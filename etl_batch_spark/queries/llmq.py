@@ -1596,6 +1596,45 @@ def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_score(_documents(spark, sf_dir))
 
 
+@query(
+    "tx18_nextfit_packing",
+    doc="next-fit-decreasing whole-doc bin packing per hash shard, "
+    "capacity 256 (llmops.text.pack_nextfit); oracle replays the walk "
+    "as a per-shard recursive CTE",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             CAST((('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 4) AS INT) AS shard
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tok, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id)
+               AS rn
+      FROM base
+    ),
+    rec AS (
+      SELECT doc_id, shard, n_tok, rn, 1 AS bin, n_tok AS fill_after
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.shard, o.n_tok, o.rn,
+             CASE WHEN r.fill_after + o.n_tok > 256 THEN r.bin + 1
+                  ELSE r.bin END,
+             CASE WHEN r.fill_after + o.n_tok > 256 THEN o.n_tok
+                  ELSE r.fill_after + o.n_tok END
+      FROM rec r JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, shard, n_tok, CAST(bin AS INT) AS bin, fill_after FROM rec
+    """,
+)
+def tx18_nextfit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pack_nextfit(
+        _documents(spark, sf_dir), capacity=256, n_shards=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # ss08 — per-label centroids: element-wise mean of the embedding
 # vectors per label, plus the centroid L2 norm.  The scale shape is

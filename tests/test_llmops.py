@@ -457,6 +457,47 @@ class TestTextQuality:
         assert covered == set(range(max(covered) + 1))
 
 
+class TestNextFitPacking:
+    def test_invariants_and_python_replay(self, spark, sf_dir):
+        from etl_batch_spark.llmops import text
+
+        docs = load_table(spark, sf_dir, "documents").limit(200)
+        out = text.pack_nextfit(docs, capacity=256, n_shards=4).collect()
+        assert len(out) == docs.count()
+        by_shard: dict = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: (-r["n_tok"], r["doc_id"]))
+            cur_bin, fill = 0, 0
+            for r in rows:
+                if cur_bin == 0 or fill + r["n_tok"] > 256:
+                    cur_bin, fill = cur_bin + 1, r["n_tok"]
+                else:
+                    fill += r["n_tok"]
+                assert (r["bin"], r["fill_after"]) == (cur_bin, fill)
+            # no bin overfills unless it holds a single oversized doc
+            fills: dict = {}
+            for r in rows:
+                fills.setdefault(r["bin"], []).append(r["n_tok"])
+            for toks in fills.values():
+                assert sum(toks) <= 256 or len(toks) == 1
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        from etl_batch_spark.llmops import text
+
+        big = " ".join(f"w{i}" for i in range(400))
+        small = "a b c"
+        df = spark.createDataFrame(
+            [(1, big), (2, small), (3, small)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               text.pack_nextfit(df, capacity=256, n_shards=1).collect()}
+        assert out[1]["n_tok"] == 400
+        assert out[1]["fill_after"] == 400  # alone in its bin
+        assert out[2]["bin"] == out[3]["bin"] != out[1]["bin"]
+
+
 class TestQuantileCalibrate:
     def test_equal_fraction_survives_per_group(self, spark):
         from etl_batch_spark.llmops import sampling
