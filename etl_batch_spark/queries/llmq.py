@@ -2248,6 +2248,114 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pipe04 — pretraining-mix assembly as ONE composed DAG: calibrate
+# quality per source (sm10) → keep the top half of EVERY source →
+# temperature-rebalance languages at alpha=0.5 (sm03) → pack survivors
+# into whole-doc 256-token bins (tx18) → per-shard packing report.
+# Every stage is individually oracle-checked elsewhere; this pins the
+# COMPOSITION (the thing a real curation run executes) with a single
+# chained oracle — recursive CTE included.
+# ---------------------------------------------------------------------------
+@query(
+    "pipe04_pretraining_mix",
+    doc="calibrated quality gate -> temperature language mix -> next-fit "
+    "packing, reported per shard (quantile_calibrate ∘ "
+    "temperature_mixture_sample ∘ pack_nextfit)",
+    bench=True,
+    oracle=f"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, source, lang, text,
+             ROUND(0.4 * LEAST(1.0, len(toks) / 100.0)
+                   + 0.3 * (len(list_distinct(toks))
+                            / CAST(NULLIF(len(toks), 0) AS DOUBLE))
+                   + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                            / CAST(NULLIF(length(text), 0) AS DOUBLE)) + 1e-9,
+                   4) AS quality
+      FROM (SELECT doc_id, source, lang, text, {_DUCK_TOKENS} AS toks
+            FROM documents)
+    ),
+    kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality),
+                     6) AS calibrated
+        FROM scored
+      ) WHERE calibrated >= 0.5
+    ),
+    sizes AS (SELECT lang, COUNT(*) AS n_s FROM kept GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_s) AS DOUBLE) AS n_total,
+             SUM(sqrt(CAST(n_s AS DOUBLE))) AS w_total
+      FROM sizes
+    ),
+    rates AS (
+      SELECT lang,
+             CAST(FLOOR(LEAST(1.0,
+               0.5 * n_total * (sqrt(CAST(n_s AS DOUBLE)) / w_total)
+               / CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS threshold
+      FROM sizes, tot
+    ),
+    sampled AS (
+      SELECT k.doc_id, k.text
+      FROM kept k JOIN rates r ON k.lang = r.lang
+      WHERE {_DUCK_BUCKET_OF.format(salt="s0", key="k.doc_id")} < r.threshold
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             CAST((('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 4) AS INT) AS shard
+      FROM sampled
+    ),
+    ordered AS (
+      SELECT doc_id, n_tok, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id)
+               AS rn
+      FROM base
+    ),
+    rec AS (
+      SELECT doc_id, shard, n_tok, rn, 1 AS bin, n_tok AS fill_after
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.shard, o.n_tok, o.rn,
+             CASE WHEN r.fill_after + o.n_tok > 256 THEN r.bin + 1
+                  ELSE r.bin END,
+             CASE WHEN r.fill_after + o.n_tok > 256 THEN o.n_tok
+                  ELSE r.fill_after + o.n_tok END
+      FROM rec r JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(MAX(bin) AS INT) AS n_bins,
+           CAST(SUM(n_tok) AS BIGINT) AS packed_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / MAX(bin), 4) AS mean_bin_fill
+    FROM rec GROUP BY shard
+    """,
+)
+def pipe04_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    scored = docs.select("doc_id", "source", "lang", "text").join(
+        text.quality_score(docs), "doc_id"
+    )
+    cal = sampling.quantile_calibrate(
+        scored, score_col="quality", group_col="source"
+    )
+    kept = cal.filter(F.col("calibrated") >= 0.5).select("doc_id", "lang", "text")
+    sampled = sampling.temperature_mixture_sample(
+        kept, key_col="doc_id", strata_col="lang", alpha=0.5, total_fraction=0.5
+    )
+    packed = text.pack_nextfit(sampled, capacity=256, n_shards=4)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("bin").alias("n_bins"),
+        F.sum("n_tok").alias("packed_tokens"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.max("bin"), 4
+        ).alias("mean_bin_fill"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm04 — perceptual-hash near-dup pairs across modalities: dHash over
 # the decoded feature vector (bit i set when feature[i+1] > feature[i],
 # the classic difference-hash shape), candidates from an equi-join on

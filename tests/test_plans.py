@@ -295,6 +295,17 @@ def test_dd12_semantic_dedup_pairs_only_within_cluster(spark, sf_dir):
     assert plans.unpartitioned_windows(df) == 0  # argmin windows keyed by id
 
 
+def test_pipe04_composes_without_cartesian(spark, sf_dir):
+    """The four-stage curation DAG: only the tiny rate/size aggregates
+    may broadcast-nest; the one Python stage is the per-shard packing
+    walk (applyInPandas), nothing else leaves the JVM."""
+    df = QUERIES["pipe04_pretraining_mix"].build(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    assert plans.count_ops(df, "CartesianProduct") == 0
+    assert plans.count_ops(df, "FlatMapGroupsInPandas") == 1  # pack_nextfit only
+    assert "BatchEvalPython" not in s  # no row-at-a-time Python anywhere
+
+
 def test_ss11_random_projection_is_shuffle_free(spark, sf_dir):
     """JL projection must run at scan speed: a row-local codegen'd
     projection with zero Exchange, zero joins, zero Python."""
