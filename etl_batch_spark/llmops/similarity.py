@@ -689,6 +689,10 @@ def semantic_dedup(
         )
         .select(F.col(id_col), F.col("best.e").alias("e"),
                 F.col("best.nrm").alias("nrm"), F.col("best.cent_id").alias("cluster"))
+        # three consumers below (both pair sides + the final labeling
+        # join) would each replay the scan+assignment lineage;
+        # materialize it once — the kmeans_lloyd discipline
+        .localCheckpoint()
     )
     a = assign.select(
         F.col("cluster"),
