@@ -491,6 +491,21 @@ def _sqd_micro(a: str, b: str) -> Column:
     return F.round(F.expr(sqd) * 1e6, 0).cast("long")
 
 
+def _pq_encode_with(
+    d: DataFrame, codebook: DataFrame, sd: int, *, m: int, id_col: str
+) -> DataFrame:
+    exploded = d.select(
+        id_col, F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"), "e"
+    ).withColumn("sv", F.expr(f"slice(e, sub * {sd} + 1, {sd})"))
+    return (
+        exploded.join(F.broadcast(codebook), "sub")
+        .withColumn("sqd", _sqd_micro("sv", "cvec"))
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct("sqd", "code")).alias("best"))
+        .select(id_col, "sub", F.col("best.code").alias("code"))
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     *,
@@ -514,16 +529,7 @@ def pq_encode(
     shuffle linear in rows×m, no window, no cross join against data.
     """
     d, codebook, sd = _pq_parts(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
-    exploded = d.select(
-        id_col, F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"), "e"
-    ).withColumn("sv", F.expr(f"slice(e, sub * {sd} + 1, {sd})"))
-    return (
-        exploded.join(F.broadcast(codebook), "sub")
-        .withColumn("sqd", _sqd_micro("sv", "cvec"))
-        .groupBy(id_col, "sub")
-        .agg(F.min(F.struct("sqd", "code")).alias("best"))
-        .select(id_col, "sub", F.col("best.code").alias("code"))
-    )
+    return _pq_encode_with(d, codebook, sd, m=m, id_col=id_col)
 
 
 def pq_topk(
@@ -551,9 +557,10 @@ def pq_topk(
     candidates.  Everything is linear in corpus size; the 100 TB knobs
     are m (compression) and ks (fidelity), not the join shape.
     """
-    codes = pq_encode(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
-    # LUT slices pair query sub-vectors with the CORPUS codebook
-    _, corpus_cb, sd = _pq_parts(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    # one shared prep: the encode path and the query LUT both use the
+    # same corpus codebook (and its single dim-probe job)
+    d, corpus_cb, sd = _pq_parts(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    codes = _pq_encode_with(d, corpus_cb, sd, m=m, id_col=id_col)
     q = _normed(queries, id_col=id_col, vec_col=vec_col).select(id_col, "e")
     q_exploded = q.select(
         F.col(id_col).alias("query_id"),
