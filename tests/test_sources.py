@@ -563,6 +563,39 @@ class TestTxTable:
         assert [h["action"] for h in t.history()] == ["append", "append", "overwrite"]
         assert t.history()[v2]["n_rows"] == 3
 
+    def test_change_feed_append_fast_path_and_diff(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(0, 10))           # v0
+        t.append(spark.range(10, 15))          # v1
+        # append-only range: feed == appended rows, resolved from log
+        # metadata — the pre-existing files are never read
+        feed = t.changes(0, 1)
+        assert sorted(r["id"] for r in feed.collect()) == list(range(10, 15))
+        assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+        v0_files = set(t._active_files(0))  # noqa: SLF001
+        assert not any(
+            f.rsplit("/", 2)[-2] + "/" + f.rsplit("/", 2)[-1] in v0_files
+            for f in feed.inputFiles()
+        )
+        # compaction rewrites files but changes no rows: empty feed
+        t.compact(target_files=2)              # v2
+        assert t.changes(1, 2).count() == 0
+        # overwrite: full diff with deletes and inserts
+        t.overwrite(spark.range(12, 17))       # v3
+        diff = t.changes(1, 3)
+        got = {(r["id"], r["_change_type"]) for r in diff.collect()}
+        assert got == (
+            {(i, "delete") for i in range(0, 12)}
+            | {(i, "insert") for i in range(15, 17)}
+        )
+        # empty append-only range: empty feed with the schema intact
+        assert t.changes(3, 3).count() == 0
+        # invalid range rejected
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            t.changes(3, 1)
+
     def test_compact_with_zorder_clusters_both_columns(self, spark, tmp_path):
         t = self._table(spark, tmp_path)
         df = spark.range(8_000).select(
