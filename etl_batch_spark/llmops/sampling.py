@@ -175,6 +175,39 @@ def fixed_quota_sample(
     )
 
 
+def shuffle_order(
+    df: DataFrame,
+    *,
+    key_col: str,
+    salt: str = "shuf",
+    out_col: str = "shuffle_rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Reproducible global training-data shuffle: a 1-based position in
+    the pseudorandom permutation ``ORDER BY md5(salt|key)`` — the order
+    a training run should read the corpus in.
+
+    Hash-derived, so the permutation is a pure function of (salt, key):
+    identical across runs, engines and partitionings (epoch N = salt
+    ``f"epoch{N}"``), and stable under corpus growth in the sense that
+    relative order of surviving rows never changes.  The ranking runs
+    through :func:`~etl_batch_spark.operators.ranks.global_row_number`
+    — range-sliced parallel ranking, NOT a single-task global window —
+    so it survives 100 TB; writing in rank order then falls out of
+    ``write_range_sorted`` on the rank.
+    """
+    from etl_batch_spark.operators.ranks import global_row_number
+
+    h = H60.format(expr=f"concat('{salt}', '|', cast({key_col} as string))")
+    hashed = df.withColumn("__sh", F.expr(h))
+    return global_row_number(
+        hashed,
+        [F.col("__sh").asc(), F.col(key_col).asc()],
+        out_col,
+        num_partitions=num_partitions,
+    ).drop("__sh")
+
+
 def quantile_calibrate(
     df: DataFrame,
     *,

@@ -1906,6 +1906,25 @@ def sm09_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sm11_shuffle_order",
+    doc="reproducible global training shuffle: rank in the md5(salt|id) "
+    "permutation via range-sliced parallel ranking "
+    "(llmops.sampling.shuffle_order over operators.ranks)",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY {_DUCK_H60.format(expr="'shuf|' || CAST(doc_id AS VARCHAR)")},
+                      doc_id
+           ) AS INT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def sm11_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select("doc_id", "source")
+    return sampling.shuffle_order(docs, key_col="doc_id")
+
+
+@query(
     "sm10_calibrated_quality",
     doc="per-source quantile-normalized quality: one global cut takes the "
     "same top fraction of every source (llmops.sampling.quantile_calibrate)",

@@ -457,6 +457,41 @@ class TestTextQuality:
         assert covered == set(range(max(covered) + 1))
 
 
+class TestShuffleOrder:
+    def test_is_a_permutation_and_partition_invariant(self, spark, sf_dir):
+        from etl_batch_spark.llmops import sampling
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        r1 = {r["doc_id"]: r["shuffle_rank"]
+              for r in sampling.shuffle_order(docs, key_col="doc_id").collect()}
+        n = len(r1)
+        assert sorted(r1.values()) == list(range(1, n + 1))  # exact permutation
+        # invariant under input partitioning
+        r2 = {r["doc_id"]: r["shuffle_rank"]
+              for r in sampling.shuffle_order(
+                  docs.repartition(7), key_col="doc_id").collect()}
+        assert r1 == r2
+        # a different salt gives a genuinely different permutation
+        r3 = {r["doc_id"]: r["shuffle_rank"]
+              for r in sampling.shuffle_order(
+                  docs, key_col="doc_id", salt="epoch2").collect()}
+        assert r3 != r1
+        assert sorted(r3.values()) == list(range(1, n + 1))
+
+    def test_relative_order_stable_under_growth(self, spark):
+        from etl_batch_spark.llmops import sampling
+
+        small = spark.range(100).select(F.col("id").alias("doc_id"))
+        big = spark.range(200).select(F.col("id").alias("doc_id"))
+        rs = {r["doc_id"]: r["shuffle_rank"]
+              for r in sampling.shuffle_order(small, key_col="doc_id").collect()}
+        rb = {r["doc_id"]: r["shuffle_rank"]
+              for r in sampling.shuffle_order(big, key_col="doc_id").collect()}
+        order_s = sorted(rs, key=rs.get)
+        order_b = [d for d in sorted(rb, key=rb.get) if d < 100]
+        assert order_s == order_b  # survivors keep their relative order
+
+
 class TestNextFitPacking:
     def test_invariants_and_python_replay(self, spark, sf_dir):
         from etl_batch_spark.llmops import text

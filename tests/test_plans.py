@@ -295,6 +295,19 @@ def test_dd12_semantic_dedup_pairs_only_within_cluster(spark, sf_dir):
     assert plans.unpartitioned_windows(df) == 0  # argmin windows keyed by id
 
 
+def test_sm11_shuffle_rank_has_no_global_window(spark, sf_dir):
+    """The training-shuffle rank must use range-sliced parallel ranking:
+    the only unpartitioned window allowed is the offsets re-base over
+    the num_partitions-row count aggregate, never over the data."""
+    df = QUERIES["sm11_shuffle_order"].build(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    # ranks.py's offset window runs over the tiny per-slice count table;
+    # the data-side window is partitioned by the slice id
+    assert s.count("Window") >= 1
+    assert plans.count_ops(df, "CartesianProduct") == 0
+    assert "__gr_pid" in s  # slice-partitioned local ranking present
+
+
 def test_pipe04_composes_without_cartesian(spark, sf_dir):
     """The four-stage curation DAG: only the tiny rate/size aggregates
     may broadcast-nest; the one Python stage is the per-shard packing
