@@ -1340,6 +1340,63 @@ def et24_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, ["event_type", "q"])
 
 
+def _duck_psi_metric(bucket_ref: str, bucket_cur: str, metric: str) -> str:
+    """One PSI row in DuckDB: Laplace-smoothed shares over the full-outer
+    bucket union — the exact twin of operators/drift.py::psi."""
+    p = "((c_ref + 1.0) / (n_ref + k))"
+    q = "((c_cur + 1.0) / (n_cur + k))"
+    return f"""
+      SELECT '{metric}' AS metric,
+             ROUND(SUM(({q} - {p}) * ln({q} / {p})), 4) AS psi,
+             CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+             CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+             CAST(MAX(k) AS BIGINT) AS n_buckets
+      FROM (
+        SELECT b, c_ref, c_cur,
+               SUM(c_ref) OVER () AS n_ref, SUM(c_cur) OVER () AS n_cur,
+               COUNT(*) OVER () AS k
+        FROM (
+          SELECT b, COALESCE(c_ref, 0) AS c_ref, COALESCE(c_cur, 0) AS c_cur
+          FROM (SELECT {bucket_ref} AS b, COUNT(*) AS c_ref
+                FROM events WHERE EXTRACT(day FROM ts) <= 15 GROUP BY 1) r
+          FULL OUTER JOIN
+               (SELECT {bucket_cur} AS b, COUNT(*) AS c_cur
+                FROM events WHERE EXTRACT(day FROM ts) > 15 GROUP BY 1) c
+          USING (b)
+        )
+      )
+    """
+
+
+@query(
+    "et26_psi_drift",
+    doc="PSI distribution drift, first vs second half of the month, over "
+    "event-type shares and value-histogram bins (operators.drift.psi)",
+    oracle=f"""
+    {_duck_psi_metric("event_type", "event_type", "event_type")}
+    UNION ALL
+    {_duck_psi_metric("CAST(FLOOR(value / 8.0) AS BIGINT)",
+                      "CAST(FLOOR(value / 8.0) AS BIGINT)", "value_bin")}
+    """,
+)
+def et26_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.drift import psi
+
+    e = load_table(spark, sf_dir, "events")
+    ref = e.filter(F.dayofmonth("ts") <= 15)
+    cur = e.filter(F.dayofmonth("ts") > 15)
+    by_type = psi(ref, cur, bucket_col="event_type").withColumn(
+        "metric", F.lit("event_type")
+    )
+    vbin = F.floor(F.col("value") / 8.0).cast("bigint").alias("vbin")
+    by_value = psi(
+        ref.select(vbin), cur.select(vbin), bucket_col="vbin"
+    ).withColumn("metric", F.lit("value_bin"))
+    return by_type.unionByName(by_value).select(
+        "metric", "psi", "n_ref", "n_cur", "n_buckets"
+    )
+
+
 # ---------------------------------------------------------------------------
 # et25 — count-min sketch frequencies (operators/sketch.py): per-month
 # event counts for a probe set of users, estimated from day-partial

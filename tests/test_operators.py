@@ -959,3 +959,45 @@ class TestHistogramQuantiles:
         # uniform true quantiles: 500, 900, 990 — histogram error ≤ width
         for q, true in ((0.5, 500.0), (0.9, 900.0), (0.99, 990.0)):
             assert abs(est[q] - true) <= 8.0, (q, est[q])
+
+
+class TestPsiDrift:
+    def test_identical_slices_score_zero(self, spark):
+        from etl_batch_spark.operators.drift import psi
+
+        df = spark.createDataFrame(
+            [(t,) for t in ["a"] * 50 + ["b"] * 30 + ["c"] * 20], "t string"
+        )
+        row = psi(df, df, bucket_col="t").first()
+        assert row["psi"] == 0.0
+        assert row["n_ref"] == row["n_cur"] == 100
+        assert row["n_buckets"] == 3
+
+    def test_shift_scores_high_and_smoothing_handles_new_buckets(self, spark):
+        from etl_batch_spark.operators.drift import psi
+
+        ref = spark.createDataFrame(
+            [(t,) for t in ["a"] * 90 + ["b"] * 10], "t string"
+        )
+        # mass moved to b, plus a bucket unseen in ref
+        cur = spark.createDataFrame(
+            [(t,) for t in ["a"] * 10 + ["b"] * 80 + ["z"] * 10], "t string"
+        )
+        row = psi(ref, cur, bucket_col="t").first()
+        assert row["psi"] > 0.25  # "shifted" by the standard reading
+        assert row["n_buckets"] == 3  # union includes the new bucket
+        # symmetric-ish sanity: swapping slices still flags the shift
+        back = psi(cur, ref, bucket_col="t").first()
+        assert back["psi"] > 0.25
+
+    def test_mild_drift_scores_between(self, spark):
+        from etl_batch_spark.operators.drift import psi
+
+        ref = spark.createDataFrame(
+            [(t,) for t in ["a"] * 60 + ["b"] * 40], "t string"
+        )
+        cur = spark.createDataFrame(
+            [(t,) for t in ["a"] * 52 + ["b"] * 48], "t string"
+        )
+        row = psi(ref, cur, bucket_col="t").first()
+        assert 0.0 < row["psi"] < 0.1  # "stable" band
