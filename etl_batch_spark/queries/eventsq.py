@@ -683,3 +683,81 @@ def ev13_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "organic_revenue"
         ),
     )
+
+
+@query(
+    "ev14_linear_attribution",
+    doc="linear multi-touch attribution: equal credit to every click in "
+    "the pre-purchase hour, per props-derived channel",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts AS pts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id AS cuser, ts AS cts,
+             'c' || CAST((CAST(json_extract_string(props, '$.k') AS BIGINT) % 3)
+                         AS VARCHAR) AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.event_id, p.value, c.channel
+      FROM p LEFT JOIN c
+        ON c.cuser = p.user_id AND c.cts <= p.pts
+       AND c.cts >= p.pts - INTERVAL 1 HOUR
+    ),
+    cr AS (
+      SELECT event_id, value, COALESCE(channel, 'organic') AS channel,
+             COUNT(*) OVER (PARTITION BY event_id) AS n
+      FROM j
+    )
+    SELECT channel, COUNT(*) AS n_touches,
+           ROUND(SUM(value / n), 2) AS credited_revenue
+    FROM cr GROUP BY channel
+    """,
+)
+def ev14_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch complement of ev13: every click in the hour before a
+    purchase shares the credit EQUALLY (value / n_touches); orphan
+    purchases credit a synthetic 'organic' channel.  Channels derive
+    from props.k % 3 (the fixture has no channel column; the fractional
+    credit mechanics are what this query pins).
+
+    Plan shape: the touch join is an equi-join on user_id with the time
+    band as a residual predicate — clicks and purchases of ONE user meet
+    in one task, never a cross join; per-purchase touch counts are a
+    window over that purchase's touches only.  Cited against the
+    reference's revenue-split reports (pkg_batch_util_body.sql's
+    summary SELECTs): same aggregate shape, Spark-native join.
+    """
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts"), "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"),
+        F.col("ts").alias("cts"),
+        F.concat(
+            F.lit("c"),
+            (F.get_json_object("props", "$.k").cast("long") % 3).cast("string"),
+        ).alias("channel"),
+    )
+    j = p.join(
+        c,
+        (F.col("cuser") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    w = W.partitionBy("event_id")
+    credited = j.select(
+        "event_id",
+        "value",
+        F.coalesce("channel", F.lit("organic")).alias("channel"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum(F.col("value") / F.col("n")), 2).alias("credited_revenue"),
+    )
+
