@@ -726,9 +726,7 @@ def ev14_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the touch join is an equi-join on user_id with the time
     band as a residual predicate — clicks and purchases of ONE user meet
     in one task, never a cross join; per-purchase touch counts are a
-    window over that purchase's touches only.  Cited against the
-    reference's revenue-split reports (pkg_batch_util_body.sql's
-    summary SELECTs): same aggregate shape, Spark-native join.
+    window over that purchase's touches only.
     """
     e = _events(spark, sf_dir)
     p = e.filter(F.col("event_type") == "purchase").select(
