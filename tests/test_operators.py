@@ -1001,3 +1001,90 @@ class TestPsiDrift:
         )
         row = psi(ref, cur, bucket_col="t").first()
         assert 0.0 < row["psi"] < 0.1  # "stable" band
+
+
+class TestIvmApplyFeed:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        )
+
+    def _partials(self, df):
+        from etl_batch_spark.operators.rollup import _partials_from_raw
+
+        return _partials_from_raw(
+            df, ts_col="ts", key_cols=["event_type"], value_col="value", level="day"
+        )
+
+    @staticmethod
+    def _as_map(df):
+        return {
+            (r["bucket"], r["event_type"]): (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in df.collect()
+        }
+
+    def _assert_equiv(self, got, want):
+        assert set(got) == set(want)
+        for k, (n, s, lo, hi) in want.items():
+            gn, gs, glo, ghi = got[k]
+            assert gn == n and glo == lo and ghi == hi
+            assert abs(gs - s) < 1e-9  # float add order differs from rebuild
+
+    def test_insert_only_feed_is_purely_incremental(self, spark, tmp_path):
+        import datetime as dt
+
+        from etl_batch_spark.operators.ivm import apply_feed
+        from etl_batch_spark.sources.txlog import TxTable
+
+        d = dt.datetime(2024, 3, 1, 10)
+        a = [(d, "view", 1.5), (d, "click", 2.0),
+             (d + dt.timedelta(days=1), "view", 3.25)]
+        b = [(d, "view", 9.0), (d + dt.timedelta(days=2), "buy", 4.0)]
+        t = TxTable(spark, str(tmp_path / "t"))
+        t.append(self._mk(spark, a))                  # v0
+        partials = self._partials(self._mk(spark, a))
+        t.append(self._mk(spark, b))                  # v1
+        feed = t.changes(0, 1)
+        got = apply_feed(
+            partials, feed, key_cols=["event_type"], level="day"
+        )
+        want = self._partials(t.read())
+        self._assert_equiv(self._as_map(got), self._as_map(want))
+
+    def test_delete_feed_recomputes_touched_groups_only(self, spark, tmp_path):
+        import datetime as dt
+
+        from etl_batch_spark.operators.ivm import apply_feed
+        from etl_batch_spark.sources.txlog import TxTable
+
+        d = dt.datetime(2024, 3, 1, 10)
+        a = [(d, "view", 1.5), (d, "view", 2.5), (d, "click", 2.0),
+             (d + dt.timedelta(days=1), "view", 3.25)]
+        t = TxTable(spark, str(tmp_path / "t"))
+        t.append(self._mk(spark, a))                  # v0
+        partials = self._partials(self._mk(spark, a))
+        # overwrite drops one 'view' row (incl. the day-1 min) and adds a buy
+        new = [(d, "view", 2.5), (d, "click", 2.0),
+               (d + dt.timedelta(days=1), "view", 3.25), (d, "buy", 7.0)]
+        t.overwrite(self._mk(spark, new))             # v1
+        feed = t.changes(0, 1)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            apply_feed(partials, feed, key_cols=["event_type"], level="day")
+        got = apply_feed(
+            partials, feed, key_cols=["event_type"], level="day", raw=t.read()
+        )
+        want = self._partials(t.read())
+        self._assert_equiv(self._as_map(got), self._as_map(want))
+        # a group whose rows all vanish is gone, like a rebuild
+        gone = [(d, "solo", 1.0)]
+        t2 = TxTable(spark, str(tmp_path / "t2"))
+        t2.append(self._mk(spark, gone))
+        p2 = self._partials(self._mk(spark, gone))
+        t2.overwrite(self._mk(spark, [(d, "kept", 2.0)]))
+        got2 = apply_feed(
+            p2, t2.changes(0, 1), key_cols=["event_type"], level="day",
+            raw=t2.read(),
+        )
+        assert self._as_map(got2) == self._as_map(self._partials(t2.read()))
