@@ -24,6 +24,73 @@ _LOCAL = "__gr_local"
 _OFFSET = "__gr_offset"
 
 
+def global_prefix_agg(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_col: Column,
+    out_name: str,
+    *,
+    agg: str = "sum",
+    inclusive: bool = True,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Append a running ``sum``/``max`` of ``value_col`` over the global
+    ordering ``sort_cols`` — the scale-safe form of
+    ``SUM(v) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 0|-1)``.
+
+    Same slice mechanics as :func:`global_row_number`: range-partition on
+    the ordering, run the prefix aggregate per slice in parallel, then
+    re-base each slice with the aggregate of all earlier slices (computed
+    by a window over the ``num_partitions``-row slice-totals table — the
+    only serial step, O(#slices) not O(#rows)).
+
+    ``inclusive=False`` aggregates strictly preceding rows only (frame
+    ``.. AND -1``); the first row of the whole ordering then gets NULL.
+    ``sort_cols`` should form a total order (unique tiebreak) so slice
+    boundaries cannot split ties nondeterministically.
+    """
+    if agg not in ("sum", "max"):
+        raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
+    fn = F.sum if agg == "sum" else F.max
+    sliced = df.repartitionByRange(num_partitions, *sort_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    end = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = sliced.withColumn(_LOCAL, fn(value_col).over(w_local))
+
+    totals = sliced.groupBy(_PID).agg(fn(value_col).alias("__gr_t"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        F.col(_PID).alias(f"__gr_r_{_PID}"),
+        fn("__gr_t").over(w_off).alias(_OFFSET),
+    )
+
+    combined = (
+        (F.coalesce(F.col(_LOCAL), F.lit(0)) + F.coalesce(F.col(_OFFSET), F.lit(0)))
+        if agg == "sum"
+        else F.greatest(F.col(_LOCAL), F.col(_OFFSET))
+    )
+    # NULL only when no row precedes anywhere (exclusive first row):
+    # greatest/+0 must not invent a value there.
+    combined = F.when(
+        F.col(_LOCAL).isNull() & F.col(_OFFSET).isNull(), F.lit(None)
+    ).otherwise(combined)
+    return (
+        local.join(
+            F.broadcast(offsets),
+            F.col(_PID) == F.col(f"__gr_r_{_PID}"),
+            "left",
+        )
+        .withColumn(out_name, combined)
+        .drop(_PID, _LOCAL, _OFFSET, f"__gr_r_{_PID}")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     sort_cols: list[Column],

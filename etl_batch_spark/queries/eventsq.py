@@ -759,3 +759,60 @@ def ev14_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") / F.col("n")), 2).alias("credited_revenue"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# ev15 — peak concurrency per day (sweep line): each event opens a
+# 15-minute activity interval; the day's peak is the max number of
+# simultaneously open intervals.  Plan: boundary stream (+1 at open,
+# −1 at close), one scale-safe global running sum over (t, delta)
+# order (operators/ranks.py::global_prefix_agg — range-sliced, no
+# single-task window), then a max per day.  Closes sort before opens at
+# the same instant (delta −1 < +1), so half-open [t, t+15m) intervals
+# never self-overlap; ties within a (t, delta) group only permute a
+# same-sign run whose endpoints are fixed, so the day max is
+# deterministic.  Linear in events at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "ev15_peak_concurrency",
+    doc="sweep-line peak concurrent 15-min activity intervals per day "
+    "(operators.ranks.global_prefix_agg running sum)",
+    oracle="""
+    WITH b AS (
+      SELECT ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 15 MINUTE AS t, -1 AS delta FROM events
+    ),
+    r AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t, delta
+                                 ROWS UNBOUNDED PRECEDING) AS run
+      FROM b
+    )
+    SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+           CAST(MAX(run) AS BIGINT) AS peak
+    FROM r GROUP BY 1
+    """,
+)
+def ev15_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.ranks import global_prefix_agg
+
+    e = _events(spark, sf_dir).select("ts", "event_id")
+    opens = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id")
+    closes = e.select(
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    b = opens.unionByName(closes)
+    run = global_prefix_agg(
+        b,
+        [F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc()],
+        F.col("delta"),
+        "run",
+        agg="sum",
+        inclusive=True,
+    )
+    return (
+        run.groupBy(F.to_date("t").alias("day"))
+        .agg(F.max("run").cast("bigint").alias("peak"))
+    )

@@ -1636,6 +1636,40 @@ def tx18_nextfit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tx19 — exact frequent-vocabulary mining (operators/freq.py): every
+# token with corpus frequency ≥ φ·N, computed with per-partition
+# Misra–Gries candidate summaries + a broadcast-semi-join exact recount
+# instead of a groupBy over ALL distinct tokens.  At 100 TB the distinct
+# vocabulary dwarfs the ≤ 1/φ possible answers; the sketch only
+# PROPOSES candidates (provable superset), the recount DECIDES — so the
+# result is exact and the oracle is a plain GROUP BY ... HAVING.
+# ---------------------------------------------------------------------------
+@query(
+    "tx19_vocab_heavy_hitters",
+    doc="exact frequent tokens ≥ 0.2% of corpus via Misra–Gries "
+    "candidates + exact recount (operators.freq.frequent_items)",
+    oracle=f"""
+    WITH w AS (
+      SELECT UNNEST({_DUCK_TOKENS}) AS word FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM w)
+    SELECT w.word, COUNT(*) AS n,
+           CAST(CEIL(0.002 * tot.n_total) AS BIGINT) AS threshold
+    FROM w, tot
+    GROUP BY w.word, tot.n_total
+    HAVING COUNT(*) >= CEIL(0.002 * tot.n_total)
+    """,
+)
+def tx19_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.freq import frequent_items
+
+    words = _documents(spark, sf_dir).select(
+        F.explode(dedup.tokens("text")).alias("word")
+    )
+    return frequent_items(words, "word", support=0.002)
+
+
+# ---------------------------------------------------------------------------
 # ss08 — per-label centroids: element-wise mean of the embedding
 # vectors per label, plus the centroid L2 norm.  The scale shape is
 # posexplode → (label, dim) partial-aggregated avg → re-assemble — one

@@ -3342,3 +3342,56 @@ def q96_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(gm, "l_returnflag").select(
         "l_returnflag", "n_lines", "geo_mean"
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — 2-D skyline (Pareto frontier): parts not strictly dominated on
+# (cheaper price, larger size).  The textbook plan is an O(n²) NOT
+# EXISTS self-join (the oracle's first form); the scale plan is
+# sort-based: collapse to one row per price (groupBy — shuffle width =
+# distinct prices), then a scale-safe EXCLUSIVE prefix-max of size over
+# price order (operators/ranks.py::global_prefix_agg — range-sliced,
+# never a single-task window).  A part survives iff no strictly cheaper
+# price has seen a strictly larger size: prefix_max(sizes | price' <
+# price) ≤ p_size.  One row per price makes ROWS .. 1 PRECEDING exactly
+# the "strictly cheaper" set.  Linear shuffles only; survives 100×.
+# ---------------------------------------------------------------------------
+@query(
+    "q97_skyline_pareto",
+    doc="2-D Pareto frontier via range-sliced exclusive prefix-max "
+    "(operators.ranks.global_prefix_agg), O(n log n) not O(n²)",
+    oracle="""
+    WITH g AS (
+      SELECT p_retailprice AS price, MAX(p_size) AS gmax
+      FROM part GROUP BY 1
+    ),
+    pm AS (
+      SELECT price,
+             MAX(gmax) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pmax
+      FROM g
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN pm ON p.p_retailprice = pm.price
+    WHERE pm.pmax IS NULL OR pm.pmax <= p.p_size
+    """,
+)
+def q97_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.ranks import global_prefix_agg
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("gmax")
+    )
+    pm = global_prefix_agg(
+        g, [F.col("price").asc()], F.col("gmax"), "pmax",
+        agg="max", inclusive=False,
+    ).select("price", "pmax")
+    return (
+        p.join(pm, p.p_retailprice == pm.price)
+        .filter(F.col("pmax").isNull() | (F.col("pmax") <= F.col("p_size")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -44,9 +44,7 @@ DRIVER_WINDOW: list[str] = [
     "q08_not_exists_anti_join",
     "q09_multiway_join_revenue",
     "q10_decode_status_matrix",
-    "q11_prefix_match",
     "q12_topk_orders",
-    "q13_union_all_branches",
     "q14_string_agg_ordered",
     "q15_window_running",
     "q16_rollup",
@@ -67,7 +65,6 @@ DRIVER_WINDOW: list[str] = [
     "q33_datediff_hms",
     "q34_check_date_codes",
     "q35_shipping_priority",
-    "q38_approx_aggregates",
     # changed-this-round: new exact oracles for formerly rows-only
     # iterative ops + the new substring-dedup operator — verified here so
     # any driver-canonicalizer quirk (vs local parity) surfaces this round
@@ -83,6 +80,13 @@ DRIVER_WINDOW: list[str] = [
     "tx17_bigram_lm_score",
     "ss11_random_projection",
     "et25_count_min_freq",
+    # late round-2 additions (new operators, new oracles): take the slots
+    # of q38 (rows-only — a window slot buys no hash check there), q11
+    # and q13 (native-typed string filter / union — lowest canonicalizer
+    # risk of the core tier; round-3 refill picks them up)
+    "tx19_vocab_heavy_hitters",
+    "q97_skyline_pareto",
+    "ev15_peak_concurrency",
 ]
 
 # ROUND 3 PREP (written end of round 2): once CORRECTNESS_r02.json

@@ -1088,3 +1088,82 @@ class TestIvmApplyFeed:
             raw=t2.read(),
         )
         assert self._as_map(got2) == self._as_map(self._partials(t2.read()))
+
+
+class TestFrequentItems:
+    """operators/freq.py — Misra–Gries candidates + exact recount."""
+
+    def _exact(self, df, key, support):
+        from pyspark.sql import functions as F
+
+        n = df.select(F.count(key)).first()[0]
+        import math
+
+        thr = math.ceil(support * n)
+        return {
+            (r[key], r["n"])
+            for r in df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= thr)
+            .collect()
+        }
+
+    def test_matches_exact_groupby_on_skewed_keys(self, spark):
+        from etl_batch_spark.operators.freq import frequent_items
+
+        rows = (
+            [("hot",)] * 400
+            + [("warm",)] * 60
+            + [(f"tail{i}",) for i in range(540)]
+        )
+        df = spark.createDataFrame(rows, "k string").repartition(8)
+        got = {
+            (r["k"], r["n"])
+            for r in frequent_items(df, "k", support=0.05).collect()
+        }
+        assert got == self._exact(df, "k", 0.05) == {("hot", 400), ("warm", 60)}
+
+    def test_partition_layout_invariance(self, spark):
+        from etl_batch_spark.operators.freq import frequent_items
+
+        rows = [(f"k{i % 37}",) for i in range(1110)]
+        base = spark.createDataFrame(rows, "k string")
+        a = frequent_items(base.repartition(1), "k", support=0.02).collect()
+        b = frequent_items(base.repartition(16), "k", support=0.02).collect()
+        assert sorted((r["k"], r["n"], r["threshold"]) for r in a) == sorted(
+            (r["k"], r["n"], r["threshold"]) for r in b
+        )
+        assert len(a) == 37  # uniform 30/1110 ≈ 2.7% ≥ 2% support
+
+    def test_candidates_are_a_superset_with_bounded_undercount(self, spark):
+        from etl_batch_spark.operators.freq import mg_candidates
+
+        import math
+
+        support = 0.1
+        cap = math.ceil(1 / support) + 1
+        rows = [(f"k{i % 61}",) for i in range(600)] + [("big",)] * 300
+        df = spark.createDataFrame(rows, "k string").repartition(4)
+        cand = mg_candidates(df, "k", support).collect()
+        keys = {r["mg_key"] for r in cand}
+        assert "big" in keys  # the only ≥10% key must survive
+        # per-partition undercount bound: freq_p - mg_count ≤ mg_rows/(cap+1)
+        # (can't see per-partition true freqs here, but counters never
+        # exceed truth: global recount of any candidate ≥ its counter sum)
+        for r in cand:
+            assert 0 < r["mg_count"] <= r["mg_rows"]
+            assert len(keys) <= 4 * cap + 1  # ≤ cap rows per partition
+
+    def test_nulls_ignored_and_bad_support_rejected(self, spark):
+        import pytest as _pytest
+
+        from etl_batch_spark.operators.freq import frequent_items
+
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [(None,)] * 20, "k string"
+        )
+        got = frequent_items(df, "k", support=0.5).collect()
+        # N counts non-null rows only: threshold = ceil(0.5*5) = 3
+        assert [(r["k"], r["n"], r["threshold"]) for r in got] == [("a", 5, 3)]
+        with _pytest.raises(ValueError):
+            frequent_items(df, "k", support=0.0)

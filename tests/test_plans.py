@@ -224,6 +224,40 @@ def test_global_row_number_matches_window_semantics(spark, sf_dir):
     assert sorted(got_p.collect(), key=str) == sorted(want_p.collect(), key=str)
 
 
+def test_global_prefix_agg_matches_window_semantics(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from etl_batch_spark.operators.ranks import global_prefix_agg
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("k"),
+        F.when(F.col("id") % 3 == 0, -1).otherwise(1).alias("v"),
+        F.col("id"),
+    )
+    order = [F.col("k").asc(), F.col("id").asc()]
+    for agg in ("sum", "max"):
+        for inclusive, end in ((True, 0), (False, -1)):
+            got = global_prefix_agg(
+                df, order, F.col("v"), "run", agg=agg, inclusive=inclusive
+            )
+            fn = F.sum if agg == "sum" else F.max
+            want = df.withColumn(
+                "run",
+                fn("v").over(
+                    Window.orderBy(*order).rowsBetween(
+                        Window.unboundedPreceding, end
+                    )
+                ),
+            )
+            assert sorted(got.collect(), key=str) == sorted(
+                want.collect(), key=str
+            ), (agg, inclusive)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_prefix_agg(df, order, F.col("v"), "run", agg="avg")
+
+
 def test_dd11_hot_span_scrub_is_linear(spark, sf_dir):
     # exact-substring dedup must stay linear: no pairwise/cartesian shape,
     # no single-task window (interval merge is per-document), bounded
@@ -238,13 +272,17 @@ def test_no_query_windows_over_unpartitioned_data(spark, sf_dir):
     """Global invariant: no query plans a `WindowExec: No Partition
     Defined` over data that grows with scale (single task at 100 TB).
     The allowlist is exactly the bounded-aggregate exemptions: q85's two
-    slice-offset cumsums run over num_partitions-row count aggregates
-    (operators/ranks.py), q92's window ranks a months aggregate, et18's
-    closes gaps over per-bucket extrema — all O(small), never O(rows)."""
+    slice-offset cumsums and sm11's one run over num_partitions-row count
+    aggregates (operators/ranks.py), q92's window ranks a months
+    aggregate, et18's closes gaps over per-bucket extrema — all O(small),
+    never O(rows)."""
     allowed = {
         "q85_null_ordering": 2,
         "q92_period_over_period": 1,
         "et18_sequence_gaps": 1,
+        "sm11_shuffle_order": 1,
+        "q97_skyline_pareto": 1,
+        "ev15_peak_concurrency": 1,
     }
     offenders = {}
     for name, q in QUERIES.items():

@@ -39,7 +39,7 @@ def test_every_window_query_has_an_oracle_or_documented_rows_only():
     # the point of the window is driver-green rows; rows-only entries
     # burn a slot for a weaker check, so they must be deliberate
     rows_only = [n for n in DRIVER_WINDOW if QUERIES[n].oracle is None]
-    assert rows_only == ["q38_approx_aggregates"]  # approximate by design
+    assert rows_only == []
 
 
 class TestRotateTool:
