@@ -75,12 +75,15 @@ def cosine_topk(
     )
 
 
-def signbit_bucket(vec_expr: str = "e", n_bits: int = 6) -> Column:
-    """Bucket key from the sign bits of the first ``n_bits`` dimensions —
-    a fixed-hyperplane LSH surrogate (deterministic, engine-portable).
-    For isotropic embeddings this yields ~2^n_bits balanced buckets."""
+def signbit_bucket(vec_expr: str = "e", n_bits: int = 6, offset: int = 0) -> Column:
+    """Bucket key from the sign bits of ``n_bits`` dimensions starting at
+    ``offset`` — a fixed-hyperplane LSH surrogate (deterministic,
+    engine-portable).  For isotropic embeddings this yields ~2^n_bits
+    balanced buckets; distinct offsets give independent hash tables for
+    the OR-construction (:func:`multitable_topk`)."""
     terms = " + ".join(
-        f"case when {vec_expr}[{i}] > 0 then {1 << i} else 0 end" for i in range(n_bits)
+        f"case when {vec_expr}[{offset + i}] > 0 then {1 << i} else 0 end"
+        for i in range(n_bits)
     )
     return F.expr(f"({terms})")
 
@@ -253,6 +256,70 @@ def bucketed_topk(
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def multitable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    n_bits: int = 6,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-table LSH ANN (the OR-construction): table ``t`` buckets on
+    the sign bits of dimensions ``[t·n_bits, (t+1)·n_bits)``; a corpus
+    vector is a candidate if it shares the query's bucket in ANY table.
+    L independent tables raise recall from ``p`` to ``1-(1-p)^L`` while
+    the per-table cost stays the linear equi-join of
+    :func:`bucketed_topk` — the standard recall/cost dial (tune L and
+    n_bits with the ss12 recall harness).  Candidate pairs found by
+    several tables are deduplicated by a (query, neighbor) aggregate
+    before ranking — shuffle width ≤ L·bucket_size per query, never the
+    corpus."""
+    c = _normed(corpus, id_col=id_col, vec_col=vec_col)
+    q = _normed(queries, id_col=id_col, vec_col=vec_col)
+    dot = F.expr(DOT.format(a="qe", b="ce"))
+    per_table = []
+    for t in range(n_tables):
+        ct = c.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cn"),
+            signbit_bucket("e", n_bits, offset=t * n_bits).alias("cbucket"),
+        )
+        qt = q.select(
+            F.col(id_col).alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            signbit_bucket("e", n_bits, offset=t * n_bits).alias("qbucket"),
+        )
+        per_table.append(
+            ct.join(
+                F.broadcast(qt),
+                (F.col("cbucket") == F.col("qbucket"))
+                & (F.col("neighbor_id") != F.col("query_id")),
+            ).select(
+                "query_id",
+                "neighbor_id",
+                F.round(dot / (F.col("qn") * F.col("cn")), round_to).alias("cosine"),
+            )
+        )
+    pairs = per_table[0]
+    for p in per_table[1:]:
+        pairs = pairs.unionByName(p)
+    # same pair from several tables scores identically: max() dedups
+    deduped = pairs.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        deduped.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )

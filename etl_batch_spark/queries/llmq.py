@@ -459,6 +459,158 @@ def ss11_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ss12 — ANN recall harness: recall@3 of the single-table LSH index
+# (ss02's plan) AND the 3-table OR-construction
+# (similarity.multitable_topk) against the exact brute-force top-3
+# (ss01's plan), per query.  The eval every production ANN deployment
+# needs before trusting the approximate path — and the dial it turns: L
+# tables lift recall ~1-(1-p)^L at L× the (still linear) candidate
+# cost.  All three sides are deterministic (ties broken by
+# neighbor_id), so even the QUALITY measurement is oracle-checkable.
+# Scale: exact side is bounded by the query sample (broadcast); both
+# LSH sides are linear bucketed joins — recall evaluation on a sample
+# costs scans, never an all-pairs.
+# ---------------------------------------------------------------------------
+def _duck_offset_bucket(offset: int) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN e[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(6)
+    ) + ")"
+
+
+@query(
+    "ss13_multitable_ann",
+    bench=True,
+    doc="3-table OR-construction LSH ANN top-3 "
+    "(similarity.multitable_topk: recall ~1-(1-p)^L at linear cost)",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, e, {_duck_offset_bucket(0)} AS b0,
+             {_duck_offset_bucket(6)} AS b1, {_duck_offset_bucket(12)} AS b2,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    ),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
+      FROM v q JOIN v c
+        ON (q.b0 = c.b0 OR q.b1 = c.b1 OR q.b2 = c.b2)
+       AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def ss13_multitable_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.multitable_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, n_bits=6, n_tables=3
+    )
+
+
+@query(
+    "ss12_ann_recall",
+    doc="recall@3 of 1-table vs 3-table LSH ANN against exact cosine "
+    "top-3 (similarity.multitable_topk recall harness)",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, e, {_duck_offset_bucket(0)} AS b0,
+             {_duck_offset_bucket(6)} AS b1, {_duck_offset_bucket(12)} AS b2,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    ),
+    epairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM epairs)
+      WHERE rn <= 3
+    ),
+    a1pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
+      FROM v q JOIN v c ON q.b0 = c.b0 AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    ),
+    approx1 AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM a1pairs)
+      WHERE rn <= 3
+    ),
+    a3pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
+      FROM v q JOIN v c
+        ON (q.b0 = c.b0 OR q.b1 = c.b1 OR q.b2 = c.b2)
+       AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    ),
+    approx3 AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM a3pairs)
+      WHERE rn <= 3
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a1.neighbor_id) AS BIGINT) AS matched_1t,
+           CAST(COUNT(a3.neighbor_id) AS BIGINT) AS matched_3t,
+           ROUND(COUNT(a1.neighbor_id) / 3.0, 4) AS recall_1t,
+           ROUND(COUNT(a3.neighbor_id) / 3.0, 4) AS recall_3t
+    FROM exact e
+    LEFT JOIN approx1 a1
+      ON e.query_id = a1.query_id AND e.neighbor_id = a1.neighbor_id
+    LEFT JOIN approx3 a3
+      ON e.query_id = a3.query_id AND e.neighbor_id = a3.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ss12_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    one = similarity.bucketed_topk(emb, q, k=3, n_bits=6).select(
+        F.col("query_id").alias("q1"), F.col("neighbor_id").alias("n1")
+    )
+    three = similarity.multitable_topk(emb, q, k=3, n_bits=6, n_tables=3).select(
+        F.col("query_id").alias("q3"), F.col("neighbor_id").alias("n3")
+    )
+    return (
+        exact.join(
+            one,
+            (F.col("query_id") == F.col("q1")) & (F.col("neighbor_id") == F.col("n1")),
+            "left",
+        )
+        .join(
+            three,
+            (F.col("query_id") == F.col("q3")) & (F.col("neighbor_id") == F.col("n3")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("n1").alias("matched_1t"),
+            F.count("n3").alias("matched_3t"),
+            F.round(F.count("n1") / F.lit(3.0), 4).alias("recall_1t"),
+            F.round(F.count("n3") / F.lit(3.0), 4).alias("recall_3t"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal columns (llmops.multimodal): binary payload + mapInPandas
 # decode plumbing; the codec is a deterministic md5-derived stub, so the
 # full Arrow-batched pipeline is oracle-checkable value-for-value.

@@ -84,6 +84,38 @@ class TestSimilarity:
         for r in bucketed.collect():
             assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
 
+
+    def test_multitable_one_table_equals_bucketed(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        one = similarity.multitable_topk(emb, q, k=3, n_bits=6, n_tables=1)
+        ref = similarity.bucketed_topk(emb, q, k=3, n_bits=6)
+        assert sorted(map(tuple, one.collect())) == sorted(map(tuple, ref.collect()))
+
+    def test_multitable_recall_dominates_single_table(self, spark, sf_dir):
+        # OR-construction candidates are a superset of table 0's, and
+        # ties break identically, so per-query recall@k can only go up
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk(emb, q, k=3).collect()
+        }
+        one = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.bucketed_topk(emb, q, k=3, n_bits=6).collect()
+        }
+        three = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.multitable_topk(
+                emb, q, k=3, n_bits=6, n_tables=3
+            ).collect()
+        }
+        for qid in {p[0] for p in exact}:
+            m1 = len({p for p in exact & one if p[0] == qid})
+            m3 = len({p for p in exact & three if p[0] == qid})
+            assert m3 >= m1
+
     def test_neardup_pairs_flags_planted_duplicate(self, spark):
         base = [round(((i * 37) % 101 - 50) / 50.0, 3) for i in range(16)]
         near = list(base)
