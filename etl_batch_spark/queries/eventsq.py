@@ -775,6 +775,7 @@ def ev14_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "ev15_peak_concurrency",
+    bench=True,
     doc="sweep-line peak concurrent 15-min activity intervals per day "
     "(operators.ranks.global_prefix_agg running sum)",
     oracle="""

@@ -1798,6 +1798,7 @@ def tx18_nextfit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "tx19_vocab_heavy_hitters",
+    bench=True,
     doc="exact frequent tokens ≥ 0.2% of corpus via Misra–Gries "
     "candidates + exact recount (operators.freq.frequent_items)",
     oracle=f"""

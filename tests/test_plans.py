@@ -378,3 +378,33 @@ def test_tx17_bigram_lm_all_native_no_cartesian(spark, sf_dir):
     assert plans.count_ops(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in s
     assert plans.unpartitioned_windows(df) == 0
+
+
+def test_tx19_recount_broadcasts_candidates_no_wide_shuffle(spark, sf_dir):
+    """The operator's point: the only join is a BROADCAST semi join of
+    MG candidates against the token stream — no sort-merge join, no
+    cartesian; the final groupBy shuffles candidate keys only."""
+    df = QUERIES["tx19_vocab_heavy_hitters"].build(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    plans.assert_broadcast(df, at_least=2)  # candidates + n_total
+    assert plans.count_ops(df, "CartesianProduct") == 0
+    assert "SortMergeJoin" not in s
+
+
+def test_ss13_multitable_joins_all_broadcast(spark, sf_dir):
+    """Each of the 3 LSH tables probes via a broadcast of the query
+    side; the dedup aggregate must not introduce a cartesian."""
+    df = QUERIES["ss13_multitable_ann"].build(spark, sf_dir)
+    plans.assert_broadcast(df, at_least=3)
+    assert plans.count_ops(df, "CartesianProduct") == 0
+
+
+def test_q97_skyline_never_goes_quadratic(spark, sf_dir):
+    """The scale plan must be the sort-based one: no cartesian/NLJ
+    pair generation, one bounded-aggregate window (the slice offsets),
+    price-group aggregation instead of a self-join on dominance."""
+    df = QUERIES["q97_skyline_pareto"].build(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    assert plans.count_ops(df, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in s
+    assert plans.unpartitioned_windows(df) <= 1

@@ -510,3 +510,53 @@ def test_versioned_partials_history_and_replay(spark, sf_dir, tmp_path):
     }
     assert got == want  # not double-counted
     assert len(table2.versions()) == n_versions  # replays committed nothing
+
+
+def test_incremental_mg_heavy_hitters_guarantees(spark, sf_dir, tmp_path):
+    """Misra–Gries partials are the prune-on-merge member of the
+    partials family: streamed through the generic maintainer, the
+    summary must (a) keep bounded state, (b) never over-count, (c)
+    report a SUPERSET of the true heavy hitters with honest bounds."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_batch_spark.catalog import load_table
+    from etl_batch_spark.operators.freq import mg_merge, mg_partials, mg_report
+    from etl_batch_spark.streaming.events import maintain_partials_incrementally
+
+    support = 0.02
+    cap = math.ceil(1 / support) + 1
+    store = str(tmp_path / "mg")
+    ckpt = str(tmp_path / "ckpt")
+    n = maintain_partials_incrementally(
+        spark,
+        sf_dir,
+        store,
+        ckpt,
+        build=lambda b: mg_partials(b, "event_type"),
+        merge=lambda both: mg_merge(both, cap),
+    )
+    assert n >= 1
+    partials = spark.read.parquet(store)
+    assert partials.count() <= cap + 1  # bounded state incl. total row
+
+    events = load_table(spark, sf_dir, "events")
+    n_total = events.select(F.count("event_type")).first()[0]
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    thr = math.ceil(support * n_total)
+    true_heavy = {k for k, v in exact.items() if v >= thr}
+
+    report = mg_report(partials, support, cap).collect()
+    got = {r["mg_key"]: r for r in report}
+    assert report and {r["mg_key"] for r in report} >= true_heavy
+    for r in report:
+        assert r["n_total"] == n_total
+        assert r["threshold"] == thr
+        # one-sided bound: est ≤ freq ≤ max_count
+        assert r["est_count"] <= exact[r["mg_key"]] <= r["max_count"]
