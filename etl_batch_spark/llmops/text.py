@@ -585,3 +585,40 @@ def chunk_tokens(
         F.least(F.lit(size), F.size("toks") - F.col("start")).cast("int").alias("n_tokens"),
         F.array_join(F.slice("toks", F.col("start") + 1, size), " ").alias("chunk_text"),
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 64,
+) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al., ICML 2009): sparse
+    bag-of-tokens vectors in a FIXED ``n_features``-dim space, long-form
+    ``(id, feature, tf, signed_tf)``.
+
+    No vocabulary pass, no fit state: the feature index is
+    ``h(token) mod n_features`` and a second hash bit supplies the ±1
+    sign that keeps hashed inner products unbiased under collisions —
+    the property that lets a linear model train on 100 TB without ever
+    materializing (or shipping) a dictionary.  One explode + one
+    partial-aggregated groupBy, both linear; md5-derived hashes keep the
+    vectors bit-identical across engines.
+    """
+    from etl_batch_spark.llmops.dedup import H60, tokens
+
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    feat = (F.expr(H60.format(expr="tok")) % n_features).alias("feature")
+    sign = (
+        F.when(
+            F.expr("cast(conv(substr(md5(tok), 16, 1), 16, 10) as int)") % 2 == 0, 1
+        ).otherwise(-1)
+    )
+    return (
+        toks.groupBy(id_col, feat)
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sum(sign).alias("signed_tf"),
+        )
+    )

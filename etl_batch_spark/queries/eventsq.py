@@ -817,3 +817,103 @@ def ev15_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         run.groupBy(F.to_date("t").alias("day"))
         .agg(F.max("run").cast("bigint").alias("peak"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ev16 — A/B experiment readout: users hash-split 50/50 (the same
+# engine-portable md5 split sm08 uses for train/val/test — assignment
+# is reproducible from user_id alone, no assignment table), conversion
+# = a heavy-buyer outcome (≥14 purchase events — "any purchase" is ~1.0
+# on this fixture and a degenerate rate makes the z denominator 0),
+# then the two-proportion z-statistic.  One groupBy(user) + one
+# conditional aggregate — two linear shuffles at any scale; the
+# statistic itself is arithmetic over a 1-row aggregate.  Every float
+# is computed with the same expression tree in both engines, so even
+# the z-score is bit-exact under ROUND; NULLIF keeps the degenerate
+# all-convert/none-convert case NULL instead of an engine-specific
+# division error.
+# ---------------------------------------------------------------------------
+@query(
+    "ev16_ab_test_zscore",
+    doc="hash-split A/B conversion readout with two-proportion z-score "
+    "(one conditional aggregate; md5 assignment)",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 15))::BIGINT) % 2
+               AS variant
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS conv_a,
+             SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS conv_b
+      FROM conv
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND(
+             (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 0),
+             4) AS z_score
+    FROM s
+    """,
+)
+def ev16_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|ab"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    conv = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    ).withColumn("variant", variant)
+    s = conv.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    ca, na = F.col("conv_a").cast("double"), F.col("n_a")
+    cb, nb = F.col("conv_b").cast("double"), F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ca / na - cb / nb) / F.nullif(
+        F.sqrt(
+            pooled
+            * (1 - pooled)
+            * (F.lit(1).cast("double") / na + F.lit(1).cast("double") / nb)
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )

@@ -1823,6 +1823,36 @@ def tx19_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tx20 — hashing-trick features (llmops.text.feature_hash): fixed
+# 32-dim sparse bag-of-tokens with the unbiasing ±1 sign hash — the
+# vocabulary-free featurizer linear models train on at 100 TB (no fit
+# state, no dictionary shuffle).  md5-derived index and sign hashes
+# keep every vector bit-identical across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "tx20_feature_hashing",
+    doc="hashing-trick sparse features, 32 dims + sign hash "
+    "(llmops.text.feature_hash)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_DUCK_TOKENS}) AS tok
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           {_DUCK_H60.format(expr="tok")} % 32 AS feature,
+           COUNT(*) AS tf,
+           CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS signed_tf
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)
+def tx20_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return text.feature_hash(docs, n_features=32)
+
+
+# ---------------------------------------------------------------------------
 # ss08 — per-label centroids: element-wise mean of the embedding
 # vectors per label, plus the centroid L2 norm.  The scale shape is
 # posexplode → (label, dim) partial-aggregated avg → re-assemble — one

@@ -333,3 +333,66 @@ class TestTxTableModelProperty:
         for v, want in enumerate(model):
             got = sorted(r["id"] for r in t.read(version=v).collect())
             assert got == sorted(want), f"version {v}"
+
+
+class TestFrequentItemsProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(0, 15), min_size=1, max_size=120),
+        st.sampled_from([0.05, 0.1, 0.25]),
+        st.integers(min_value=1, max_value=8),
+    )
+    def test_matches_exact_counting(self, spark, keys, support, nparts):
+        import math
+        from collections import Counter
+
+        from etl_batch_spark.operators.freq import frequent_items
+
+        df = spark.createDataFrame(
+            [(f"k{k}",) for k in keys], "k string"
+        ).repartition(nparts)
+        got = {
+            (r["k"], r["n"])
+            for r in frequent_items(df, "k", support=support).collect()
+        }
+        thr = math.ceil(support * len(keys))
+        want = {
+            (f"k{k}", n) for k, n in Counter(keys).items() if n >= thr
+        }
+        assert got == want
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(st.integers(0, 15), min_size=1, max_size=100),
+        st.lists(st.integers(0, 15), min_size=1, max_size=100),
+    )
+    def test_mg_merge_keeps_heavy_keys_with_bounded_undercount(
+        self, spark, batch_a, batch_b
+    ):
+        import math
+        from collections import Counter
+
+        from etl_batch_spark.operators.freq import mg_merge, mg_partials, mg_report
+
+        support = 0.2
+        cap = math.ceil(1 / support) + 1
+        a = spark.createDataFrame([(f"k{k}",) for k in batch_a], "k string")
+        b = spark.createDataFrame([(f"k{k}",) for k in batch_b], "k string")
+        merged = mg_merge(
+            mg_partials(a, "k").unionByName(mg_partials(b, "k")), cap
+        )
+        rows = merged.collect()
+        assert len(rows) <= cap + 1  # bounded state
+        n = len(batch_a) + len(batch_b)
+        exact = Counter(f"k{k}" for k in batch_a + batch_b)
+        counters = {r["mg_key"]: r["mg_count"] for r in rows if r["mg_key"]}
+        total = sum(r["mg_count"] for r in rows if r["mg_key"] is None)
+        assert total == n
+        err = n // (cap + 1)
+        for k, c in counters.items():
+            assert c <= exact[k] <= c + err  # never over-counts, bounded under
+        report = {
+            r["mg_key"] for r in mg_report(merged, support, cap).collect()
+        }
+        thr = math.ceil(support * n)
+        assert {k for k, v in exact.items() if v >= thr} <= report
