@@ -71,3 +71,73 @@ def psi(
             F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), round_to
         ).alias("psi")
     ).select("psi", "n_ref", "n_cur", "n_buckets")
+
+
+def cusum_flags(
+    daily: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    drift: int = 1,
+    threshold: int = 5,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection over per-period INTEGER
+    counts (Page 1954): within each ``group_col`` (the monitoring
+    window, e.g. year),
+
+        s⁺_t = max(0, s⁺_{t-1} + (x_t − k⁺)),   k⁺ = ceil(mean) + drift
+        s⁻_t = max(0, s⁻_{t-1} + (k⁻ − x_t)),   k⁻ = floor(mean) − drift
+
+    and a period is flagged when either side exceeds ``threshold``.
+
+    Everything stays integer: x_t is a count, the reference levels k±
+    come from an exact integer sum / count (floor/ceil of a ratio of
+    exact doubles), so the recursion is bit-identical in any engine —
+    the property that lets a DuckDB recursive CTE oracle-check a
+    sequential detector.  The clamped recursion has no window form, so
+    it runs as ``applyInPandas`` per group — over the PER-PERIOD
+    AGGREGATE (|periods| rows per group, e.g. ≤366), never raw rows;
+    groups parallelize across the cluster and the state resets at group
+    boundaries, which is also the honest monitoring semantics.
+
+    Output: ``(group, order, x, s_plus, s_minus, flagged)`` per period.
+    """
+    import pandas as pd
+
+    stats = daily.groupBy(group_col).agg(
+        F.sum(value_col).alias("__sum"), F.count(F.lit(1)).alias("__n")
+    )
+    with_k = daily.join(F.broadcast(stats), group_col).select(
+        group_col,
+        order_col,
+        F.col(value_col).cast("long").alias("x"),
+        (F.ceil(F.col("__sum") / F.col("__n")) + drift).cast("long").alias("k_hi"),
+        (F.floor(F.col("__sum") / F.col("__n")) - drift).cast("long").alias("k_lo"),
+    )
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in with_k.schema
+        if f.name in (group_col, order_col)
+    )
+    schema = (
+        f"{out_fields}, x long, s_plus long, s_minus long, flagged boolean"
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        s_plus, s_minus = 0, 0
+        sp, sm = [], []
+        k_hi, k_lo = int(pdf["k_hi"][0]), int(pdf["k_lo"][0])
+        for x in pdf["x"].astype("int64"):
+            s_plus = max(0, s_plus + (int(x) - k_hi))
+            s_minus = max(0, s_minus + (k_lo - int(x)))
+            sp.append(s_plus)
+            sm.append(s_minus)
+        pdf["s_plus"] = sp
+        pdf["s_minus"] = sm
+        pdf["flagged"] = (pdf["s_plus"] > threshold) | (pdf["s_minus"] > threshold)
+        return pdf[[c.split(" ")[0] for c in schema.split(", ")]]
+
+    return with_k.groupBy(group_col).applyInPandas(walk, schema)

@@ -1480,3 +1480,66 @@ def et25_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# et27 — CUSUM change-point detection (operators/drift.py::cusum_flags):
+# two-sided Page-1954 CUSUM over DAILY ORDER COUNTS, reset per year.
+# Completes the monitoring family (PSI drift et26, MAD outliers et14,
+# Benford et19) with the sequential detector: drift too small for any
+# single-day outlier test accumulates in s± until the threshold trips.
+# Integer counts + integer reference levels make the clamped recursion
+# bit-identical across engines, so a DuckDB recursive CTE replays it
+# exactly.  The recursion runs on the per-day aggregate (≤366 rows per
+# year-group), never raw orders.
+# ---------------------------------------------------------------------------
+@query(
+    "et27_cusum_changepoints",
+    doc="two-sided CUSUM change-point flags over daily order counts, "
+    "reset per year (operators.drift.cusum_flags)",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    ks AS (
+      SELECT yr,
+             CAST(CEIL(SUM(x)::DOUBLE / COUNT(*)) AS BIGINT) + 1 AS k_hi,
+             CAST(FLOOR(SUM(x)::DOUBLE / COUNT(*)) AS BIGINT) - 1 AS k_lo
+      FROM daily GROUP BY yr
+    ),
+    ordered AS (
+      SELECT d.yr, d.day, d.x, k.k_hi, k.k_lo,
+             ROW_NUMBER() OVER (PARTITION BY d.yr ORDER BY d.day) AS rn
+      FROM daily d JOIN ks k ON d.yr = k.yr
+    ),
+    rec AS (
+      SELECT yr, day, x, rn,
+             GREATEST(CAST(0 AS BIGINT), x - k_hi) AS s_plus,
+             GREATEST(CAST(0 AS BIGINT), k_lo - x) AS s_minus
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.yr, o.day, o.x, o.rn,
+             GREATEST(CAST(0 AS BIGINT), r.s_plus + (o.x - o.k_hi)),
+             GREATEST(CAST(0 AS BIGINT), r.s_minus + (o.k_lo - o.x))
+      FROM rec r JOIN ordered o ON o.yr = r.yr AND o.rn = r.rn + 1
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, day, CAST(x AS BIGINT) AS x,
+           s_plus, s_minus,
+           (s_plus > 5 OR s_minus > 5) AS flagged
+    FROM rec
+    """,
+)
+def et27_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.drift import cusum_flags
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return cusum_flags(
+        daily, group_col="yr", order_col="day", value_col="x",
+        drift=1, threshold=5,
+    )

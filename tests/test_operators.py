@@ -1167,3 +1167,75 @@ class TestFrequentItems:
         assert [(r["k"], r["n"], r["threshold"]) for r in got] == [("a", 5, 3)]
         with _pytest.raises(ValueError):
             frequent_items(df, "k", support=0.0)
+
+
+class TestCusumFlags:
+    """operators/drift.py::cusum_flags — Page's sequential detector."""
+
+    def _mk(self, spark, series):
+        rows = [
+            (2024, i, x) for i, x in enumerate(series)
+        ]
+        return spark.createDataFrame(rows, "yr int, t int, x long")
+
+    def test_flat_series_never_flags(self, spark):
+        from etl_batch_spark.operators.drift import cusum_flags
+
+        df = self._mk(spark, [10] * 60)
+        out = cusum_flags(
+            df, group_col="yr", order_col="t", value_col="x",
+            drift=1, threshold=5,
+        )
+        assert out.filter("flagged").count() == 0
+        assert out.count() == 60
+
+    def test_sustained_shift_flags_and_single_spike_does_not(self, spark):
+        from etl_batch_spark.operators.drift import cusum_flags
+
+        # mean ≈ 10; k_hi ≈ ceil(mean)+1.  A one-day spike of +4 cannot
+        # cross threshold 5, but a sustained +3 shift accumulates.
+        spike = [10] * 30 + [14] + [10] * 29
+        shift = [10] * 30 + [16] * 30
+        out_spike = cusum_flags(
+            self._mk(spark, spike), group_col="yr", order_col="t",
+            value_col="x", drift=1, threshold=5,
+        )
+        assert out_spike.filter("flagged").count() == 0
+        out_shift = cusum_flags(
+            self._mk(spark, shift), group_col="yr", order_col="t",
+            value_col="x", drift=1, threshold=5,
+        ).orderBy("t").collect()
+        flagged_ts = [r["t"] for r in out_shift if r["flagged"]]
+        # the reference level is the pooled year mean (13), so BOTH
+        # regimes deviate and accumulate — the detector must flag, and
+        # cumulative state keeps the final shifted day flagged
+        assert flagged_ts and flagged_ts[-1] == 59
+        assert any(r["flagged"] and r["s_plus"] > 5 for r in out_shift)
+
+    def test_downward_shift_trips_s_minus(self, spark):
+        from etl_batch_spark.operators.drift import cusum_flags
+
+        series = [20] * 30 + [12] * 30
+        out = cusum_flags(
+            self._mk(spark, series), group_col="yr", order_col="t",
+            value_col="x", drift=1, threshold=5,
+        ).orderBy("t").collect()
+        # s_minus accumulates through the low regime and trips; s_plus
+        # peaks in the high regime then decays — both flag against the
+        # pooled mean, which is the honest level-shift reading
+        assert any(r["flagged"] and r["s_minus"] > 5 for r in out)
+        assert any(r["flagged"] and r["s_plus"] > 5 and r["t"] < 30 for r in out)
+
+    def test_groups_reset_state(self, spark):
+        from etl_batch_spark.operators.drift import cusum_flags
+
+        rows = [(2023, i, 10 + (6 if i > 20 else 0)) for i in range(40)] + [
+            (2024, i, 10) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "yr int, t int, x long")
+        out = cusum_flags(
+            df, group_col="yr", order_col="t", value_col="x",
+            drift=1, threshold=5,
+        )
+        assert out.filter("flagged AND yr = 2023").count() > 0
+        assert out.filter("flagged AND yr = 2024").count() == 0
