@@ -3395,3 +3395,35 @@ def q97_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pmax").isNull() | (F.col("pmax") <= F.col("p_size")))
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — native linear-regression aggregate surface (regr_slope /
+# regr_intercept / regr_r2 / regr_count): per-returnflag OLS of revenue
+# on quantity.  Complements q49's corr/covar/stddev family with the
+# regression aggregates — all JVM-side partial-aggregating built-ins
+# (one map-side-combined shuffle on a 3-value key), which is the whole
+# point vs collecting points to fit client-side.
+# ---------------------------------------------------------------------------
+@query(
+    "q98_grouped_regression",
+    doc="native regr_* aggregate surface: per-flag OLS of price on "
+    "quantity (map-side-combined, no client-side fit)",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_points,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q98_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n_points"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )

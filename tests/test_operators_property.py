@@ -396,3 +396,39 @@ class TestFrequentItemsProperty:
         }
         thr = math.ceil(support * n)
         assert {k for k, v in exact.items() if v >= thr} <= report
+
+
+class TestGlobalPrefixAggProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(-5, 5), min_size=1, max_size=60),
+        st.integers(min_value=2, max_value=8),
+        st.sampled_from(["sum", "max"]),
+        st.booleans(),
+    )
+    def test_matches_window_semantics(self, spark, vals, nparts, agg, inclusive):
+        from etl_batch_spark.operators.ranks import global_prefix_agg
+
+        df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(vals)], "v int, id long"
+        )
+        got = global_prefix_agg(
+            df,
+            [F.col("id").asc()],
+            F.col("v"),
+            "run",
+            agg=agg,
+            inclusive=inclusive,
+            num_partitions=nparts,
+        )
+        fn = F.sum if agg == "sum" else F.max
+        end = 0 if inclusive else -1
+        want = df.withColumn(
+            "run",
+            fn("v").over(
+                Window.orderBy(F.col("id").asc()).rowsBetween(
+                    Window.unboundedPreceding, end
+                )
+            ),
+        )
+        assert sorted(got.collect(), key=str) == sorted(want.collect(), key=str)
