@@ -362,8 +362,16 @@ def kmeans_lloyd(
         .select(F.col(id_col), as_double(vec_col).alias("e"))
         .localCheckpoint()
     )
+    first_row = d.select("e").first()
+    if first_row is None:
+        # empty corpus: no model to fit — a well-typed empty result, not
+        # a crash (the empty-slice contract of test_empty_inputs)
+        id_type = dict(df.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"{id_col} {id_type}, cluster int, sqdist double"
+        )
     if dim is None:
-        dim = len(d.select("e").first()["e"])
+        dim = len(first_row["e"])
     cents: list[list[float]] = [
         list(r["e"]) for r in d.filter(F.col(id_col) < k).orderBy(id_col).collect()
     ]
@@ -531,7 +539,16 @@ def _pq_parts(
     state, like kmeans' centroid matrix.
     """
     d = _normed(corpus, id_col=id_col, vec_col=vec_col).select(id_col, "e")
-    dim = len(d.select("e").first()["e"])
+    first_row = d.select("e").first()
+    if first_row is None:
+        # empty corpus: empty codebook with the right schema — every
+        # downstream join/encode/search then yields a typed empty result
+        id_type = dict(corpus.dtypes)[id_col]
+        empty_cb = corpus.sparkSession.createDataFrame(
+            [], f"sub int, code {id_type}, cvec array<double>"
+        )
+        return d, empty_cb, 1
+    dim = len(first_row["e"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sd = dim // m

@@ -36,6 +36,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list: no graph — a well-typed empty result, not a
+        # 1/n division error (the empty-slice contract)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     links = e.join(out_deg, "u").localCheckpoint()
     # dangling NODE SET is fixed across rounds — only its mass moves.
