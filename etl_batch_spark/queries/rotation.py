@@ -92,12 +92,14 @@ DRIVER_WINDOW: list[str] = [
 # ROUND 3 PREP (written end of round 2): once CORRECTNESS_r02.json
 # lands, (1) append the newly green window names to DRIVER_GREEN,
 # (2) refill DRIVER_WINDOW from the still-unchecked middle tier, in
-# priority order: q39–q41, q42..q84, q86..q94 relational (minus q85/q93
-# if green), then q95/q96, tx03–tx15, sm03–sm09, dd08–dd10, ss06/ss09,
-# mm03/mm04, et23/et24, ev13, pipe01–03 — about 85 names, so rounds 3–4
-# complete the sweep.  Run `python tools/rotate.py CORRECTNESS_r02.json
-# --write` to do this mechanically (--prepend for round-3 changed
-# queries).  tests/test_rotation.py pins the invariants.
+# priority order: q11/q13/q38 (displaced this round), q39–q41,
+# q42..q84, q86..q94 relational (minus q85/q93 if green), then
+# q95/q96/q98, tx03–tx15, tx20, sm03–sm09, dd08–dd10, ss06/ss09,
+# ss12/ss13, mm03/mm04, et23/et24, et26/et27, ev13/ev14/ev16,
+# pipe01–04 — about 100 names, so rounds 3–4 complete the sweep.  Run
+# `python tools/rotate.py CORRECTNESS_r02.json --write` to do this
+# mechanically (--prepend for round-3 changed queries).
+# tests/test_rotation.py pins the invariants.
 
 # Driver-green in CORRECTNESS_r01.json (rows+schema+hash all true, or
 # rows-only by design with no change since).  Deprioritized to the back
@@ -164,6 +166,12 @@ def reorder(queries: dict) -> None:
     window = [n for n in DRIVER_WINDOW if n in queries]
     green = {n for n in DRIVER_GREEN if n not in DRIVER_WINDOW}
     middle = [n for n in queries if n not in set(window) and n not in green]
+    # SURVEY-core relational mappings (qNN_*) lead the middle tier so the
+    # next rotation's refill (tools/rotate.py consumes registry order)
+    # verifies the core surface before engine extensions.
+    middle.sort(
+        key=lambda n: (0, int(n[1:3])) if n[0] == "q" and n[1].isdigit() else (1, 0)
+    )
     tail = [n for n in queries if n in green]
     items = {n: queries[n] for n in (*window, *middle, *tail)}
     queries.clear()
