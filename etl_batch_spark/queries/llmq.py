@@ -124,6 +124,87 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(sig, num_hashes=8)
 
 
+# ---------------------------------------------------------------------------
+# dd13 — dedup recall harness (the dedup twin of ss12): how much of the
+# TRUE near-dup pair set (exact Jaccard ≥ 0.2, dd03's inverted-index
+# computation) does the MinHash-LSH candidate generation (dd04, b=8
+# r=1 banding) recover, and at what candidate cost?  One summary row:
+# recall is the number users tune num_hashes/banding against before
+# trusting the approximate pipeline at 100 TB, and both sides are
+# md5-deterministic so the measurement itself oracle-checks.
+# ---------------------------------------------------------------------------
+@query(
+    "dd13_lsh_dedup_recall",
+    doc="MinHash-LSH candidate recall vs exact Jaccard≥0.2 truth "
+    "(dedup.minhash_candidate_pairs ∩ dedup.jaccard_pairs)",
+    oracle=f"""
+    WITH sh AS ({_DUCK_DOC_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT c.doc_a, c.doc_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.2
+    ),
+    sig AS ({_DUCK_MINHASH_SIG}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.i = b.i AND a.minh = b.minh AND a.doc_id < b.doc_id
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth t
+             JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
+           ROUND((SELECT COUNT(*) FROM truth t
+                   JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                 / NULLIF(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 0), 4)
+             AS recall,
+           ROUND((SELECT COUNT(*) FROM truth t
+                   JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                 / NULLIF(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 0), 4)
+             AS precision
+    """,
+)
+def dd13_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    truth = dedup.jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    sig = dedup.minhash_signatures(dedup.shingle_sets(docs), num_hashes=8)
+    cand = (
+        dedup.minhash_candidate_pairs(sig, num_hashes=8)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates"))))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_true").cast("double"), F.lit(0.0)),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit")
+                / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
+                4,
+            ).alias("precision"),
+        )
+    )
+
+
 @query(
     "dd05_simhash",
     doc="16-bit SimHash signatures (llmops.dedup.simhash)",

@@ -3427,3 +3427,84 @@ def q98_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — gaps-and-islands interval merge: each order opens a 7-day
+# activity window; overlapping windows per customer merge into spans.
+# The classic sweep: a running max of interval ends over the per-
+# customer start order marks island breaks (start > furthest end seen
+# ⇒ new span), a running sum of breaks numbers the islands, and a
+# two-level aggregate summarizes.  Every window is PARTITIONED BY the
+# customer — per-key sequential logic, cluster-parallel across keys —
+# and the arithmetic is all integer dates, so the oracle replays the
+# exact same windows.
+# ---------------------------------------------------------------------------
+@query(
+    "q99_merged_order_spans",
+    doc="per-customer merge of overlapping 7-day order windows "
+    "(gaps-and-islands: cummax end + break cumsum)",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS custkey, o_orderkey AS k,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 7 AS e
+      FROM orders
+    ),
+    marked AS (
+      SELECT custkey, k, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY custkey ORDER BY s, k
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ),
+    islands AS (
+      SELECT custkey, k, s, e,
+             SUM(brk) OVER (PARTITION BY custkey ORDER BY s, k
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT custkey, island, MIN(s) AS span_start, MAX(e) AS span_end,
+             COUNT(*) AS n_orders
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS covered_days,
+           CAST(MAX(n_orders) AS BIGINT) AS max_span_orders
+    FROM spans GROUP BY custkey
+    """,
+)
+def q99_merged_order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("custkey")
+        .orderBy("s", "k")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("custkey").orderBy("s", "k").rowsBetween(W.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn(
+        "brk",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("brk").over(w_run))
+    spans = islands.groupBy("custkey", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return spans.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.datediff("span_end", "span_start")).cast("bigint").alias("covered_days"),
+        F.max("n_orders").cast("bigint").alias("max_span_orders"),
+    )
