@@ -917,3 +917,197 @@ def ev16_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cb / nb, 6).alias("rate_b"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev17 — Markov removal-effect attribution (the model-based member of
+# the attribution trio: last-touch ev13, linear ev14, Markov here).
+# User journeys (pre-first-purchase event sequences, 'start' prepended,
+# absorbed into 'conv'/'null') reduce to an integer transition-count
+# matrix over a BOUNDED state space — the only O(rows) stage, two
+# shuffles (first-purchase agg + per-user path agg).  Conversion
+# probability from 'start' is then a 12-step value iteration on that
+# ≤7×7 matrix; each channel's removal effect re-runs it with the
+# channel's state pinned to 0 ("journeys through it fail").  The
+# iteration is exact fixed-point integer arithmetic (nano-scale,
+# floor division) on driver-side aggregate state — the k-means-
+# centroid pattern — so a DuckDB oracle replays it bit-for-bit as 12
+# unrolled CTE steps.
+# ---------------------------------------------------------------------------
+_EV17_CHANNELS = ["click", "error", "signup", "view"]
+_EV17_SCALE = 1_000_000_000
+_EV17_ITERS = 12
+
+
+def _ev17_duck_oracle() -> str:
+    variants = ", ".join(f"'{c}'" for c in ["base", *_EV17_CHANNELS])
+    steps = []
+    for t in range(1, _EV17_ITERS + 1):
+        prev = f"v{t-1}"
+        steps.append(f"""
+    v{t} AS MATERIALIZED (
+      SELECT g.variant, g.state,
+             CASE WHEN g.state = g.variant THEN CAST(0 AS BIGINT)
+                  ELSE CAST(CAST(SUM(c.n *
+                         CASE WHEN c.t2 = 'conv' THEN {_EV17_SCALE}
+                              WHEN c.t2 = 'null' THEN 0
+                              WHEN c.t2 = g.variant THEN 0
+                              ELSE COALESCE(pv.v, 0) END) AS BIGINT)
+                       // CAST(MAX(tt.N) AS BIGINT) AS BIGINT) END AS v
+      FROM grid g
+      JOIN counts c ON c.f = g.state
+      LEFT JOIN {prev} pv ON pv.variant = g.variant AND pv.state = c.t2
+      JOIN totals tt ON tt.f = g.state
+      GROUP BY g.variant, g.state
+    )""")
+    return f"""
+    WITH fp AS MATERIALIZED (
+      SELECT user_id, MIN(ts) AS fp_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pre AS MATERIALIZED (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type, fp.fp_ts
+      FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (fp.fp_ts IS NULL OR e.ts < fp.fp_ts)
+    ),
+    seqs AS MATERIALIZED (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS types,
+             MAX(CASE WHEN fp_ts IS NOT NULL THEN 1 ELSE 0 END) AS has_conv
+      FROM pre GROUP BY user_id
+    ),
+    only_conv AS (
+      SELECT fp.user_id FROM fp
+      LEFT JOIN (SELECT DISTINCT user_id FROM pre) p ON p.user_id = fp.user_id
+      WHERE p.user_id IS NULL
+    ),
+    paths AS MATERIALIZED (
+      SELECT ['start'] || types ||
+             [CASE WHEN has_conv = 1 THEN 'conv' ELSE 'null' END] AS path
+      FROM seqs
+      UNION ALL
+      SELECT ['start', 'conv'] FROM only_conv
+    ),
+    hops AS MATERIALIZED (
+      SELECT UNNEST(generate_series(1, len(path) - 1)) AS i, path FROM paths
+    ),
+    counts AS MATERIALIZED (
+      SELECT path[i] AS f, path[i + 1] AS t2, COUNT(*) AS n
+      FROM hops GROUP BY 1, 2
+    ),
+    totals AS MATERIALIZED (SELECT f, SUM(n) AS N FROM counts GROUP BY 1),
+    grid AS MATERIALIZED (
+      SELECT v.variant, s.f AS state
+      FROM (SELECT UNNEST([{variants}]) AS variant) v
+      CROSS JOIN (SELECT DISTINCT f FROM counts) s
+    ),
+    v0 AS MATERIALIZED (SELECT variant, state, CAST(0 AS BIGINT) AS v FROM grid),
+    {",".join(steps)},
+    res AS (
+      SELECT r.variant AS channel,
+             (SELECT v FROM v{_EV17_ITERS}
+               WHERE variant = 'base' AND state = 'start') AS base_nano,
+             r.v AS removed_nano
+      FROM v{_EV17_ITERS} r
+      WHERE r.state = 'start' AND r.variant <> 'base'
+    )
+    SELECT channel, base_nano, removed_nano,
+           base_nano - removed_nano AS removal_nano,
+           ROUND((base_nano - removed_nano)
+                 / NULLIF(CAST(SUM(base_nano - removed_nano) OVER ()
+                               AS DOUBLE), 0), 4) AS share
+    FROM res
+    """
+
+
+@query(
+    "ev17_markov_attribution",
+    doc="Markov removal-effect channel attribution (bounded-state "
+    "fixed-point value iteration over journey transition counts)",
+    oracle=_ev17_duck_oracle(),
+)
+def ev17_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    pre = e.join(fp, "user_id", "left").filter(
+        (F.col("event_type") != "purchase")
+        & (F.col("fp_ts").isNull() | (F.col("ts") < F.col("fp_ts")))
+    )
+    seqs = pre.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("arr"),
+        F.max(F.col("fp_ts").isNotNull().cast("int")).alias("has_conv"),
+    )
+    paths = seqs.select(
+        F.concat(
+            F.array(F.lit("start")),
+            F.expr("transform(arr, x -> x.event_type)"),
+            F.array(F.when(F.col("has_conv") == 1, "conv").otherwise("null")),
+        ).alias("path")
+    ).unionByName(
+        fp.join(pre.select("user_id").distinct(), "user_id", "left_anti").select(
+            F.array(F.lit("start"), F.lit("conv")).alias("path")
+        )
+    )
+    hops = paths.select(
+        F.explode(F.expr("sequence(1, size(path) - 1)")).alias("i"), "path"
+    )
+    counts_df = hops.groupBy(
+        F.expr("element_at(path, i)").alias("f"),
+        F.expr("element_at(path, i + 1)").alias("t2"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    # bounded aggregate state (≤ 7×7 integer cells) — the k-means-
+    # centroid pattern: the matrix is collected, never the rows
+    counts = {(r["f"], r["t2"]): r["n"] for r in counts_df.collect()}
+    schema = (
+        "channel string, base_nano long, removed_nano long, "
+        "removal_nano long, share double"
+    )
+    if not counts:
+        return spark.createDataFrame([], schema)
+    totals: dict[str, int] = {}
+    for (f, _), n in counts.items():
+        totals[f] = totals.get(f, 0) + n
+    states = sorted(totals)
+
+    def iterate(blocked: "str | None") -> int:
+        v = {s: 0 for s in states}
+        for _ in range(_EV17_ITERS):
+            nv = {}
+            for s in states:
+                if s == blocked:
+                    nv[s] = 0
+                    continue
+                acc = sum(
+                    n
+                    * (
+                        _EV17_SCALE
+                        if t2 == "conv"
+                        else 0
+                        if t2 in ("null", blocked)
+                        else v.get(t2, 0)
+                    )
+                    for (f, t2), n in counts.items()
+                    if f == s
+                )
+                nv[s] = acc // totals[s]
+            v = nv
+        return v.get("start", 0)
+
+    base = iterate(None)
+    rows = []
+    removals = {c: base - iterate(c) for c in _EV17_CHANNELS}
+    total_removal = sum(removals.values())
+    for c in _EV17_CHANNELS:
+        share = (
+            round(removals[c] / float(total_removal), 4) if total_removal else None
+        )
+        rows.append((c, base, base - removals[c], removals[c], share))
+    return spark.createDataFrame(rows, schema)
