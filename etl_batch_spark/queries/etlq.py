@@ -1543,3 +1543,87 @@ def et27_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, group_col="yr", order_col="day", value_col="x",
         drift=1, threshold=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# et28 — audience set algebra on bitmaps (the ad-tech segment-overlap
+# pattern, extending et21's exact-distinct bitmaps): per event_type
+# audience, user ids pack into 63-bit words; AND/OR/ANDNOT across
+# audiences become joins on the word bucket + bitwise ops + popcount
+# sums — |A∩B| costs one equi-join over word tables that are
+# |id-space|/63 rows regardless of event volume, never a user-level
+# join.  Union and difference derive by inclusion-exclusion from the
+# same intersection pass.  Words and popcounts are exact integers, so
+# the oracle replays bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "et28_audience_bitmap_ops",
+    doc="segment-overlap set algebra (AND/OR/A-only) on 63-bit user "
+    "bitmaps per audience pair",
+    oracle="""
+    WITH words AS MATERIALIZED (
+      SELECT event_type AS seg, user_id // 63 AS bucket,
+             BIT_OR(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+      FROM events GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT seg, CAST(SUM(bit_count(word)) AS BIGINT) AS n
+      FROM words GROUP BY seg
+    ),
+    inter AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+             CAST(SUM(bit_count(a.word & b.word)) AS BIGINT) AS n_and
+      FROM words a JOIN words b
+        ON a.bucket = b.bucket AND a.seg < b.seg
+      GROUP BY 1, 2
+    )
+    SELECT i.seg_a, i.seg_b, sa.n AS n_a, sb.n AS n_b, i.n_and,
+           sa.n + sb.n - i.n_and AS n_or,
+           sa.n - i.n_and AS n_a_only
+    FROM inter i
+    JOIN sizes sa ON sa.seg = i.seg_a
+    JOIN sizes sb ON sb.seg = i.seg_b
+    """,
+)
+def et28_audience_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    words = e.groupBy(
+        F.col("event_type").alias("seg"),
+        (F.col("user_id") / 63).cast("bigint").alias("bucket"),
+    ).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))")).alias("word")
+    )
+    sizes = words.groupBy("seg").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n")
+    )
+    a = words.select(
+        F.col("seg").alias("seg_a"), "bucket", F.col("word").alias("wa")
+    )
+    b = words.select(
+        F.col("seg").alias("seg_b"), "bucket", F.col("word").alias("wb")
+    )
+    inter = (
+        a.join(b, "bucket")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("bigint")
+            .alias("n_and")
+        )
+    )
+    sa = sizes.select(F.col("seg").alias("seg_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "seg_a")
+        .join(F.broadcast(sb), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_and",
+            (F.col("n_a") + F.col("n_b") - F.col("n_and")).alias("n_or"),
+            (F.col("n_a") - F.col("n_and")).alias("n_a_only"),
+        )
+    )

@@ -3508,3 +3508,44 @@ def q99_merged_order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.datediff("span_end", "span_start")).cast("bigint").alias("covered_days"),
         F.max("n_orders").cast("bigint").alias("max_span_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — ranking-distribution window surface: ntile / percent_rank /
+# cume_dist / nth_value / first+last over an explicit full frame — the
+# remaining window functions q15/q41/q50 don't cover.  All windows are
+# PARTITIONED BY market segment with a unique (acctbal, custkey) order,
+# so there are no tie ambiguities and no single-task window.
+# ---------------------------------------------------------------------------
+@query(
+    "q100_window_rank_surface",
+    doc="ntile/percent_rank/cume_dist/nth_value/first+last window "
+    "surface over segment partitions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           NTH_VALUE(c_acctbal, 3) OVER wf AS third_bal,
+           FIRST_VALUE(c_acctbal) OVER wf AS min_bal,
+           LAST_VALUE(c_acctbal) OVER wf AS max_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+           wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q100_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("c_acctbal", 3).over(wf).alias("third_bal"),
+        F.first("c_acctbal").over(wf).alias("min_bal"),
+        F.last("c_acctbal").over(wf).alias("max_bal"),
+    )
