@@ -54,3 +54,24 @@ def test_dtypes_match_oracle(spark, sf_dir, duck, name):
         if sdt[col] != want:
             diffs[col] = (sdt[col], dt)
     assert not diffs, f"dtype skew: {diffs}"
+
+
+def test_no_oracle_bearing_query_emits_nested_columns(spark, sf_dir):
+    """The external driver's pandas canonicalizer cannot hash array/
+    map/struct cells (CORRECTNESS_r01's et17 failure mode).  Pin the
+    constraint engine-wide: every oracle-bearing query emits scalar
+    columns only — flatten with concat_ws / printf at the query edge."""
+    from pyspark.sql import types as T
+
+    offenders = {}
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        bad = [
+            f.name
+            for f in q.build(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
