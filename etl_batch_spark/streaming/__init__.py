@@ -3,6 +3,7 @@ from etl_batch_spark.streaming.events import (  # noqa: F401
     enrich_with_dimension,
     funnel_stateful,
     purchase_attribution_join,
+    purchase_attribution_join_outer,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stateful,

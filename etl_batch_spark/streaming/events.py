@@ -187,6 +187,51 @@ def purchase_attribution_join(
     )
 
 
+def purchase_attribution_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer stream-stream interval join: every purchase emits —
+    attributed rows as in :func:`purchase_attribution_join`, ORGANIC
+    purchases (no qualifying click) with NULL click columns.
+
+    The outer side is the genuinely stateful case: a purchase cannot be
+    declared organic until the click watermark has passed its whole
+    attribution window, so null rows surface only when state for that
+    event-time range is evicted.  Purchases younger than the final
+    watermark stay buffered (exactly-once under the checkpoint) — a
+    batch backfill over closed data sees every row, a live stream sees
+    nulls trail by the watermark delay.  Same evictable-state bounds as
+    the inner form; the join order is purchases LEFT OUTER clicks."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return p.join(c, cond, "leftOuter").select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame, *, query_name: str, output_mode: str = "update"
 ) -> None:

@@ -560,3 +560,89 @@ def test_incremental_mg_heavy_hitters_guarantees(spark, sf_dir, tmp_path):
         assert r["threshold"] == thr
         # one-sided bound: est ≤ freq ≤ max_count
         assert r["est_count"] <= exact[r["mg_key"]] <= r["max_count"]
+
+
+def test_outer_attribution_join_emits_organic_purchases(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: attributed rows must equal the
+    batch inner join; organic (null-click) rows must be genuinely
+    click-free; and once the watermark provably passes a purchase (a
+    far-future heartbeat file processed as its own micro-batch), that
+    purchase MUST have emitted one way or the other."""
+    import datetime
+
+    from etl_batch_spark.streaming.events import (
+        purchase_attribution_join_outer,
+        run_stream_to_memory,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    max_ts = e.agg(F.max("ts")).first()[0]
+    src_dir = str(tmp_path / "events_src")
+    e.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    # heartbeat file: one click + one purchase a day past the data, so
+    # BOTH sides' watermarks (global wm = min) advance in batch 2
+    hb_ts = max_ts + datetime.timedelta(days=1)
+    spark.createDataFrame(
+        [
+            (10_000_001, hb_ts, -1, "click", 0.0, "{}"),
+            (10_000_002, hb_ts, -1, "purchase", 0.0, "{}"),
+        ],
+        e.schema,
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    joined = purchase_attribution_join_outer(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        attribution_window="1 hour",
+        watermark="2 hours",
+    )
+    run_stream_to_memory(joined, query_name="attrib_outer", output_mode="append")
+    rows = [
+        r
+        for r in spark.sql("select * from attrib_outer").collect()
+        if r["purchase_id"] < 10_000_000  # drop the heartbeat sentinel
+    ]
+    matched = {
+        (r["purchase_id"], r["click_id"]) for r in rows if r["click_id"] is not None
+    }
+    organic = {r["purchase_id"] for r in rows if r["click_id"] is None}
+
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour"))
+    )
+    expected_matched = {
+        (r["purchase_id"], r["click_id"]) for r in c.join(p, cond).collect()
+    }
+    assert matched == expected_matched and matched
+
+    batch_organic = {
+        r["purchase_id"] for r in p.join(c, cond, "left_anti").collect()
+    }
+    # every emitted organic purchase is truly click-free
+    assert organic <= batch_organic and organic
+    # deterministic completeness: after the heartbeat batch the global
+    # watermark sits at max_ts - 2h, so every purchase older than that
+    # must have emitted as matched-or-organic
+    wm = max_ts - datetime.timedelta(hours=2)
+    old_purchases = {
+        r["purchase_id"] for r in p.filter(F.col("pts") < F.lit(wm)).collect()
+    }
+    emitted = {pid for pid, _ in matched} | organic
+    assert old_purchases - emitted == set()
