@@ -646,3 +646,74 @@ def maintain_partials_versioned(
     )
     q.awaitTermination()
     return n_batches, table
+
+
+def upsert_latest_versioned(
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str = "user_id",
+    delete_type: str = "error",
+):
+    """Streaming keyed upsert (the row-level sibling of
+    :func:`maintain_partials_versioned`): each micro-batch folds to its
+    latest event per key, merges latest-wins into the stored state, and
+    commits one TxTable version — a Delta-style streaming MERGE sink.
+    Events of ``delete_type`` are tombstones: a key whose latest event
+    is a delete leaves the table (CDC I/U/D semantics over a stream).
+
+    Exactly-once discipline is the table's own commit metadata (batch
+    id recorded atomically with the data, replays skip); per-batch work
+    is one batch-local reduce + one keyed merge against current state —
+    O(state + batch), never reprocessing history.  Returns
+    ``(n_batches, TxTable)``.
+    """
+    from etl_batch_spark.sources.txlog import TxTable
+
+    table = TxTable(spark, table_path)
+    stream = read_events_stream(spark, src_dir)
+    n_batches = 0
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(key_col)
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type", "value")
+                ).alias("s")
+            )
+            .select(
+                key_col,
+                F.col("s.ts").alias("ts"),
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.event_type").alias("event_type"),
+                F.col("s.value").alias("value"),
+            )
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        meta = table.latest_meta()
+        if meta is not None and meta.get("batch_id", -1) >= batch_id:
+            return  # checkpoint replay of a committed batch — skip
+        fresh = latest_per_key(batch_df)
+        if table.latest_version() >= 0:
+            merged = latest_per_key(table.read().unionByName(fresh))
+        else:
+            merged = fresh
+        table.overwrite(
+            merged.filter(F.col("event_type") != delete_type),
+            meta={"batch_id": batch_id},
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches, table

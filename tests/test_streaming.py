@@ -646,3 +646,49 @@ def test_outer_attribution_join_emits_organic_purchases(spark, sf_dir, tmp_path)
     }
     emitted = {pid for pid, _ in matched} | organic
     assert old_purchases - emitted == set()
+
+
+def test_streaming_upsert_latest_state_and_replay(spark, sf_dir, tmp_path):
+    """Row-level streaming upsert into a TxTable: final state must equal
+    the batch 'latest event per user, tombstones removed' computation,
+    commits must carry batch ids, and a checkpoint loss must not change
+    the state (replay detection via commit metadata)."""
+    import shutil
+
+    from etl_batch_spark.streaming.events import upsert_latest_versioned
+
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "state")
+    n, table = upsert_latest_versioned(spark, sf_dir, tbl, ckpt)
+    assert n >= 1
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in table.read().collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    latest = (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("s"))
+        .select("user_id", "s.event_id", "s.event_type")
+    )
+    want = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in latest.filter(F.col("event_type") != "error").collect()
+    }
+    assert got == want and got
+    # tombstones actually removed some keys
+    assert latest.filter(F.col("event_type") == "error").count() > 0
+    meta = table.latest_meta()
+    assert meta is not None and "batch_id" in meta
+
+    # torn recovery: checkpoint lost, commits survive — replay must skip
+    v_before = table.latest_version()
+    shutil.rmtree(ckpt)
+    n2, table2 = upsert_latest_versioned(spark, sf_dir, tbl, ckpt)
+    assert table2.latest_version() == v_before  # nothing re-committed
+    got2 = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in table2.read().collect()
+    }
+    assert got2 == want
