@@ -593,6 +593,88 @@ def ss13_multitable_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ss14 — hard-negative mining for contrastive training: per anchor, the
+# top-3 most-similar corpus vectors with a DIFFERENT label — the pairs
+# a contrastive loss learns most from.  Same broadcast-anchor scan
+# shape as ss01 (the label filter rides the join), so cost is
+# O(|corpus|·|anchors|) folds with anchors a bounded sample; at 100 TB
+# swap the scan for the ss02/ss13 bucketed candidates and keep the
+# label filter + window unchanged.
+# ---------------------------------------------------------------------------
+@query(
+    "ss14_hard_negatives",
+    doc="contrastive hard negatives: top-3 different-label neighbors "
+    "per anchor (broadcast-anchor scan, label filter in the join)",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id AND c.label <> q.label
+      WHERE q.vec_id < 20
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cosine DESC, negative_id) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def ss14_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from etl_batch_spark.catalog import fan_out
+    from etl_batch_spark.llmops.similarity import DOT, as_double, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (
+        fan_out(emb)
+        .select("vec_id", "label", as_double("embedding").alias("e"))
+        .withColumn("nrm", l2_norm("e"))
+    )
+    c = v.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    q = v.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    dot = F.expr(DOT.format(a="qe", b="ce"))
+    pairs = (
+        c.join(
+            F.broadcast(q),
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("negative_label") != F.col("anchor_label")),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "anchor_id", "anchor_label", "negative_id", "negative_label", "cosine"
+        )
+    )
+
+
 @query(
     "ss12_ann_recall",
     doc="recall@3 of 1-table vs 3-table LSH ANN against exact cosine "
