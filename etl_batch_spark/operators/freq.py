@@ -46,8 +46,11 @@ def mg_candidates(df: DataFrame, key_col: str, support: float) -> DataFrame:
     with ``mg_rows`` the partition's total non-null row count (same value
     on every row of a partition's summary — it bounds the summary's
     undercount, ``freq_p(x) − mg_count(x) ≤ mg_rows/(cap+1)``, which the
-    property tests assert).  NULL keys are ignored (SQL grouping of the
-    recount pass could not equi-match them anyway).
+    property tests assert) — plus ONE ``mg_key IS NULL`` row per
+    partition carrying that partition's total, so downstream consumers
+    recover N without re-scanning the input.  NULL input keys are
+    ignored (SQL grouping of the recount pass could not equi-match them
+    anyway).
     """
     if not 0.0 < support < 1.0:
         raise ValueError(f"support must be in (0, 1), got {support}")
@@ -78,12 +81,12 @@ def mg_candidates(df: DataFrame, key_col: str, support: float) -> DataFrame:
                 pivot = acc.nlargest(cap + 1).iloc[-1]
                 acc = acc - pivot
                 acc = acc[acc > 0]
-        if acc is None or acc.empty:
+        if acc is None:
             return
         yield pd.DataFrame(
             {
-                "mg_key": acc.index,
-                "mg_count": acc.astype("int64").values,
+                "mg_key": list(acc.index) + [None],
+                "mg_count": list(acc.astype("int64").values) + [n_rows],
                 "mg_rows": n_rows,
             }
         )
@@ -176,12 +179,17 @@ def frequent_items(df: DataFrame, key_col: str, support: float) -> DataFrame:
     rows), as ``(key_col, n, threshold)`` — exact output, sketch-pruned
     plan (see module docstring)."""
     summaries = mg_candidates(df, key_col, support)
-    # N = exact non-null row count, from a direct single-column scan (a
-    # count-only aggregate, no shuffle width) rather than de-duplicating
-    # the per-partition mg_rows values.
-    n_total = df.select(F.count(key_col).alias("n_total"))
+    # N = sum of the per-partition NULL-key total rows the MG pass
+    # already emitted — no extra scan of the input
+    n_total = summaries.filter(F.col("mg_key").isNull()).agg(
+        F.coalesce(F.sum("mg_count"), F.lit(0)).alias("n_total")
+    )
 
-    candidates = summaries.select(F.col("mg_key").alias(key_col)).distinct()
+    candidates = (
+        summaries.filter(F.col("mg_key").isNotNull())
+        .select(F.col("mg_key").alias(key_col))
+        .distinct()
+    )
     exact = (
         df.join(F.broadcast(candidates), key_col, "left_semi")
         .groupBy(key_col)

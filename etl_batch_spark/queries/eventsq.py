@@ -934,13 +934,11 @@ def ev16_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid pattern — so a DuckDB oracle replays it bit-for-bit as 12
 # unrolled CTE steps.
 # ---------------------------------------------------------------------------
-_EV17_CHANNELS = ["click", "error", "signup", "view"]
 _EV17_SCALE = 1_000_000_000
 _EV17_ITERS = 12
 
 
 def _ev17_duck_oracle() -> str:
-    variants = ", ".join(f"'{c}'" for c in ["base", *_EV17_CHANNELS])
     steps = []
     for t in range(1, _EV17_ITERS + 1):
         prev = f"v{t-1}"
@@ -997,9 +995,17 @@ def _ev17_duck_oracle() -> str:
       FROM hops GROUP BY 1, 2
     ),
     totals AS MATERIALIZED (SELECT f, SUM(n) AS N FROM counts GROUP BY 1),
+    variants AS MATERIALIZED (
+      -- channels are DERIVED from the data (every journey from-state
+      -- except 'start'), so a new event_type cannot be silently
+      -- excluded from attribution
+      SELECT 'base' AS variant
+      UNION ALL
+      SELECT DISTINCT f FROM counts WHERE f <> 'start'
+    ),
     grid AS MATERIALIZED (
       SELECT v.variant, s.f AS state
-      FROM (SELECT UNNEST([{variants}]) AS variant) v
+      FROM variants v
       CROSS JOIN (SELECT DISTINCT f FROM counts) s
     ),
     v0 AS MATERIALIZED (SELECT variant, state, CAST(0 AS BIGINT) AS v FROM grid),
@@ -1103,9 +1109,12 @@ def ev17_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = iterate(None)
     rows = []
-    removals = {c: base - iterate(c) for c in _EV17_CHANNELS}
+    # channels derived from the data: every journey from-state except
+    # 'start' — a new event_type automatically joins the attribution
+    channels = sorted(s for s in states if s != "start")
+    removals = {c: base - iterate(c) for c in channels}
     total_removal = sum(removals.values())
-    for c in _EV17_CHANNELS:
+    for c in channels:
         share = (
             round(removals[c] / float(total_removal), 4) if total_removal else None
         )

@@ -160,18 +160,23 @@ def reorder(queries: dict) -> None:
 
     ``QUERIES`` is imported by name elsewhere, so the dict object must be
     mutated rather than replaced.  Unknown names in the lists are skipped
-    (robust to renames); names in neither list keep registration order in
-    the middle tier.
+    (robust to renames); names in neither list form the middle tier,
+    sorted SURVEY-core-first (see below), otherwise registration order.
     """
     window = [n for n in DRIVER_WINDOW if n in queries]
     green = {n for n in DRIVER_GREEN if n not in DRIVER_WINDOW}
     middle = [n for n in queries if n not in set(window) and n not in green]
     # SURVEY-core relational mappings (qNN_*) lead the middle tier so the
     # next rotation's refill (tools/rotate.py consumes registry order)
-    # verifies the core surface before engine extensions.
-    middle.sort(
-        key=lambda n: (0, int(n[1:3])) if n[0] == "q" and n[1].isdigit() else (1, 0)
-    )
+    # verifies the core surface before engine extensions; non-q names
+    # keep registration order behind them (stable sort).
+    def _prio(n: str) -> tuple:
+        num = n[1:].split("_", 1)[0]
+        if n[0] == "q" and num.isdigit():
+            return (0, int(num))
+        return (1, 0)
+
+    middle.sort(key=_prio)
     tail = [n for n in queries if n in green]
     items = {n: queries[n] for n in (*window, *middle, *tail)}
     queries.clear()

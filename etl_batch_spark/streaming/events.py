@@ -648,6 +648,24 @@ def maintain_partials_versioned(
     return n_batches, table
 
 
+
+def _latest_per_key(df: DataFrame, key_col: str) -> DataFrame:
+    """Latest event per key by (ts, event_id) — the upsert fold.  Kept
+    module-level so the tombstone-vs-late-event merge semantics are
+    directly testable."""
+    return (
+        df.groupBy(key_col)
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+        .select(
+            key_col,
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+        )
+    )
+
+
 def upsert_latest_versioned(
     spark: SparkSession,
     src_dir: str,
@@ -662,13 +680,20 @@ def upsert_latest_versioned(
     latest event per key, merges latest-wins into the stored state, and
     commits one TxTable version — a Delta-style streaming MERGE sink.
     Events of ``delete_type`` are tombstones: a key whose latest event
-    is a delete leaves the table (CDC I/U/D semantics over a stream).
+    is a delete is ABSENT from the live view (CDC I/U/D semantics over
+    a stream).  Tombstone rows stay in stored state — dropping them
+    would let a later batch resurrect the key from an older, late-
+    arriving event, since latest-wins needs the delete's (ts, event_id)
+    to compare against.  Read live state via the returned ``live``
+    builder (``read()`` filtered of tombstones); a retention job may
+    vacuum tombstones older than the source's max lateness.
 
     Exactly-once discipline is the table's own commit metadata (batch
     id recorded atomically with the data, replays skip); per-batch work
     is one batch-local reduce + one keyed merge against current state —
     O(state + batch), never reprocessing history.  Returns
-    ``(n_batches, TxTable)``.
+    ``(n_batches, TxTable, live)`` with ``live()`` the tombstone-free
+    view of the current version.
     """
     from etl_batch_spark.sources.txlog import TxTable
 
@@ -677,21 +702,7 @@ def upsert_latest_versioned(
     n_batches = 0
 
     def latest_per_key(df: DataFrame) -> DataFrame:
-        return (
-            df.groupBy(key_col)
-            .agg(
-                F.max(
-                    F.struct("ts", "event_id", "event_type", "value")
-                ).alias("s")
-            )
-            .select(
-                key_col,
-                F.col("s.ts").alias("ts"),
-                F.col("s.event_id").alias("event_id"),
-                F.col("s.event_type").alias("event_type"),
-                F.col("s.value").alias("value"),
-            )
-        )
+        return _latest_per_key(df, key_col)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
@@ -704,10 +715,9 @@ def upsert_latest_versioned(
             merged = latest_per_key(table.read().unionByName(fresh))
         else:
             merged = fresh
-        table.overwrite(
-            merged.filter(F.col("event_type") != delete_type),
-            meta={"batch_id": batch_id},
-        )
+        # tombstones are state, not garbage: keep them so a later
+        # batch's OLDER event for the key still loses latest-wins
+        table.overwrite(merged, meta={"batch_id": batch_id})
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -716,4 +726,8 @@ def upsert_latest_versioned(
         .start()
     )
     q.awaitTermination()
-    return n_batches, table
+
+    def live() -> DataFrame:
+        return table.read().filter(F.col("event_type") != delete_type)
+
+    return n_batches, table, live

@@ -659,11 +659,11 @@ def test_streaming_upsert_latest_state_and_replay(spark, sf_dir, tmp_path):
 
     ckpt = str(tmp_path / "ckpt")
     tbl = str(tmp_path / "state")
-    n, table = upsert_latest_versioned(spark, sf_dir, tbl, ckpt)
+    n, table, live = upsert_latest_versioned(spark, sf_dir, tbl, ckpt)
     assert n >= 1
     got = {
         r["user_id"]: (r["event_id"], r["event_type"])
-        for r in table.read().collect()
+        for r in live().collect()
     }
 
     e = load_table(spark, sf_dir, "events")
@@ -682,13 +682,44 @@ def test_streaming_upsert_latest_state_and_replay(spark, sf_dir, tmp_path):
     meta = table.latest_meta()
     assert meta is not None and "batch_id" in meta
 
+    # tombstones persist in STATE (latest-wins evidence against late
+    # older events) even though they are absent from the live view
+    stored = {r["user_id"] for r in table.read().collect()}
+    tomb = {
+        r["user_id"]
+        for r in latest.filter(F.col("event_type") == "error").collect()
+    }
+    assert tomb <= stored and not (tomb & set(got))
+
     # torn recovery: checkpoint lost, commits survive — replay must skip
     v_before = table.latest_version()
     shutil.rmtree(ckpt)
-    n2, table2 = upsert_latest_versioned(spark, sf_dir, tbl, ckpt)
+    n2, table2, live2 = upsert_latest_versioned(spark, sf_dir, tbl, ckpt)
     assert table2.latest_version() == v_before  # nothing re-committed
     got2 = {
         r["user_id"]: (r["event_id"], r["event_type"])
-        for r in table2.read().collect()
+        for r in live2().collect()
     }
     assert got2 == want
+
+
+def test_streaming_upsert_tombstone_beats_late_older_event(spark):
+    """The reason tombstones persist in state: a later micro-batch
+    carrying an OLDER event for a deleted key must NOT resurrect it —
+    latest-wins needs the delete's (ts, event_id) to compare against."""
+    import datetime
+
+    from etl_batch_spark.streaming.events import _latest_per_key
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, ts timestamp, event_id long, event_type string, value double"
+    # state after batch 1: user 7 tombstoned at 12:00
+    state = spark.createDataFrame([(7, t0, 100, "error", 0.0)], schema)
+    # batch 2 delivers a LATE event for user 7 from 11:00
+    late = spark.createDataFrame(
+        [(7, t0 - datetime.timedelta(hours=1), 99, "click", 1.0)], schema
+    )
+    merged = _latest_per_key(state.unionByName(late), "user_id").collect()
+    assert len(merged) == 1 and merged[0]["event_type"] == "error"
+    # live view still hides the key
+    assert [r for r in merged if r["event_type"] != "error"] == []
