@@ -229,3 +229,24 @@ def payload_digest_arrow(
             )
 
     return df.select(id_col, payload_col).mapInArrow(run, out_schema)
+
+
+def patch_grid_plan(
+    df: DataFrame, *, patch: int = 16
+) -> DataFrame:
+    """ViT-style patch planning over resized dims: pad the target image
+    up to ``patch`` multiples, count the patch grid.  Pure integer
+    column arithmetic (no Python) — the per-patch pixel extraction is
+    codec-side work that consumes this plan, exactly like
+    :func:`resize_plan`'s scale factor.  Patch counts are what the
+    training pipeline bills by (sequence length per image)."""
+    tw, th = F.col("target_width"), F.col("target_height")
+    npx = F.ceil(tw / F.lit(patch)).cast("int")
+    npy = F.ceil(th / F.lit(patch)).cast("int")
+    return (
+        df.withColumn("n_patches_x", npx)
+        .withColumn("n_patches_y", npy)
+        .withColumn("n_patches", (npx * npy).cast("long"))
+        .withColumn("pad_right", (npx * patch - tw).cast("int"))
+        .withColumn("pad_bottom", (npy * patch - th).cast("int"))
+    )

@@ -2811,3 +2811,56 @@ def mm04_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "phash")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm05 — ViT patch-grid plan (multimodal ∘ resize composition): decoded
+# dims → 224-capped resize → 16px patch grid with padding.  The patch
+# count is the image's transformer sequence length — the number the
+# training-mix accounting bills multimodal rows by.  All integer
+# column arithmetic after the Arrow-batched decode; the oracle replays
+# the md5-derived dims end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "mm05_patch_grid",
+    doc="ViT patch-grid plan: decode → resize → 16px grid + padding "
+    "(llmops.multimodal.patch_grid_plan)",
+    oracle="""
+    WITH decoded AS (
+      SELECT doc_id,
+             CAST(64 + (('0x' || substr(md5(text), 1, 2))::BIGINT % 192) AS INT) AS width,
+             CAST(64 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 192) AS INT) AS height
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id,
+             CAST(ceil(width * least(1.0, 224.0 / greatest(width, height))) AS INT)
+               AS target_width,
+             CAST(ceil(height * least(1.0, 224.0 / greatest(width, height))) AS INT)
+               AS target_height
+      FROM decoded
+    )
+    SELECT doc_id, target_width, target_height,
+           CAST(ceil(target_width / 16.0) AS INT) AS n_patches_x,
+           CAST(ceil(target_height / 16.0) AS INT) AS n_patches_y,
+           CAST(ceil(target_width / 16.0) * ceil(target_height / 16.0) AS BIGINT)
+             AS n_patches,
+           CAST(ceil(target_width / 16.0) * 16 - target_width AS INT) AS pad_right,
+           CAST(ceil(target_height / 16.0) * 16 - target_height AS INT) AS pad_bottom
+    FROM sized
+    """,
+)
+def mm05_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(_documents(spark, sf_dir))
+    decoded = multimodal.decode_image(docs, fake=True)
+    sized = multimodal.resize_plan(decoded)
+    return multimodal.patch_grid_plan(sized).select(
+        "doc_id",
+        "target_width",
+        "target_height",
+        "n_patches_x",
+        "n_patches_y",
+        "n_patches",
+        "pad_right",
+        "pad_bottom",
+    )
