@@ -282,6 +282,18 @@ def multitable_topk(
     several tables are deduplicated by a (query, neighbor) aggregate
     before ranking — shuffle width ≤ L·bucket_size per query, never the
     corpus."""
+    # Each table reads a DISJOINT slice of n_bits dimensions; a slice past
+    # the embedding's end would read NULL → bit 0 for every row, silently
+    # collapsing that table into one giant bucket (its "linear equi-join"
+    # becomes a corpus × queries cross join).  Probe one row and fail
+    # loudly instead — one LIMIT-1 scan, negligible at any scale.
+    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).head(1)
+    if probe and probe[0]["d"] < n_tables * n_bits:
+        raise ValueError(
+            f"multitable_topk needs dim >= n_tables*n_bits = "
+            f"{n_tables * n_bits}, but {vec_col} has dim {probe[0]['d']}; "
+            f"lower n_tables/n_bits or random_project to a wider dim"
+        )
     c = _normed(corpus, id_col=id_col, vec_col=vec_col)
     q = _normed(queries, id_col=id_col, vec_col=vec_col)
     dot = F.expr(DOT.format(a="qe", b="ce"))

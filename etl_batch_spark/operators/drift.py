@@ -105,6 +105,11 @@ def cusum_flags(
     """
     import pandas as pd
 
+    # `daily` feeds both the stats aggregate and the join below; it is a
+    # per-period aggregate (≤ |periods| rows per group) but its UPSTREAM
+    # lineage is typically a full raw-table groupBy — materialize once so
+    # the raw scan doesn't run twice.
+    daily = daily.localCheckpoint(eager=True)
     stats = daily.groupBy(group_col).agg(
         F.sum(value_col).alias("__sum"), F.count(F.lit(1)).alias("__n")
     )

@@ -178,7 +178,11 @@ def frequent_items(df: DataFrame, key_col: str, support: float) -> DataFrame:
     """All keys with exact frequency ≥ ``ceil(support · N)`` (N = non-null
     rows), as ``(key_col, n, threshold)`` — exact output, sketch-pruned
     plan (see module docstring)."""
-    summaries = mg_candidates(df, key_col, support)
+    # Materialize the summaries (≤ #partitions·(cap+2) rows) once: they
+    # feed two independent plan branches (N aggregate + candidate
+    # distinct), and without this the expensive per-partition MG scan of
+    # the full input would execute twice.
+    summaries = mg_candidates(df, key_col, support).localCheckpoint(eager=True)
     # N = sum of the per-partition NULL-key total rows the MG pass
     # already emitted — no extra scan of the input
     n_total = summaries.filter(F.col("mg_key").isNull()).agg(

@@ -50,13 +50,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (
             spark.readStream.schema(_RAW_EVENTS)
-            .option("pathGlobFilter", "events.parquet")
+            .option("pathGlobFilter", "events*.parquet")
             .parquet(sf_dir)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
     return (
         spark.readStream.schema(DATA_TABLES["events"])
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
 
@@ -482,6 +482,40 @@ def running_user_aggregate(stream: DataFrame) -> DataFrame:
     )
 
 
+def _checkpoint_incarnation(checkpoint_dir: str) -> str:
+    """Token identifying one checkpoint directory's lifetime.
+
+    Minted when the checkpoint is first used and stored INSIDE it, so it
+    lives and dies with the checkpoint.  Replay guards must pair the
+    recorded batch id with this token: after a checkpoint loss a fresh
+    ``availableNow`` run re-reads the full source with batch ids
+    restarting at 0 and a different file→batch mapping, so a bare
+    ``stored_batch_id >= batch_id`` check would silently drop the new
+    run's data.  With the token, an incarnation mismatch instead routes
+    the sink to rebuild-from-scratch over the full re-read — correct as
+    long as source retention covers the checkpoint's loss window (keep
+    state and checkpoint together; vacuum source files only past both).
+    """
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "_incarnation")
+    try:
+        with open(path) as f:
+            tok = f.read().strip()
+        if tok:
+            return tok
+    except OSError:
+        pass
+    tok = uuid.uuid4().hex
+    tmp = f"{path}.__{tok}__"
+    with open(tmp, "w") as f:
+        f.write(tok)
+    os.rename(tmp, path)
+    return tok
+
+
 def maintain_rollup_incrementally(
     spark: SparkSession,
     src_dir: str,
@@ -504,6 +538,11 @@ def maintain_rollup_incrementally(
     swap): if a crash lands between the swap and the checkpoint commit,
     the restart re-delivers the same batch_id, the marker shows it was
     already merged, and the sink skips it — resume, never double-count.
+    The marker also records the checkpoint's incarnation token, so if
+    the checkpoint itself is lost the fresh run (which re-reads the full
+    source under restarted batch ids) rebuilds the rollup instead of
+    mistaking its batches for replays — see
+    :func:`_checkpoint_incarnation`.
     Returns micro-batches processed.  Query the result with
     ``operators.rollup.read_level``.
 
@@ -556,29 +595,42 @@ def maintain_partials_incrementally(
     stream = read_events_stream(spark, src_dir)
     n_batches = 0
     marker = "_applied_batch_id"  # leading _ => ignored by parquet readers
+    incarnation = _checkpoint_incarnation(checkpoint_dir)
 
-    def applied_batch_id(path: str) -> int:
+    def applied_state(path: str) -> "tuple[str, int]":
+        """(incarnation, batch_id) recorded in the store's marker; a
+        pre-incarnation bare-int marker reads as a foreign incarnation
+        (safe: triggers rebuild, never a silent skip)."""
         try:
             with open(os.path.join(path, marker)) as f:
-                return int(f.read().strip())
+                raw = f.read().strip()
+            tok, _, bid = raw.rpartition(":")
+            return tok, int(bid)
         except (OSError, ValueError):
-            return -1
+            return "", -1
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        if os.path.isdir(store_dir) and applied_batch_id(store_dir) >= batch_id:
+        tok, applied = applied_state(store_dir) if os.path.isdir(store_dir) else ("", -1)
+        same_run = tok == incarnation
+        if same_run and applied >= batch_id:
             return  # checkpoint replay of a batch already merged — skip
         fresh = build(batch_df)
-        if os.path.isdir(store_dir):
+        if os.path.isdir(store_dir) and same_run:
             existing = spark.read.parquet(store_dir)
             merged = merge(existing.unionByName(fresh))
         else:
+            # no store yet, or state written under a DIFFERENT checkpoint
+            # incarnation: batch ids from the old run must not gate this
+            # one, and a fresh checkpoint re-reads the FULL source, so the
+            # correct move is rebuild-from-this-run, never merge (double
+            # count) or skip (drop)
             merged = fresh
         tmp = f"{store_dir}.__stage_{uuid.uuid4().hex}__"
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, marker), "w") as f:
-            f.write(str(batch_id))
+            f.write(f"{incarnation}:{batch_id}")
         old = f"{store_dir}.__old_{uuid.uuid4().hex}__"
         if os.path.isdir(store_dir):
             os.rename(store_dir, old)
@@ -624,19 +676,24 @@ def maintain_partials_versioned(
     table = TxTable(spark, table_path)
     stream = read_events_stream(spark, src_dir)
     n_batches = 0
+    incarnation = _checkpoint_incarnation(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
         meta = table.latest_meta()
-        if meta is not None and meta.get("batch_id", -1) >= batch_id:
+        same_run = meta is not None and meta.get("incarnation") == incarnation
+        if same_run and meta.get("batch_id", -1) >= batch_id:
             return  # checkpoint replay of a committed batch — skip
         fresh = build(batch_df)
-        if table.latest_version() >= 0:
+        if table.latest_version() >= 0 and same_run:
             merged = merge(table.read().unionByName(fresh))
         else:
+            # fresh table, or state committed under a different checkpoint
+            # incarnation (checkpoint lost → full source re-read): rebuild
+            # from this run's batches — see _checkpoint_incarnation
             merged = fresh
-        table.overwrite(merged, meta={"batch_id": batch_id})
+        table.overwrite(merged, meta={"batch_id": batch_id, "incarnation": incarnation})
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -689,7 +746,11 @@ def upsert_latest_versioned(
     vacuum tombstones older than the source's max lateness.
 
     Exactly-once discipline is the table's own commit metadata (batch
-    id recorded atomically with the data, replays skip); per-batch work
+    id + checkpoint incarnation recorded atomically with the data:
+    replays within a checkpoint's lifetime skip, and a LOST checkpoint —
+    whose fresh run renumbers batches over a full source re-read —
+    triggers a rebuild instead of a silent skip, see
+    :func:`_checkpoint_incarnation`); per-batch work
     is one batch-local reduce + one keyed merge against current state —
     O(state + batch), never reprocessing history.  Returns
     ``(n_batches, TxTable, live)`` with ``live()`` the tombstone-free
@@ -700,6 +761,7 @@ def upsert_latest_versioned(
     table = TxTable(spark, table_path)
     stream = read_events_stream(spark, src_dir)
     n_batches = 0
+    incarnation = _checkpoint_incarnation(checkpoint_dir)
 
     def latest_per_key(df: DataFrame) -> DataFrame:
         return _latest_per_key(df, key_col)
@@ -708,16 +770,21 @@ def upsert_latest_versioned(
         nonlocal n_batches
         n_batches += 1
         meta = table.latest_meta()
-        if meta is not None and meta.get("batch_id", -1) >= batch_id:
+        same_run = meta is not None and meta.get("incarnation") == incarnation
+        if same_run and meta.get("batch_id", -1) >= batch_id:
             return  # checkpoint replay of a committed batch — skip
         fresh = latest_per_key(batch_df)
-        if table.latest_version() >= 0:
+        if table.latest_version() >= 0 and same_run:
             merged = latest_per_key(table.read().unionByName(fresh))
         else:
+            # fresh table, or state from a different checkpoint
+            # incarnation (checkpoint lost → full source re-read):
+            # rebuild — latest-wins over the full replay reproduces the
+            # exact state, so nothing is dropped or double-applied
             merged = fresh
         # tombstones are state, not garbage: keep them so a later
         # batch's OLDER event for the key still loses latest-wins
-        table.overwrite(merged, meta={"batch_id": batch_id})
+        table.overwrite(merged, meta={"batch_id": batch_id, "incarnation": incarnation})
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -3,6 +3,9 @@ batch plan, and the custom stateful sessionizer."""
 
 from __future__ import annotations
 
+import datetime
+import os
+
 from pyspark.sql import functions as F
 
 from etl_batch_spark.catalog import load_table
@@ -12,6 +15,37 @@ from etl_batch_spark.streaming import (
     sessionize_stateful,
     windowed_event_counts,
 )
+
+
+def _write_event_file(path, *, event_id, ts, user_id, event_type, value):
+    """One-row events parquet file matching the fixture schema (micros ts),
+    for simulating a new file arriving on the stream source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([event_id], pa.int64()),
+            "ts": pa.array([ts], pa.timestamp("us")),
+            "user_id": pa.array([user_id], pa.int64()),
+            "event_type": pa.array([event_type], pa.string()),
+            "value": pa.array([value], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def _drop_last_commit(ckpt: str) -> None:
+    """Simulate a torn crash: offsets written, epoch commit lost.  The
+    local ChecksumFs shadows each commit file with a .N.crc — drop both,
+    or Spark's re-write rename fails and reads as a concurrent query."""
+    commits_dir = os.path.join(ckpt, "commits")
+    last = max((f for f in os.listdir(commits_dir) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits_dir, last))
+    crc = os.path.join(commits_dir, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
 
 def test_windowed_counts_match_batch(spark, sf_dir):
@@ -340,15 +374,15 @@ def test_incremental_rollup_matches_batch_and_skips_replay(spark, sf_dir, tmp_pa
     assert again == want
 
 
-def test_incremental_rollup_replay_after_lost_checkpoint_is_idempotent(
+def test_incremental_rollup_replay_after_torn_crash_is_idempotent(
     spark, sf_dir, tmp_path
 ):
     """Crash between the directory swap and the checkpoint commit re-delivers
-    the same batch_id on restart; the _applied_batch_id marker (written
-    atomically with the data) makes the sink skip it instead of merging the
-    same partials twice."""
+    the same batch_id on restart UNDER THE SAME CHECKPOINT; the
+    _applied_batch_id marker (written atomically with the data, carrying the
+    checkpoint's incarnation token) makes the sink skip it instead of merging
+    the same partials twice."""
     import os
-    import shutil
 
     from etl_batch_spark.operators.rollup import read_level
     from etl_batch_spark.streaming.events import maintain_rollup_incrementally
@@ -362,15 +396,62 @@ def test_incremental_rollup_replay_after_lost_checkpoint_is_idempotent(
     }
     assert os.path.exists(os.path.join(rollup_dir, "_applied_batch_id"))
 
-    # simulate the torn crash: rollup (with marker) survived, commit lost
-    shutil.rmtree(ckpt)
+    # simulate the torn crash: offsets written, epoch COMMIT lost — the
+    # restart re-delivers the last batch id under the same incarnation
+    _drop_last_commit(ckpt)
     n = maintain_rollup_incrementally(spark, sf_dir, rollup_dir, ckpt)
-    assert n >= 1  # batches were re-delivered...
+    assert n >= 1  # the torn batch was re-delivered...
     got = {
         (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
         for r in read_level(spark.read.parquet(rollup_dir)).collect()
     }
     assert got == want  # ...but not re-merged
+
+
+def test_incremental_rollup_rebuilds_after_lost_checkpoint(spark, sf_dir, tmp_path):
+    """A LOST checkpoint is not a replay: the fresh run renumbers batches
+    from 0 over a full source re-read, so old batch ids must not gate it.
+    The incarnation token routes the sink to rebuild — new files that
+    arrived after the loss land in the rollup instead of being silently
+    dropped, and nothing is double-counted."""
+    import shutil
+
+    from etl_batch_spark.operators.rollup import read_level
+    from etl_batch_spark.streaming.events import maintain_rollup_incrementally
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    maintain_rollup_incrementally(spark, src, rollup_dir, ckpt)
+
+    # checkpoint lost; a NEW event file arrives before the re-run
+    shutil.rmtree(ckpt)
+    _write_event_file(
+        os.path.join(src, "events_0001.parquet"),
+        event_id=99_000_001,
+        ts=datetime.datetime(2030, 6, 1, 12, 0, 0),
+        user_id=1,
+        event_type="click",
+        value=10.0,
+    )
+    n = maintain_rollup_incrementally(spark, src, rollup_dir, ckpt)
+    assert n >= 1
+    got = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_level(spark.read.parquet(rollup_dir)).collect()
+    }
+    # fresh ground truth over BOTH files, built independently
+    fresh_dir = str(tmp_path / "rollup_fresh")
+    maintain_rollup_incrementally(spark, src, fresh_dir, str(tmp_path / "ckpt_fresh"))
+    want = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_level(spark.read.parquet(fresh_dir)).collect()
+    }
+    assert got == want
+    # the new event's bucket really is present (not dropped)
+    assert (datetime.datetime(2030, 6, 1), "click") in got
 
 
 def test_incremental_hll_registers_match_batch(spark, sf_dir, tmp_path):
@@ -498,8 +579,10 @@ def test_versioned_partials_history_and_replay(spark, sf_dir, tmp_path):
     assert table.latest_meta()["batch_id"] == n - 1
     n_versions = len(table.versions())
 
-    # torn crash: commits survived, checkpoint lost -> batches re-deliver
-    shutil.rmtree(ckpt)
+    # torn crash: table commit survived, epoch commit lost -> the restart
+    # re-delivers the same batch id under the SAME incarnation; commit
+    # metadata makes it a no-op
+    _drop_last_commit(ckpt)
     n2, table2 = maintain_partials_versioned(
         spark, sf_dir, store, ckpt, build=build, merge=merge
     )
@@ -510,6 +593,20 @@ def test_versioned_partials_history_and_replay(spark, sf_dir, tmp_path):
     }
     assert got == want  # not double-counted
     assert len(table2.versions()) == n_versions  # replays committed nothing
+
+    # full checkpoint LOSS: fresh incarnation re-reads the whole source
+    # and REBUILDS (new commits), landing on the identical aggregate —
+    # never double-merged, never silently skipped
+    shutil.rmtree(ckpt)
+    n3, table3 = maintain_partials_versioned(
+        spark, sf_dir, store, ckpt, build=build, merge=merge
+    )
+    assert n3 >= 1 and len(table3.versions()) > n_versions
+    got3 = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_level(table3.read()).collect()
+    }
+    assert got3 == want
 
 
 def test_incremental_mg_heavy_hitters_guarantees(spark, sf_dir, tmp_path):
@@ -691,16 +788,78 @@ def test_streaming_upsert_latest_state_and_replay(spark, sf_dir, tmp_path):
     }
     assert tomb <= stored and not (tomb & set(got))
 
-    # torn recovery: checkpoint lost, commits survive — replay must skip
+    # torn crash: offsets written, epoch commit lost — the restart
+    # re-delivers the same batch id under the SAME incarnation; the
+    # commit metadata makes it skip (no new version)
     v_before = table.latest_version()
-    shutil.rmtree(ckpt)
+    _drop_last_commit(ckpt)
     n2, table2, live2 = upsert_latest_versioned(spark, sf_dir, tbl, ckpt)
-    assert table2.latest_version() == v_before  # nothing re-committed
+    assert table2.latest_version() == v_before  # replay skipped
     got2 = {
         r["user_id"]: (r["event_id"], r["event_type"])
         for r in live2().collect()
     }
     assert got2 == want
+
+    # full checkpoint LOSS: the fresh run re-reads everything under a new
+    # incarnation and REBUILDS — latest-wins over the full replay is
+    # idempotent, so state is unchanged (and nothing is silently skipped)
+    shutil.rmtree(ckpt)
+    n3, table3, live3 = upsert_latest_versioned(spark, sf_dir, tbl, ckpt)
+    assert n3 >= 1
+    got3 = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in live3().collect()
+    }
+    assert got3 == want
+
+
+def test_streaming_upsert_recovers_new_data_after_checkpoint_loss(
+    spark, sf_dir, tmp_path
+):
+    """The failure the incarnation token exists to prevent: checkpoint
+    lost, NEW events arrive, re-run.  The fresh run's batch ids restart
+    at 0 — a bare batch-id guard would mistake every batch for a replay
+    and drop the new events forever.  With the token the sink rebuilds
+    over the full re-read, so the new event lands."""
+    import shutil
+
+    from etl_batch_spark.streaming.events import upsert_latest_versioned
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "state")
+    upsert_latest_versioned(spark, src, tbl, ckpt)
+
+    shutil.rmtree(ckpt)
+    new_ts = datetime.datetime(2030, 6, 1, 12, 0, 0)  # after every fixture event
+    _write_event_file(
+        os.path.join(src, "events_0001.parquet"),
+        event_id=99_000_002,
+        ts=new_ts,
+        user_id=1,
+        event_type="purchase",
+        value=42.0,
+    )
+    n, table, live = upsert_latest_versioned(spark, src, tbl, ckpt)
+    assert n >= 1
+    got = {r["user_id"]: (r["event_id"], r["event_type"]) for r in live().collect()}
+    assert got[1] == (99_000_002, "purchase")
+
+    # and the whole state equals the batch latest-per-key over BOTH files
+    e = spark.read.parquet(os.path.join(src, "events*.parquet"))
+    latest = (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("s"))
+        .select("user_id", "s.event_id", "s.event_type")
+    )
+    want = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in latest.filter(F.col("event_type") != "error").collect()
+    }
+    assert got == want
 
 
 def test_streaming_upsert_tombstone_beats_late_older_event(spark):
