@@ -29,7 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_batch_spark.operators.rollup import _partials_from_raw
+from etl_batch_spark.operators.rollup import _LEVEL_FMT, _partials_from_raw
 
 
 def apply_feed(
@@ -49,12 +49,20 @@ def apply_feed(
     contains deletes (min/max recompute for touched groups).  Groups
     whose count reaches zero are dropped, like a rebuild would.
     """
+    if level not in _LEVEL_FMT:
+        # fail like the delete path's _partials_from_raw would — Spark's
+        # date_trunc returns NULL for unknown units, which would silently
+        # collapse the whole feed into one (NULL, key) group
+        raise KeyError(f"unknown level {level!r}; one of {sorted(_LEVEL_FMT)}")
     keys = ["bucket", *key_cols]
+    # the feed is consumed 2-3 times (deletes probe + fold / touched-set)
+    # and is often an expensive exceptAll diff — materialize it once
+    feed = feed.localCheckpoint(eager=True)
     has_deletes = (
         feed.filter(F.col("_change_type") == "delete").limit(1).count() > 0
     )
     bucketed = feed.withColumn(
-        "bucket", F.date_trunc(level, F.col(ts_col))
+        "bucket", F.date_trunc(_LEVEL_FMT[level], F.col(ts_col))
     )
 
     if not has_deletes:
@@ -69,9 +77,15 @@ def apply_feed(
             .select(
                 *keys,
                 (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
-                (
-                    F.coalesce("sum_v", F.lit(0.0)) + F.coalesce("d_sum", F.lit(0.0))
-                ).alias("sum_v"),
+                # null-aware add WITHOUT a typed zero literal: a 0.0
+                # coalesce would coerce an integer/decimal sum to double
+                # (breaking the bit-identical-to-rebuild contract and
+                # schema-compatible appends), and would turn an all-NULL
+                # group's sum into 0.0 where a rebuild gives NULL
+                F.when(F.col("sum_v").isNull(), F.col("d_sum"))
+                .when(F.col("d_sum").isNull(), F.col("sum_v"))
+                .otherwise(F.col("sum_v") + F.col("d_sum"))
+                .alias("sum_v"),
                 F.least(
                     F.coalesce("min_v", F.col("d_min")),
                     F.coalesce("d_min", F.col("min_v")),

@@ -10,8 +10,10 @@ sort schedules them, and independent branches run concurrently on a
 thread pool — each module still enters and leaves through the SAME
 ``BatchRunner.startup`` / ``RunContext.finish`` machinery, so every
 run lands in the monitor's event log with the reference's exact
-status strings and the per-module dependency gates stay as a second
-line of defense.
+status strings; admit with ``exclusive_run_yn="Y"`` to ALSO run the
+reference's ``batch_dependency``-table gate as a second line of
+defense (the default non-exclusive path, faithful to the reference,
+performs no per-module dependency check).
 
 Failure semantics: a failed module records FAILURE via the normal
 lifecycle; its transitive dependents never start and are reported as
@@ -26,8 +28,8 @@ module is whatever Spark plan the module runs.
 
 from __future__ import annotations
 
+import heapq
 import threading
-from collections import deque
 from collections.abc import Callable
 from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
 
@@ -52,18 +54,16 @@ def topological_order(deps: "dict[str, list[str]]") -> "list[str]":
         for u in ups:
             indeg[n] += 1
             down[u].append(n)
-    ready = deque(sorted(n for n in nodes if indeg[n] == 0))
+    ready = [n for n in nodes if indeg[n] == 0]
+    heapq.heapify(ready)  # min-heap ⇒ truly lexicographic among ALL ready
     out: list[str] = []
     while ready:
-        n = ready.popleft()
+        n = heapq.heappop(ready)
         out.append(n)
-        became = []
         for d in down[n]:
             indeg[d] -= 1
             if indeg[d] == 0:
-                became.append(d)
-        for d in sorted(became):
-            ready.append(d)
+                heapq.heappush(ready, d)
     if len(out) != len(nodes):
         raise DagCycle(f"cycle among {sorted(nodes - set(out))}")
     return out
@@ -82,6 +82,7 @@ class DagRunner:
         deps: "dict[str, list[str]]",
         *,
         run_level: int = 1,
+        exclusive_run_yn: str = "N",
     ) -> "dict[str, str]":
         """Execute ``modules`` respecting ``deps``; returns
         ``{module: "SUCCESS" | "FAILURE" | "SKIPPED"}``.
@@ -90,6 +91,14 @@ class DagRunner:
         ``max_workers``); a module starts only when every upstream
         finished SUCCESS.  Unknown modules in ``deps`` must still have
         a callable in ``modules``.
+
+        ``exclusive_run_yn="Y"`` admits each module through the
+        reference's exclusive path, which ALSO runs the
+        ``batch_dependency``-table check — use it when the control
+        tables carry edges the DAG's ``deps`` map might not (the gate
+        resolves immediately here because DAG-known upstreams have
+        already finished).  The default ``"N"`` mirrors the reference's
+        non-exclusive startup, which performs no dependency check.
         """
         order = topological_order({m: deps.get(m, []) for m in modules})
         missing = [m for m in order if m not in modules]
@@ -99,16 +108,16 @@ class DagRunner:
         status: dict[str, str] = {}
         lock = threading.Lock()
 
-        def upstreams_ok(m: str) -> bool:
-            return all(status.get(u) == "SUCCESS" for u in deps.get(m, []))
-
         def run_one(m: str) -> None:
             try:
-                ctx = self.runner.startup(m.upper(), run_level, exclusive_run_yn="N")
+                ctx = self.runner.startup(
+                    m.upper(), run_level, exclusive_run_yn=exclusive_run_yn
+                )
             except BatchError:
-                # admission failure (disabled / duplicate / dependency gate)
-                # is a module failure for DAG purposes; the lifecycle has
-                # already logged the reference's status strings
+                # admission failure (disabled / duplicate, plus the
+                # dependency gate when exclusive_run_yn="Y") is a module
+                # failure for DAG purposes; the lifecycle has already
+                # logged the reference's status strings
                 with lock:
                     status[m] = "FAILURE"
                 return

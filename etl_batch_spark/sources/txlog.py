@@ -77,9 +77,16 @@ class TxTable:
         vs = self.versions()
         return vs[-1].version if vs else -1
 
-    def _active_files(self, version: "int | None" = None) -> "list[str]":
+    def _active_files(
+        self,
+        version: "int | None" = None,
+        versions: "list[Version] | None" = None,
+    ) -> "list[str]":
+        """File set of the snapshot at ``version`` (newest when None).
+        Pass ``versions`` to reuse an already-read log instead of
+        re-listing it (object-store log reads are the metadata cost)."""
         live: "set[str]" = set()
-        for v in self.versions():
+        for v in self.versions() if versions is None else versions:
             if version is not None and v.version > version:
                 break
             live -= set(v.removed)
@@ -162,17 +169,39 @@ class TxTable:
         else:
             clustered = current.coalesce(target_files)
         added, n = self._write_files(clustered)
-        return self._commit("compact", added, self._active_files(), n)
+        # carry the previous commit's meta forward: compaction is a
+        # logical no-op, and consumers of latest_meta() (the streaming
+        # sinks' replay/incarnation detection) must still see the state's
+        # provenance — dropping it would make the next micro-batch look
+        # like a foreign run and wipe the accumulated state
+        return self._commit(
+            "compact", added, self._active_files(), n, meta=self.latest_meta()
+        )
 
     def vacuum(self, *, retain_versions: int = 1) -> "list[str]":
         """Physically delete files not referenced by the newest
-        ``retain_versions`` versions.  The ONLY destructive operation."""
-        horizon = self.latest_version() - retain_versions + 1
+        ``retain_versions`` versions (1 = current snapshot only).  The
+        ONLY destructive operation."""
+        if retain_versions < 1:
+            raise ValueError(
+                f"retain_versions must be >= 1 (the current snapshot is "
+                f"always retained), got {retain_versions}"
+            )
+        vs = self.versions()  # one log read for the whole operation
+        latest = vs[-1].version if vs else -1
+        horizon = max(latest - retain_versions + 1, 0)
+        # single forward fold: maintain the live set and union it into
+        # `keep` for every retained version — O(V·files), not O(V²) log
+        # reads
         keep: "set[str]" = set()
-        for v in range(max(horizon, 0), self.latest_version() + 1):
-            keep |= set(self._active_files(v))
+        live: "set[str]" = set()
+        for v in vs:
+            live -= set(v.removed)
+            live |= set(v.added)
+            if v.version >= horizon:
+                keep |= live
         removed = []
-        for v in self.versions():
+        for v in vs:
             for f in v.added:
                 if f not in keep:
                     full = os.path.join(self.path, f)
@@ -208,23 +237,38 @@ class TxTable:
         """
         from pyspark.sql import functions as F
 
-        v_to = self.latest_version() if v_to is None else v_to
+        vs = self.versions()  # one log read for the whole operation
+        v_to = (vs[-1].version if vs else -1) if v_to is None else v_to
         if v_to < v_from:
             raise ValueError(f"v_to {v_to} < v_from {v_from}")
-        between = [v for v in self.versions() if v_from < v.version <= v_to]
+        between = [v for v in vs if v_from < v.version <= v_to]
+        before_files = self._active_files(v_from, versions=vs)
+        after_files = self._active_files(v_to, versions=vs)
+
+        def snap(files: "list[str]") -> DataFrame:
+            return self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+
+        if not before_files and not after_files:
+            # bootstrap cursor over a still-empty table: an empty feed
+            # (only the column the feed itself guarantees — no row schema
+            # exists yet to type anything else)
+            return self.spark.range(0).select(F.lit("insert").alias("_change_type"))
         if all(v.action == "append" for v in between):
             added = [f for v in between for f in v.added]
             if not added:
                 return (
-                    self.read(version=v_to)
+                    snap(after_files)
                     .withColumn("_change_type", F.lit("insert"))
                     .limit(0)
                 )
-            return self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in added]
-            ).withColumn("_change_type", F.lit("insert"))
-        before = self.read(version=v_from)
-        after = self.read(version=v_to)
+            return snap(added).withColumn("_change_type", F.lit("insert"))
+        # an empty endpoint of a diff range (e.g. v_from=-1 bootstrap
+        # against a table whose first commit was an overwrite) is an
+        # empty relation typed like the other endpoint
+        after = snap(after_files) if after_files else snap(before_files).limit(0)
+        before = snap(before_files) if before_files else after.limit(0)
         ins = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
         dele = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
         return ins.unionByName(dele)

@@ -1089,6 +1089,45 @@ class TestIvmApplyFeed:
         )
         assert self._as_map(got2) == self._as_map(self._partials(t2.read()))
 
+    def test_unknown_level_fails_loudly(self, spark):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from etl_batch_spark.operators.ivm import apply_feed
+
+        d = dt.datetime(2024, 3, 1, 10)
+        rows = self._mk(spark, [(d, "view", 1.0)])
+        partials = self._partials(rows)
+        feed = rows.withColumn("_change_type", F.lit("insert"))
+        # Spark's date_trunc returns NULL for unknown units — without the
+        # guard every feed row would silently land in one NULL bucket
+        with _pytest.raises(KeyError, match="fortnight"):
+            apply_feed(partials, feed, key_cols=["event_type"], level="fortnight")
+
+    def test_integer_sum_type_survives_fold(self, spark):
+        """The insert-only fold must not coerce a long sum_v to double
+        (schema-compatible appends, bit-identical rebuilds) nor turn an
+        all-NULL group's sum into 0.0."""
+        import datetime as dt
+
+        from etl_batch_spark.operators.ivm import apply_feed
+        from etl_batch_spark.operators.rollup import _partials_from_raw
+
+        d = dt.datetime(2024, 3, 1, 10)
+        schema = "ts timestamp, event_type string, value long"
+        base = spark.createDataFrame([(d, "view", 5), (d, "nullish", None)], schema)
+        delta = spark.createDataFrame([(d, "view", 7), (d, "nullish", None)], schema)
+        partials = _partials_from_raw(
+            base, ts_col="ts", key_cols=["event_type"], value_col="value", level="day"
+        )
+        feed = delta.withColumn("_change_type", F.lit("insert"))
+        got = apply_feed(partials, feed, key_cols=["event_type"], level="day")
+        assert dict(got.dtypes)["sum_v"] == dict(partials.dtypes)["sum_v"]
+        by_key = {r["event_type"]: (r["n"], r["sum_v"]) for r in got.collect()}
+        assert by_key["view"] == (2, 12)
+        assert by_key["nullish"] == (2, None)  # rebuild gives NULL, not 0.0
+
 
 class TestFrequentItems:
     """operators/freq.py — Misra–Gries candidates + exact recount."""

@@ -579,3 +579,40 @@ class TestDagRunner:
         )
         # a succeeds; b's startup hits BatchDisabled
         assert out == {"a": "SUCCESS", "b": "FAILURE"}
+
+    def test_topological_order_is_lexicographic_among_ready(self):
+        from etl_batch_spark.orchestration.dag import topological_order
+
+        # b becomes ready after a; lexicographic-among-ready must place it
+        # before z, not behind it (a FIFO would yield [a, z, b])
+        assert topological_order({"a": [], "z": [], "b": ["a"]}) == ["a", "b", "z"]
+
+    def test_exclusive_admission_runs_control_table_dependency_gate(self):
+        """exclusive_run_yn='Y' admits through the reference's exclusive
+        path, so batch_dependency-table edges NOT in the DAG's deps map
+        still gate: a MANDATORY parent with no SUCCESS row blocks the
+        child even though the DAG itself knows no such edge."""
+        r, dag = self._mk(["p", "c"])
+        r.store.append(
+            "batch_dependency",
+            {"child_id": 2, "parent_module_id": 1, "dependency_type": "MANDATORY"},
+        )
+
+        # run only c, with NO dag edge to p: the control table alone blocks
+        out = dag.run(
+            {"c": lambda ctx: (1, 0)}, {}, exclusive_run_yn="Y"
+        )
+        assert out == {"c": "FAILURE"}
+
+        # once p has a SUCCESS run, c is admitted
+        r2, dag2 = self._mk(["p", "c"])
+        r2.store.append(
+            "batch_dependency",
+            {"child_id": 2, "parent_module_id": 1, "dependency_type": "MANDATORY"},
+        )
+        out2 = dag2.run(
+            {"p": lambda ctx: (1, 0), "c": lambda ctx: (1, 0)},
+            {"c": ["p"]},
+            exclusive_run_yn="Y",
+        )
+        assert out2 == {"p": "SUCCESS", "c": "SUCCESS"}

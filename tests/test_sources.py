@@ -667,3 +667,37 @@ class TestTxTable:
         stray = os.path.join(t.path, "data-stray")
         spark.range(1000).write.mode("overwrite").parquet(stray)
         assert t.read().count() == 5  # unreferenced files are not the table
+
+    def test_compact_carries_meta_forward(self, spark, tmp_path):
+        """Compaction is a logical no-op, so it must not erase the commit
+        metadata the streaming sinks use for replay/incarnation detection
+        — otherwise a routine OPTIMIZE between micro-batches would make
+        the next batch look like a foreign run and wipe the state."""
+        t = self._table(spark, tmp_path)
+        t.overwrite(spark.range(10), meta={"batch_id": 3, "incarnation": "abc"})
+        t.compact(target_files=1)
+        assert t.latest_meta() == {"batch_id": 3, "incarnation": "abc"}
+
+    def test_vacuum_rejects_nonpositive_retention(self, spark, tmp_path):
+        import pytest as _pytest
+
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(5))
+        with _pytest.raises(ValueError, match="retain_versions"):
+            t.vacuum(retain_versions=0)
+        # current snapshot untouched
+        assert t.read().count() == 5
+
+    def test_change_feed_bootstrap_cursors(self, spark, tmp_path):
+        """The natural incremental-consumer bootstrap (cursor = -1) must
+        work on an empty table and on a table whose first commit is an
+        overwrite — both previously crashed in read()."""
+        t = self._table(spark, tmp_path)
+        # still-empty table: empty feed, not a ValueError
+        assert t.changes(-1).count() == 0
+        # first commit is an overwrite (how the streaming sinks commit):
+        # bootstrap feed reports every row as an insert via the diff path
+        t.overwrite(spark.range(7))
+        feed = t.changes(-1)
+        assert sorted(r["id"] for r in feed.collect()) == list(range(7))
+        assert {r["_change_type"] for r in feed.collect()} == {"insert"}
