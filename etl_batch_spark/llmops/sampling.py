@@ -23,10 +23,18 @@ from etl_batch_spark.llmops.dedup import H60
 _BUCKETS = 1_000_000
 
 
-def hash_bucket(key_col: str, *, salt: str = "s0") -> Column:
-    """Uniform bucket in [0, 1e6) from (salt, key) — the sampling die."""
-    expr = H60.format(expr=f"concat('{salt}', '|', cast({key_col} as string))")
-    return F.pmod(F.expr(expr), F.lit(_BUCKETS))
+def _h60(key_col: str, salt: str) -> Column:
+    """The engine-wide salted 60-bit content hash of a key column — the
+    single definition every sampler derives from.  The salt is escaped
+    into the SQL literal, so salts carrying quotes cannot break the
+    expression."""
+    lit = salt.replace("'", "''")
+    return F.expr(H60.format(expr=f"concat('{lit}', '|', cast({key_col} as string))"))
+
+
+def hash_bucket(key_col: str, *, salt: str = "s0", n_buckets: int = _BUCKETS) -> Column:
+    """Uniform bucket in [0, n_buckets) from (salt, key) — the sampling die."""
+    return F.pmod(_h60(key_col, salt), F.lit(n_buckets))
 
 
 def hash_sample(
@@ -87,44 +95,36 @@ def temperature_mixture_sample(
         if alpha == 0.5
         else F.pow(F.col("n_s").cast("double"), F.lit(alpha))
     )
-    rates = (
-        sizes.withColumn("w_s", weight)
-        .crossJoin(
-            F.broadcast(
-                sizes.agg(
-                    F.sum("n_s").cast("double").alias("n_total"),
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                sizes.select(
-                    (
-                        F.sqrt(F.col("n_s").cast("double"))
-                        if alpha == 0.5
-                        else F.pow(F.col("n_s").cast("double"), F.lit(alpha))
-                    ).alias("w")
-                ).agg(F.sum("w").alias("w_total"))
-            )
-        )
-        .select(
-            strata_col,
-            F.floor(
-                F.least(
-                    F.lit(1.0),
-                    F.lit(total_fraction)
-                    * F.col("n_total")
-                    * (F.col("w_s") / F.col("w_total"))
-                    / F.col("n_s"),
-                )
-                * _BUCKETS
-            )
-            .cast("long")
-            .alias("threshold"),
-        )
+    weighted = sizes.withColumn("w_s", weight)
+    totals = weighted.agg(
+        F.sum("n_s").cast("double").alias("n_total"),
+        F.sum("w_s").alias("w_total"),
     )
-    return df.join(F.broadcast(rates), strata_col).filter(
-        hash_bucket(key_col, salt=salt) < F.col("threshold")
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        F.col(strata_col).alias("__tm_stratum"),
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(total_fraction)
+                * F.col("n_total")
+                * (F.col("w_s") / F.col("w_total"))
+                / F.col("n_s"),
+            )
+            * _BUCKETS
+        )
+        .cast("long")
+        .alias("threshold"),
+    )
+    # null-safe join: a NULL stratum is a stratum like any other — a plain
+    # equi-join would count it in the totals but then silently drop every
+    # NULL-stratum row AND deflate the other strata's realized volume
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(strata_col).eqNullSafe(F.col("__tm_stratum")),
+        )
+        .drop("__tm_stratum")
+        .filter(hash_bucket(key_col, salt=salt) < F.col("threshold"))
     )
 
 
@@ -162,7 +162,12 @@ def fixed_quota_sample(
     each stratum and the first N win.  Unlike fraction sampling the
     quota is exact; membership is still content-addressed, so a stratum
     that grows only displaces rows at the hash boundary, it never
-    reshuffles the whole sample.  One shuffle+rank per call."""
+    reshuffles the whole sample.  One shuffle+rank per call.
+
+    ``key_col`` must uniquely identify rows: duplicate keys share a
+    (hash, key) sort tuple, so which duplicate wins at the quota
+    boundary would depend on physical row order — exactly the
+    instability content addressing exists to prevent."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(strata_col).orderBy(
@@ -198,8 +203,7 @@ def shuffle_order(
     """
     from etl_batch_spark.operators.ranks import global_row_number
 
-    h = H60.format(expr=f"concat('{salt}', '|', cast({key_col} as string))")
-    hashed = df.withColumn("__sh", F.expr(h))
+    hashed = df.withColumn("__sh", _h60(key_col, salt))
     return global_row_number(
         hashed,
         [F.col("__sh").asc(), F.col(key_col).asc()],
@@ -229,7 +233,10 @@ def quantile_calibrate(
 
     percent_rank depends only on (score ordering, group) — ties share a
     rank — so it is deterministic without a tiebreak column and exactly
-    reproducible in any engine ((rank-1)/(n-1) on small ints).  The
+    reproducible in any engine ((rank-1)/(n-1) on small ints).  A NULL
+    score stays NULL ("unknown quality"), and NULL rows are excluded
+    from the ranks — otherwise NULLS-FIRST ordering would brand them
+    "worst quality" AND push every real score's rank toward 1.  The
     window is partitioned per group; if one mega-source dominates at
     100 TB, pre-split it with the range-partitioned rank pattern in
     ``operators/ranks.py`` and union the offsets.
@@ -237,7 +244,14 @@ def quantile_calibrate(
     from pyspark.sql import Window as W
 
     w = W.partitionBy(group_col).orderBy(score_col)
-    return df.withColumn(out_col, F.round(F.percent_rank().over(w), round_to))
+    scored = (
+        df.filter(F.col(score_col).isNotNull())
+        .withColumn(out_col, F.round(F.percent_rank().over(w), round_to))
+    )
+    unscored = df.filter(F.col(score_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return scored.unionByName(unscored)
 
 
 def shard_assign(df: DataFrame, *, key_col: str, n_shards: int, salt: str = "shard") -> DataFrame:
@@ -252,8 +266,9 @@ def shard_assign(df: DataFrame, *, key_col: str, n_shards: int, salt: str = "sha
     final ``repartition(shard)`` at write time, and within a shard rows
     are ordered by a second hash, never globally.
     """
-    expr = H60.format(expr=f"concat('{salt}', '|', cast({key_col} as string))")
-    return df.withColumn("shard", F.pmod(F.expr(expr), F.lit(n_shards)).cast("int"))
+    return df.withColumn(
+        "shard", hash_bucket(key_col, salt=salt, n_buckets=n_shards).cast("int")
+    )
 
 
 def write_training_shards(
@@ -261,7 +276,7 @@ def write_training_shards(
 ) -> None:
     """Materialize the deterministic shuffle: one sorted file set per
     shard, row order within a shard fixed by the intra-shard hash."""
-    order = F.expr(H60.format(expr=f"concat('order|', cast({key_col} as string))"))
+    order = _h60(key_col, "order")
     (
         shard_assign(df, key_col=key_col, n_shards=n_shards, salt=salt)
         .withColumn("__ord", order)
@@ -290,17 +305,23 @@ def weighted_topk_sample(
 
     Distributed cost is a TakeOrdered (per-partition top-k then a k-row
     driver merge), NOT a global sort — the same plan shape at 60k rows
-    and 100 TB.  Rows with non-positive weight are excluded.  Output
-    adds the ``priority`` column (rounded for cross-engine stability);
+    and 100 TB.  Rows with non-positive weight are excluded.  Selection
+    orders by the UNROUNDED priority: for large weights u^(1/w) crowds
+    toward 1.0 and a rounded value saturates at 1.000000, collapsing
+    A-ES into lowest-key selection — doubles near 1 still resolve
+    ~1e-16, so the proportional-to-weight guarantee holds to w ~ 1e8.
+    The output ``priority`` column is rounded for display/compare only;
     ties break on the key for determinism.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     u = (hash_bucket(key_col, salt=salt) + F.lit(0.5)) / F.lit(float(_BUCKETS))
-    priority = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 6)
+    raw = F.pow(u, F.lit(1.0) / F.col(weight_col))
     return (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("priority", priority)
-        .orderBy(F.desc("priority"), F.asc(key_col))
+        .withColumn("__pri", raw)
+        .orderBy(F.desc("__pri"), F.asc(key_col))
         .limit(k)
+        .withColumn("priority", F.round(F.col("__pri"), 6))
+        .drop("__pri")
     )

@@ -149,6 +149,8 @@ def global_row_number(
         cond = cond & F.col(p).eqNullSafe(F.col(f"__gr_r_{p}"))
     return (
         local.join(F.broadcast(renamed), cond, "left")
-        .withColumn(out_name, (F.col(_LOCAL) + F.col(_OFFSET)).cast("int"))
+        # long, not int: the whole point of this operator is tables whose
+        # row count grows with scale — an int rank overflows past ~2.1B rows
+        .withColumn(out_name, (F.col(_LOCAL) + F.col(_OFFSET)).cast("long"))
         .drop(_PID, _LOCAL, _OFFSET, *[f"__gr_r_{c}" for c in (_PID, *parts)])
     )

@@ -55,10 +55,14 @@ def hll_register_cols(key_col: str) -> "tuple[Column, Column]":
 def hll_partials(
     df: DataFrame, *, key_col: str, bucket: Column, bucket_name: str = "bucket"
 ) -> DataFrame:
-    """(bucket, idx, max_rho): the mergeable register table."""
+    """(bucket, idx, max_rho): the mergeable register table.  NULL keys
+    are ignored (COUNT DISTINCT semantics) — md5(NULL) is NULL, and a
+    phantom idx=NULL register would inflate n_present in the estimator
+    while contributing nothing to the register sum."""
     idx, rho = hll_register_cols(key_col)
     return (
-        df.select(bucket.alias(bucket_name), idx.alias("idx"), rho.alias("rho"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(bucket.alias(bucket_name), idx.alias("idx"), rho.alias("rho"))
         .groupBy(bucket_name, "idx")
         .agg(F.max("rho").alias("max_rho"))
     )
@@ -115,10 +119,14 @@ def hist_partials(
     width: float,
     bucket_name: str = "bucket",
 ) -> DataFrame:
-    """(bucket, bin, cnt): mergeable fixed-width histogram partials."""
+    """(bucket, bin, cnt): mergeable fixed-width histogram partials.
+    NULL values are ignored (aggregate semantics) — a bin=NULL row
+    would sort first in the quantile cumulative sum and corrupt every
+    estimate."""
     b = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
     return (
-        df.select(bucket.alias(bucket_name), b.alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias(bucket_name), b.alias("bin"))
         .groupBy(bucket_name, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -1606,14 +1606,17 @@ def ss06_array_lambda_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exactly-k weighted sample without replacement, Efraimidis–"
     "Spirakis priorities (llmops.sampling.weighted_topk_sample)",
     oracle=f"""
-    SELECT doc_id, source, n_chars,
-           ROUND(pow(({_DUCK_BUCKET_OF.format(salt="s0", key="doc_id")} + 0.5)
-                     / 1000000.0,
-                     1.0 / (n_chars / 100.0)), 6) AS priority
-    FROM documents
-    WHERE n_chars > 0
-    ORDER BY priority DESC, doc_id
-    LIMIT 50
+    SELECT doc_id, source, n_chars, ROUND(p, 6) AS priority
+    FROM (
+      SELECT doc_id, source, n_chars,
+             pow(({_DUCK_BUCKET_OF.format(salt="s0", key="doc_id")} + 0.5)
+                 / 1000000.0,
+                 1.0 / (n_chars / 100.0)) AS p
+      FROM documents
+      WHERE n_chars > 0
+      ORDER BY p DESC, doc_id
+      LIMIT 50
+    ) t
     """,
 )
 def sm07_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2295,7 +2298,7 @@ def sm09_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROW_NUMBER() OVER (
              ORDER BY {_DUCK_H60.format(expr="'shuf|' || CAST(doc_id AS VARCHAR)")},
                       doc_id
-           ) AS INT) AS shuffle_rank
+           ) AS BIGINT) AS shuffle_rank
     FROM documents
     """,
 )

@@ -2854,12 +2854,12 @@ def q84_udtf_split_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
                       nullif(s_nationkey % 6, 2) AS grp
                FROM supplier WHERE s_suppkey % 7 = 0)
     SELECT s_suppkey,
-           CAST(ROW_NUMBER() OVER (ORDER BY bal ASC NULLS FIRST, s_suppkey) AS INT)
+           CAST(ROW_NUMBER() OVER (ORDER BY bal ASC NULLS FIRST, s_suppkey) AS BIGINT)
              AS rk_nulls_first,
-           CAST(ROW_NUMBER() OVER (ORDER BY bal DESC NULLS LAST, s_suppkey) AS INT)
+           CAST(ROW_NUMBER() OVER (ORDER BY bal DESC NULLS LAST, s_suppkey) AS BIGINT)
              AS rk_nulls_last,
            CAST(ROW_NUMBER() OVER (PARTITION BY grp
-                                   ORDER BY bal ASC NULLS LAST, s_suppkey) AS INT)
+                                   ORDER BY bal ASC NULLS LAST, s_suppkey) AS BIGINT)
              AS rk_in_group
     FROM s
     """,

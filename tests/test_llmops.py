@@ -393,6 +393,15 @@ class TestSampling:
         assert 450 < counts.get("src1", 0) < 750
         assert "src2" not in counts         # default fraction 0
 
+    def test_salt_with_quote_is_escaped(self, spark):
+        from etl_batch_spark.llmops import sampling
+
+        df = spark.range(1000).select(F.col("id").alias("doc_id"))
+        kept = sampling.hash_sample(
+            df, key_col="doc_id", fraction=0.5, salt="o'brien"
+        )
+        assert 300 < kept.count() < 700  # parses and samples, no ParseException
+
 
 class TestTextQuality:
     def test_bigram_lm_ranks_common_phrases_above_rare_soup(self, spark):
@@ -602,6 +611,25 @@ class TestQuantileCalibrate:
         assert cal[1] == cal[2] == 0.0
         assert cal[3] == 1.0
 
+    def test_null_scores_stay_null_and_do_not_shift_ranks(self, spark):
+        from etl_batch_spark.llmops import sampling
+
+        df = spark.createDataFrame(
+            [("A", 1, 0.1), ("A", 2, 0.5), ("A", 3, 0.9),
+             ("A", 4, None), ("A", 5, None)],
+            "source string, doc_id long, score double",
+        )
+        cal = {
+            r["doc_id"]: r["calibrated"]
+            for r in sampling.quantile_calibrate(
+                df, score_col="score", group_col="source"
+            ).collect()
+        }
+        # NULL = unknown quality, not "worst": propagate, don't rank
+        assert cal[4] is None and cal[5] is None
+        # real scores ranked over the 3 non-null rows only
+        assert (cal[1], cal[2], cal[3]) == (0.0, 0.5, 1.0)
+
 
 class TestTemperatureSampling:
     def test_alpha_one_is_flat_and_small_strata_upweighted(self, spark):
@@ -632,6 +660,22 @@ class TestTemperatureSampling:
             df, key_col="doc_id", strata_col="src", alpha=0.5, total_fraction=0.6
         ).collect()}
         assert k1 <= k2  # nested: smaller budget is a subset
+
+    def test_null_stratum_is_sampled_not_dropped(self, spark):
+        """A NULL stratum is a stratum: its rows must be kept at a
+        temperature rate, not silently dropped by the equi-join (which
+        would also deflate the other strata's realized volume)."""
+        from etl_batch_spark.llmops import sampling
+
+        rows = [(i, "a" if i < 500 else None) for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        kept = sampling.temperature_mixture_sample(
+            df, key_col="doc_id", strata_col="src", alpha=0.5, total_fraction=0.5
+        )
+        n_null = kept.filter(F.col("src").isNull()).count()
+        assert n_null > 0  # NULL-stratum rows survive
+        total = kept.count()
+        assert 0.35 <= total / 1000 <= 0.65  # volume calibrated over ALL rows
 
 
 class TestKMeans:
@@ -767,6 +811,33 @@ class TestWeightedTopk:
         df = spark.createDataFrame([(1, 1.0)], "k long, w double")
         with pytest.raises(ValueError):
             weighted_topk_sample(df, key_col="k", weight_col="w", k=0)
+
+    def test_large_weights_do_not_saturate(self, spark):
+        """With uniformly huge weights every u^(1/w) crowds toward 1.0;
+        selection must still follow the hash die, not collapse into
+        lowest-key order (which is what a rounded priority produced)."""
+        from etl_batch_spark.llmops.sampling import weighted_topk_sample
+
+        df = spark.createDataFrame(
+            [(i, 1000.0) for i in range(1000)], "k long, w double"
+        )
+        winners = [
+            r["k"]
+            for r in weighted_topk_sample(
+                df, key_col="k", weight_col="w", k=5
+            ).collect()
+        ]
+        # equal weights ⇒ winners are the 5 largest hash draws, which are
+        # not the 5 smallest keys (the rounded-priority failure mode)
+        assert winners != [0, 1, 2, 3, 4]
+        # deterministic: same call, same winners
+        again = [
+            r["k"]
+            for r in weighted_topk_sample(
+                df, key_col="k", weight_col="w", k=5
+            ).collect()
+        ]
+        assert winners == again
 
 
 class TestPayloadDigestArrow:

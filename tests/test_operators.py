@@ -934,6 +934,32 @@ class TestPortableHll:
         e_all = hll_estimate(merged).collect()[0]["est_distinct"]
         assert abs(e_all - 2000) / 2000 < 0.2
 
+    def test_null_keys_ignored(self, spark):
+        """COUNT DISTINCT semantics: NULL keys contribute no register —
+        a phantom idx=NULL row would inflate n_present and null the
+        estimate for an all-NULL bucket."""
+        from pyspark.sql import functions as F
+
+        from etl_batch_spark.operators.sketch import hll_estimate, hll_partials
+
+        df = spark.range(600).select(
+            (F.col("id") % 2).alias("g"),
+            F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id")).alias("k"),
+        )
+        with_nulls = hll_partials(df, key_col="k", bucket=F.col("g"))
+        without = hll_partials(df.filter(F.col("k").isNotNull()), key_col="k",
+                               bucket=F.col("g"))
+        assert sorted(map(tuple, with_nulls.collect())) == sorted(
+            map(tuple, without.collect())
+        )
+        # an all-NULL bucket yields no registers (and hence no estimate row),
+        # never a NULL estimate
+        all_null = spark.range(10).select(
+            F.lit(0).alias("g"), F.lit(None).cast("long").alias("k")
+        )
+        assert hll_estimate(hll_partials(all_null, key_col="k",
+                                         bucket=F.col("g"))).count() == 0
+
 
 class TestHistogramQuantiles:
     def test_estimate_within_bin_width_and_merge_associative(self, spark):
@@ -959,6 +985,29 @@ class TestHistogramQuantiles:
         # uniform true quantiles: 500, 900, 990 — histogram error ≤ width
         for q, true in ((0.5, 500.0), (0.9, 900.0), (0.99, 990.0)):
             assert abs(est[q] - true) <= 8.0, (q, est[q])
+
+    def test_null_values_ignored(self, spark):
+        """Aggregate semantics: NULL values bin nowhere — a bin=NULL row
+        would lead the cumulative sum and corrupt every quantile."""
+        from pyspark.sql import functions as F
+
+        from etl_batch_spark.operators.sketch import hist_partials, hist_quantiles
+
+        df = spark.range(1000).select(
+            F.lit(0).alias("d"),
+            F.when(F.col("id") % 4 == 0, None)
+            .otherwise(F.col("id").cast("double"))
+            .alias("v"),
+        )
+        p = hist_partials(df, value_col="v", bucket=F.col("d"), width=8.0)
+        assert p.filter(F.col("bin").isNull()).count() == 0
+        clean = hist_partials(
+            df.filter(F.col("v").isNotNull()), value_col="v",
+            bucket=F.col("d"), width=8.0,
+        )
+        est = {r["q"]: r["est"] for r in hist_quantiles(p, width=8.0).collect()}
+        want = {r["q"]: r["est"] for r in hist_quantiles(clean, width=8.0).collect()}
+        assert est == want and all(v is not None for v in est.values())
 
 
 class TestPsiDrift:
