@@ -57,10 +57,13 @@ class BloomFilter:
 
     def might_contain(self, key: Column | str) -> Column:
         """JVM membership test: AND of ``num_hashes`` bit probes against
-        the bitmap literal.  NULL keys test NULL (excluded by Filter)."""
+        the bitmap literal.  NULL keys test false — semi-join semantics
+        (NULL never matches); the explicit IsNotNull seed matters because
+        ``xxhash64`` IGNORES null children and would otherwise probe a
+        deterministic position and leak NULL-key rows."""
         key = F.col(key) if isinstance(key, str) else key
         bitmap = F.lit(self.words)
-        cond = F.lit(True)
+        cond = key.isNotNull()
         for i in range(self.num_hashes):
             pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(self.num_bits))
             word = F.element_at(bitmap, (pos / 64).cast("int") + 1)
@@ -89,7 +92,6 @@ def build_bloom(
     positions = F.array(
         *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)]
     )
-    n_items = dim.filter(key.isNotNull()).count()
     agg = (
         dim.filter(key.isNotNull())
         .select(F.explode(positions).alias("pos"))
@@ -100,12 +102,16 @@ def build_bloom(
             ).alias("bit"),
         )
         .groupBy("word")
-        .agg(F.bit_or("bit").alias("bits"))
+        # per-word position count rides the same aggregation: the exploded
+        # row count is exactly n_items·num_hashes, so n_items needs no
+        # second scan of dim
+        .agg(F.bit_or("bit").alias("bits"), F.count(F.lit(1)).alias("n_pos"))
         .collect()
     )
     words = [0] * (num_bits // 64)
     for row in agg:
         words[row["word"]] = row["bits"]
+    n_items = sum(row["n_pos"] for row in agg) // num_hashes
     return BloomFilter(num_bits=num_bits, num_hashes=num_hashes, words=words, n_items=n_items)
 
 
@@ -128,8 +134,26 @@ def bloom_semi_filter(
     in exchange for a join-free plan (e.g. pre-filter before a heavier
     pipeline that tolerates extras).
     """
+    # xxhash64 is TYPE-sensitive: hash(5 AS INT) != hash(5 AS BIGINT), so a
+    # fact/dim key-type mismatch would silently empty the result (false
+    # negatives the bloom contract forbids — unrecoverable even with
+    # exact=True, since the semi join runs on the already-pruned fact).
+    # Widen integral mismatches to long on BOTH sides; reject the rest.
+    f_type = fact.schema[fact_key].dataType.typeName()
+    d_type = dim.schema[dim_key].dataType.typeName()
+    probe_key: Column | str = fact_key
+    if f_type != d_type:
+        integral = {"byte", "short", "integer", "long"}
+        if f_type in integral and d_type in integral:
+            dim = dim.withColumn(dim_key, F.col(dim_key).cast("long"))
+            probe_key = F.col(fact_key).cast("long")
+        else:
+            raise ValueError(
+                f"bloom key types differ: {fact_key} is {f_type}, {dim_key} "
+                f"is {d_type} — cast one side first (xxhash64 would never match)"
+            )
     bf = build_bloom(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
-    pruned = fact.filter(bf.might_contain(fact_key))
+    pruned = fact.filter(bf.might_contain(probe_key))
     if not exact:
         return pruned
     dim_keys = dim.select(dim_key).filter(F.col(dim_key).isNotNull()).distinct()

@@ -200,16 +200,19 @@ def ev03_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev04_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    path = F.concat_ws(
-        ">",
+    # F.concat, not concat_ws: the oracle's '||' propagates NULL, so a
+    # NULL event_type anywhere in the trigram must null the whole path
+    # (concat_ws would silently skip it and emit a malformed 2-part path)
+    path = F.concat(
         F.col("event_type"),
+        F.lit(">"),
         F.lead("event_type", 1).over(w),
+        F.lit(">"),
         F.lead("event_type", 2).over(w),
     )
     return (
-        e.select(path.alias("path"),
-                 F.lead("event_type", 2).over(w).alias("third"))
-        .filter(F.col("third").isNotNull())
+        e.select(path.alias("path"))
+        .filter(F.col("path").isNotNull())
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("path"))
@@ -1114,9 +1117,19 @@ def ev17_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     channels = sorted(s for s in states if s != "start")
     removals = {c: base - iterate(c) for c in channels}
     total_removal = sum(removals.values())
+    # half-up at 4dp like the DuckDB oracle's ROUND (and F.round everywhere
+    # else) — Python's round() is half-to-even and diverges on exact halves
+    from decimal import ROUND_HALF_UP, Decimal
+
     for c in channels:
         share = (
-            round(removals[c] / float(total_removal), 4) if total_removal else None
+            float(
+                Decimal(repr(removals[c] / float(total_removal))).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            )
+            if total_removal
+            else None
         )
         rows.append((c, base, base - removals[c], removals[c], share))
     return spark.createDataFrame(rows, schema)

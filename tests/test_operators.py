@@ -537,6 +537,41 @@ class TestBloomFilter:
         with pytest.raises(ValueError):
             build_bloom(dim, "k", num_hashes=0)
 
+    def test_null_fact_keys_dropped_even_inexact(self, spark):
+        """xxhash64 ignores NULL children, so without the IsNotNull seed a
+        NULL fact key probes a deterministic position and can leak through
+        the join-free exact=False path."""
+        from etl_batch_spark.operators.bloom import bloom_semi_filter
+
+        fact = spark.createDataFrame(
+            [(1, 1), (2, None), (3, None)], "row_id long, fk long"
+        )
+        dim = spark.range(2000).withColumnRenamed("id", "pk")  # dense bitmap
+        got = bloom_semi_filter(fact, dim, "fk", "pk", num_bits=64, exact=False)
+        assert [r["row_id"] for r in got.collect()] == [1]
+
+    def test_integral_key_type_mismatch_widened_not_empty(self, spark):
+        """hash(5 AS INT) != hash(5 AS BIGINT): a type mismatch must not
+        silently empty the result — integral keys widen, others reject."""
+        from pyspark.sql import functions as F
+
+        from etl_batch_spark.operators.bloom import bloom_semi_filter
+
+        fact = spark.range(10).select(F.col("id").cast("int").alias("fk"))
+        dim = spark.range(10).select(F.col("id").alias("pk"))  # bigint
+        got = bloom_semi_filter(fact, dim, "fk", "pk", num_bits=1 << 10)
+        assert got.count() == 10
+        sfact = spark.range(3).select(F.col("id").cast("string").alias("fk"))
+        with pytest.raises(ValueError, match="key types differ"):
+            bloom_semi_filter(sfact, dim, "fk", "pk")
+
+    def test_n_items_counted_without_second_scan(self, spark):
+        from etl_batch_spark.operators.bloom import build_bloom
+
+        dim = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k long")
+        bf = build_bloom(dim, "k", num_bits=1 << 10)
+        assert bf.n_items == 3
+
 
 class TestCogroupInterpolate:
     def _mk(self, spark, rows, schema):
