@@ -175,7 +175,10 @@ def jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
         return common.filter(jac >= threshold).select(*out)
-    sh = ss.select(id_col, F.explode("sh").alias("shingle")).persist()
+    # localCheckpoint, not persist: the exploded shingle table is the
+    # job's largest intermediate and a bare persist() is never unpersisted
+    # — it would pin executor storage for the session across calls
+    sh = ss.select(id_col, F.explode("sh").alias("shingle")).localCheckpoint(eager=True)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -307,6 +310,11 @@ def connected_components(
     detected with an order-independent edge-set signature
     (count + bit_xor of pair hashes) — one tiny action per round.
     """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -348,7 +356,14 @@ def connected_components(
     roots = e.select(F.col("v").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    return members.union(roots)
+    linked = members.union(roots)
+    # nodes that appeared ONLY in self-loop edges were dropped by the
+    # u != v filter and have no star — the contract is one row per node
+    # appearing in `edges`, so they come back as their own component
+    singletons = nodes.join(linked.select("node"), "node", "left_anti").withColumn(
+        "component", F.col("node")
+    )
+    return linked.union(singletons)
 
 
 # ---------------------------------------------------------------------------
@@ -371,7 +386,9 @@ def simhash(
         f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + "
         "case when aggregate(hs, 0, (a, hv) -> "
         "a + case when (hv >> j) & 1 = 1 then 1 else -1 end) >= 0 "
-        "then shiftleft(1, j) else 0 end)"
+        # bigint 1, not int: shiftleft on an int literal wraps at bit 31,
+        # aliasing high bits onto low ones for bits > 31 signatures
+        "then shiftleft(cast(1 as bigint), j) else 0 end)"
     )
     return (
         df.withColumn("toks", F.array_distinct(tokens(text_col)))
@@ -391,12 +408,15 @@ def drop_duplicates_against(
     """Incremental ingestion dedup: from ``new``, keep one row per
     content hash (min id) that does not already exist in ``corpus``.
 
-    The corpus side reduces to its distinct 60-bit content hashes before
-    the anti join — at 100 TB that hash set is the only thing shuffled
-    (or becomes a bloom-filter pre-pass), never the corpus text; daily
-    refreshes pay for the delta, not the archive.
+    The corpus side reduces to its distinct content hashes before the
+    anti join — at 100 TB that hash set is the only thing shuffled (or
+    becomes a bloom-filter pre-pass), never the corpus text; daily
+    refreshes pay for the delta, not the archive.  The hash is the FULL
+    128-bit md5 (like the exact-dedup family), not the 60-bit H60: at
+    ~1.3B corpus docs a 60-bit key has even odds of one collision, and
+    each collision anti-joins a genuinely new document away silently.
     """
-    h = F.expr(H60.format(expr=text_col))
+    h = F.md5(F.col(text_col).cast("binary"))
     corpus_hashes = corpus.select(h.alias("_ch")).distinct()
     batch_keepers = (
         new.withColumn("_ch", h)

@@ -114,13 +114,30 @@ def resize_plan(
     df: DataFrame, *, max_side: int = 224
 ) -> DataFrame:
     """Pure-SQL resize planning over decoded dims: target size + scale
-    factor per row (the codec-side resize consumes this plan)."""
-    scale = F.least(
-        F.lit(1.0), F.lit(max_side) / F.greatest("width", "height").cast("double")
+    factor per row (the codec-side resize consumes this plan).
+
+    Targets are computed FROM the emitted (rounded) scale and clamped to
+    ``max_side``: ceil over the raw ratio overshoots the cap on float
+    noise (e.g. 293·(224/293) = 224.0000000000003 → 225), and a codec
+    consuming the emitted scale must land on the same dims as the plan.
+    """
+    scale = F.round(
+        F.least(
+            F.lit(1.0), F.lit(max_side) / F.greatest("width", "height").cast("double")
+        ),
+        6,
     )
-    return df.withColumn("scale", F.round(scale, 6)).withColumn(
-        "target_width", F.ceil(F.col("width") * scale).cast("int")
-    ).withColumn("target_height", F.ceil(F.col("height") * scale).cast("int"))
+    return (
+        df.withColumn("scale", scale)
+        .withColumn(
+            "target_width",
+            F.least(F.lit(max_side), F.ceil(F.col("width") * F.col("scale"))).cast("int"),
+        )
+        .withColumn(
+            "target_height",
+            F.least(F.lit(max_side), F.ceil(F.col("height") * F.col("scale"))).cast("int"),
+        )
+    )
 
 
 def frame_sample_plan(

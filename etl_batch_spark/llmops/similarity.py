@@ -152,8 +152,11 @@ def ivf_topk(
     join against the corpus.
     """
     c = _normed(corpus, id_col=id_col, vec_col=vec_col)
+    # first n_centroids vectors BY id (orderBy+limit), not filter(id < n):
+    # the filter form silently seeds nothing when ids are sparse/offset
     cents = (
-        c.filter(F.col(id_col) < n_centroids)
+        c.orderBy(id_col)
+        .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn"))
     )
     sim = F.round(
@@ -385,7 +388,8 @@ def kmeans_lloyd(
     if dim is None:
         dim = len(first_row["e"])
     cents: list[list[float]] = [
-        list(r["e"]) for r in d.filter(F.col(id_col) < k).orderBy(id_col).collect()
+        # first k BY id — filter(id < k) would seed nothing on sparse ids
+        list(r["e"]) for r in d.orderBy(id_col).limit(k).collect()
     ]
 
     def assign(centroids: list[list[float]]) -> DataFrame:
@@ -473,7 +477,6 @@ def mmr_topk(
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
-        LongType,
         StructField,
         StructType,
     )
@@ -489,10 +492,13 @@ def mmr_topk(
     )
     pool_v = pool_df.join(vecs, "neighbor_id").join(qvecs, "query_id")
 
+    # id columns typed after the actual id_col — a hardcoded LongType
+    # would crash the Arrow serializer for string/uuid ids
+    id_type = corpus.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("query_id", LongType()),
-            StructField("neighbor_id", LongType()),
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
             StructField("rank", IntegerType()),
             StructField("mmr_score", DoubleType()),
         ]
@@ -565,7 +571,8 @@ def _pq_parts(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sd = dim // m
     codebook = (
-        d.filter(F.col(id_col) < ks)
+        d.orderBy(id_col)
+        .limit(ks)
         .select(
             F.col(id_col).alias("code"),
             F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"),
@@ -769,7 +776,8 @@ def semantic_dedup(
     the rest of the plan is unchanged.
     """
     c = _normed(corpus, id_col=id_col, vec_col=vec_col)
-    cents = c.filter(F.col(id_col) < n_clusters).select(
+    # first n_clusters BY id — see ivf_topk seeding note
+    cents = c.orderBy(id_col).limit(n_clusters).select(
         F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
     sim = F.round(

@@ -359,7 +359,9 @@ def pack_chunks(
         part_col,
         "n_tokens",
         F.floor(offset / capacity).cast("long").alias("chunk_start"),
-        F.floor((offset + F.col("n_tokens") - 1) / capacity)
+        # greatest(n,1): a zero-token doc's span is (start, start), never
+        # the inverted (start, start-1) the raw n-1 arithmetic produces
+        F.floor((offset + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / capacity)
         .cast("long")
         .alias("chunk_end"),
     )
@@ -415,9 +417,11 @@ def pack_nextfit(
         )
     )
 
+    # output id column named and typed after id_col — the pandas walk
+    # must honor the parameter too, not a hardcoded 'doc_id'
     out_schema = StructType(
         [
-            StructField("doc_id", LongType()),
+            StructField(id_col, df.schema[id_col].dataType),
             StructField("shard", IntegerType()),
             StructField("n_tok", LongType()),
             StructField("bin", IntegerType()),
@@ -426,7 +430,7 @@ def pack_nextfit(
     )
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+        pdf = pdf.sort_values(["n_tok", id_col], ascending=[False, True])
         bins, fills = [], []
         cur_bin, fill = 0, 0
         for n in pdf["n_tok"]:
@@ -439,7 +443,7 @@ def pack_nextfit(
             fills.append(fill)
         return pd.DataFrame(
             {
-                "doc_id": pdf[id_col].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
                 "shard": pdf["shard"].to_numpy(),
                 "n_tok": pdf["n_tok"].to_numpy(),
                 "bin": pd.array(bins, dtype="int32"),
@@ -577,6 +581,12 @@ def chunk_tokens(
         *keep_cols,
         "toks",
         F.explode(F.sequence(F.lit(0), n - 1, F.lit(stride))).alias("start"),
+    )
+    # drop windows fully contained in their predecessor: once a window
+    # reaches the end of the doc, later starts add no new tokens and
+    # would duplicate training text verbatim
+    starts = starts.filter(
+        (F.col("start") == 0) | (F.col("start") - stride + size < F.size("toks"))
     )
     return starts.select(
         id_col,

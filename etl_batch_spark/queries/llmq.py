@@ -784,9 +784,9 @@ def ss12_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, width, height,
            CAST(width * height AS BIGINT) AS n_pixels,
-           CAST(ceil(width * least(1.0, 224.0 / greatest(width, height))) AS INT)
+           CAST(least(224, ceil(width * round(least(1.0, 224.0 / greatest(width, height)), 6))) AS INT)
              AS target_width,
-           CAST(ceil(height * least(1.0, 224.0 / greatest(width, height))) AS INT)
+           CAST(least(224, ceil(height * round(least(1.0, 224.0 / greatest(width, height)), 6))) AS INT)
              AS target_height
     FROM (
       SELECT doc_id,
@@ -1154,7 +1154,7 @@ def tx09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, source, n_tokens,
            CAST(off // 512 AS BIGINT) AS chunk_start,
-           CAST((off + n_tokens - 1) // 512 AS BIGINT) AS chunk_end
+           CAST((off + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS chunk_end
     FROM (
       SELECT doc_id, source,
              CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1796,6 +1796,7 @@ _CHUNK, _STRIDE = 32, 24
            array_to_string(list_slice(toks, start + 1, start + {_CHUNK}), ' ')
              AS chunk_text
     FROM starts
+    WHERE start = 0 OR start - {_STRIDE} + {_CHUNK} < len(toks)
     """,
 )
 def tx15_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2376,6 +2377,7 @@ def sm10_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                UNNEST(generate_series(0, len(toks) - 1, 24)) AS start
         FROM kept WHERE len(toks) > 0
       )
+      WHERE start = 0 OR start - 24 + 32 < len(toks)
     )
     SELECT source,
            COUNT(DISTINCT doc_id) AS n_docs,
@@ -2837,9 +2839,9 @@ def mm04_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sized AS (
       SELECT doc_id,
-             CAST(ceil(width * least(1.0, 224.0 / greatest(width, height))) AS INT)
+             CAST(least(224, ceil(width * round(least(1.0, 224.0 / greatest(width, height)), 6))) AS INT)
                AS target_width,
-             CAST(ceil(height * least(1.0, 224.0 / greatest(width, height))) AS INT)
+             CAST(least(224, ceil(height * round(least(1.0, 224.0 / greatest(width, height)), 6))) AS INT)
                AS target_height
       FROM decoded
     )

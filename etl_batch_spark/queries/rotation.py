@@ -34,9 +34,19 @@ DRIVER_WINDOW: list[str] = [
     "ss08_label_centroids",
     "q85_null_ordering",
     "q93_try_function_surface",
+    # outputs/schemas changed by the late-round-2 review fixes, so they
+    # must (re-)verify this round: mm01 was driver-green in r01 but its
+    # resize targets now derive from the rounded scale; mm05 shares the
+    # formula; tx15/pipe02 lost redundant trailing chunks; sm11's rank
+    # dtype widened to bigint (as did q85's, already windowed above).
+    # They take the slots of q02/q03/q18/q19/q21 (lowest-canonicalizer-
+    # risk core mappings — round-3 refill picks them up).
+    "mm01_decode_resize",
+    "mm05_patch_grid",
+    "tx15_rag_chunks",
+    "pipe02_rag_corpus",
+    "sm11_shuffle_order",
     "q01_pricing_summary",
-    "q02_point_lookup",
-    "q03_min_default",
     "q04_next_run_id",
     "q05_date_trunc_daily",
     "q06_latest_order_per_customer",
@@ -49,10 +59,7 @@ DRIVER_WINDOW: list[str] = [
     "q15_window_running",
     "q16_rollup",
     "q17_cube",
-    "q18_intersect",
-    "q19_except",
     "q20_json_props",
-    "q21_explode_words",
     "q22_asof_join",
     "q23_range_join_bands",
     "q24_full_outer_join",

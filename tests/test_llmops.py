@@ -305,6 +305,22 @@ class TestMultimodal:
             if max(r["width"], r["height"]) <= 128:
                 assert r["scale"] == 1.0
 
+    def test_resize_plan_cap_survives_float_noise(self, spark):
+        """width·(max_side/width) can land at max_side + 3 ulps, whose
+        ceil overshoots the cap — e.g. 293·(224/293) = 224.0000…03.
+        Targets must also agree with the EMITTED rounded scale."""
+        import math
+
+        dims = spark.createDataFrame(
+            [(i, w, w // 2) for i, w in enumerate(range(225, 4000, 7))],
+            "doc_id long, width int, height int",
+        )
+        rows = multimodal.resize_plan(dims, max_side=224).collect()
+        for r in rows:
+            assert max(r["target_width"], r["target_height"]) <= 224, r
+            # plan consistent with the emitted scale the codec will use
+            assert r["target_width"] == min(224, math.ceil(r["width"] * r["scale"]))
+
     def test_frame_sample_plan(self, spark):
         vids = spark.createDataFrame(
             [(1, 3.5), (2, 0.2)], "doc_id long, duration_s double"
@@ -357,6 +373,16 @@ class TestConnectedComponents:
 
     def test_star_already_converged(self, spark):
         self._check(spark, [(5, 1), (6, 1), (7, 1)])
+
+    def test_self_loop_only_nodes_become_singletons(self, spark):
+        """Contract: one row per node appearing in edges — a node whose
+        only edge is a self-loop is its own component, not dropped."""
+        df = spark.createDataFrame([(1, 1), (2, 3)], "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(df).collect()
+        }
+        assert got == {1: 1, 2: 2, 3: 2}
 
 
 class TestSampling:
@@ -572,6 +598,48 @@ class TestNextFitPacking:
         assert out[1]["n_tok"] == 400
         assert out[1]["fill_after"] == 400  # alone in its bin
         assert out[2]["bin"] == out[3]["bin"] != out[1]["bin"]
+
+    def test_custom_id_col_honored(self, spark):
+        """id_col must flow through the pandas walk and output schema,
+        not a hardcoded 'doc_id' (previously a KeyError)."""
+        from etl_batch_spark.llmops import text
+
+        df = spark.createDataFrame(
+            [("v1", "a b c"), ("v2", "d e"), ("v3", "f")],
+            "vid string, text string",
+        )
+        out = text.pack_nextfit(df, id_col="vid", capacity=4, n_shards=1).collect()
+        assert {r["vid"] for r in out} == {"v1", "v2", "v3"}
+
+    def test_chunk_tokens_no_fully_contained_trailing_chunk(self, spark):
+        """50 tokens, size 32, stride 24: window [48,50) is a strict
+        subset of window [24,50) — emitting it would duplicate training
+        text verbatim."""
+        from etl_batch_spark.llmops import text
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(50)))], "doc_id long, text string"
+        )
+        chunks = text.chunk_tokens(df, size=32, stride=24).collect()
+        assert [r["chunk_idx"] for r in chunks] == [0, 1]
+        # and a doc whose last window DOES add tokens keeps it
+        df2 = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(60)))], "doc_id long, text string"
+        )
+        assert [r["chunk_idx"] for r in text.chunk_tokens(
+            df2, size=32, stride=24).collect()] == [0, 1, 2]
+
+    def test_zero_token_doc_has_empty_not_inverted_span(self, spark):
+        from etl_batch_spark.llmops import text
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "   "), (3, "d")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               text.pack_chunks(df, part_col="doc_id", capacity=4).collect()}
+        assert out[2]["n_tokens"] == 0
+        assert out[2]["chunk_end"] >= out[2]["chunk_start"]  # never inverted
 
 
 class TestQuantileCalibrate:
@@ -860,6 +928,15 @@ class TestPayloadDigestArrow:
 
 
 class TestMmrTopk:
+    def test_string_ids_supported(self, spark):
+        """Output id columns are typed from id_col, not hardcoded long."""
+        from etl_batch_spark.llmops.similarity import mmr_topk
+
+        rows = [(f"v{i}", [float(i % 3), float(i % 5), 1.0]) for i in range(8)]
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        out = mmr_topk(df, df.filter(F.col("vec_id") == "v0"), k=3, pool=5).collect()
+        assert len(out) == 3 and all(r["query_id"] == "v0" for r in out)
+
     def test_matches_numpy_greedy_replay(self, spark, sf_dir):
         import numpy as np
         from etl_batch_spark.catalog import load_table
