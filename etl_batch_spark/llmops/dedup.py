@@ -310,14 +310,17 @@ def connected_components(
     detected with an order-independent edge-set signature
     (count + bit_xor of pair hashes) — one tiny action per round.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    # materialize the projected edge list once: both the node universe
+    # and the working edge set read it, and the upstream lineage (the
+    # candidate-pair generation) is usually the expensive part
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
     )
+    nodes = raw.select(F.col("u").alias("node")).union(
+        raw.select(F.col("v").alias("node"))
+    ).distinct()
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )

@@ -99,7 +99,8 @@ DRIVER_WINDOW: list[str] = [
 # ROUND 3 PREP (written end of round 2): once CORRECTNESS_r02.json
 # lands, (1) append the newly green window names to DRIVER_GREEN,
 # (2) refill DRIVER_WINDOW from the still-unchecked middle tier, in
-# priority order: q11/q13/q38 (displaced this round), q39–q41,
+# priority order: q02/q03/q11/q13/q18/q19/q21/q38 (displaced this
+# round), q39–q41,
 # q42..q84, q86..q94 relational (minus q85/q93 if green), then
 # q95/q96/q98, tx03–tx15, tx20, sm03–sm09, dd08–dd10, ss06/ss09,
 # ss12/ss13, mm03/mm04, et23/et24, et26/et27, ev13/ev14/ev16,
