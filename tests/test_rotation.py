@@ -37,9 +37,12 @@ def test_new_queries_land_in_the_middle_tier():
 
 def test_every_window_query_has_an_oracle_or_documented_rows_only():
     # the point of the window is driver-green rows; rows-only entries
-    # burn a slot for a weaker check, so they must be deliberate
+    # burn a slot for a weaker check, so they must be deliberate —
+    # listed in rotation.ROWS_ONLY_OK with a reason
+    from etl_batch_spark.queries.rotation import ROWS_ONLY_OK
+
     rows_only = [n for n in DRIVER_WINDOW if QUERIES[n].oracle is None]
-    assert rows_only == []
+    assert set(rows_only) <= ROWS_ONLY_OK
 
 
 class TestRotateTool:
