@@ -286,10 +286,17 @@ def multitable_topk(
     before ranking — shuffle width ≤ L·bucket_size per query, never the
     corpus."""
     # Each table reads a DISJOINT slice of n_bits dimensions; a slice past
-    # the embedding's end would read NULL → bit 0 for every row, silently
-    # collapsing that table into one giant bucket (its "linear equi-join"
-    # becomes a corpus × queries cross join).  Probe one row and fail
-    # loudly instead — one LIMIT-1 scan, negligible at any scale.
+    # the embedding's end would (with ANSI off) read NULL → bit 0 for every
+    # row, silently collapsing that table into one giant bucket (its
+    # "linear equi-join" becomes a corpus × queries cross join).  The
+    # LIMIT-1 probe below catches the config-error case cheaply but
+    # ASSUMES uniform dimensionality — a ragged corpus whose later rows
+    # are shorter slips past it.  That case still fails loudly rather
+    # than silently here: this engine's session runs ANSI mode (on by
+    # default in Spark 4, pinned by get_spark), where an out-of-bounds
+    # `vec[i]` raises INVALID_ARRAY_INDEX at execution.  Callers running
+    # ANSI-off sessions must pre-validate min(size(vec)) themselves
+    # (session.get_spark pins spark.sql.ansi.enabled=true for this).
     probe = corpus.select(F.size(F.col(vec_col)).alias("d")).head(1)
     if probe and probe[0]["d"] < n_tables * n_bits:
         raise ValueError(

@@ -138,19 +138,23 @@ def bloom_semi_filter(
     # fact/dim key-type mismatch would silently empty the result (false
     # negatives the bloom contract forbids — unrecoverable even with
     # exact=True, since the semi join runs on the already-pruned fact).
-    # Widen integral mismatches to long on BOTH sides; reject the rest.
-    f_type = fact.schema[fact_key].dataType.typeName()
-    d_type = dim.schema[dim_key].dataType.typeName()
+    # Compare FULL types, not typeName(): decimal(10,2) and decimal(12,0)
+    # share typeName 'decimal' but hash different unscaled values.
+    # Widen integral mismatches to long on BOTH sides; reject the rest
+    # (including decimal precision/scale differences).
+    f_dt = fact.schema[fact_key].dataType
+    d_dt = dim.schema[dim_key].dataType
     probe_key: Column | str = fact_key
-    if f_type != d_type:
+    if f_dt != d_dt:
         integral = {"byte", "short", "integer", "long"}
-        if f_type in integral and d_type in integral:
+        if f_dt.typeName() in integral and d_dt.typeName() in integral:
             dim = dim.withColumn(dim_key, F.col(dim_key).cast("long"))
             probe_key = F.col(fact_key).cast("long")
         else:
             raise ValueError(
-                f"bloom key types differ: {fact_key} is {f_type}, {dim_key} "
-                f"is {d_type} — cast one side first (xxhash64 would never match)"
+                f"bloom key types differ: {fact_key} is {f_dt.simpleString()}, "
+                f"{dim_key} is {d_dt.simpleString()} — cast one side first "
+                f"(xxhash64 would never match)"
             )
     bf = build_bloom(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
     pruned = fact.filter(bf.might_contain(probe_key))

@@ -113,11 +113,14 @@ class DagRunner:
                 ctx = self.runner.startup(
                     m.upper(), run_level, exclusive_run_yn=exclusive_run_yn
                 )
-            except BatchError:
+            except (BatchError, TimeoutError):
                 # admission failure (disabled / duplicate, plus the
                 # dependency gate when exclusive_run_yn="Y") is a module
                 # failure for DAG purposes; the lifecycle has already
-                # logged the reference's status strings
+                # logged the reference's status strings.  A dependency
+                # poll TIMEOUT (engine extension — the monitor row reads
+                # DEPENDENCY TIMEOUT) fails the module the same way
+                # instead of crashing the whole DAG.
                 with lock:
                     status[m] = "FAILURE"
                 return

@@ -247,6 +247,11 @@ class BatchRunner:
                 if status == 2:
                     break  # mandatory failure aborts the scan (body.sql:332)
             return status  # status of the LAST parent examined
+        except TimeoutError:
+            # the injected poll limit is a TEST/OPS signal, not a parent
+            # failure — surface it past the WHEN OTHERS parity net so a
+            # hung parent reads as a timeout, not DEPENDENCY FAILURE
+            raise
         except Exception:  # noqa: BLE001 — reference: WHEN OTHERS → 1
             return 1
 
@@ -262,7 +267,12 @@ class BatchRunner:
         _forms_run_id: int = 0,
     ) -> RunContext | None:
         """func_batch_startup (body.sql:472-627).  Returns a RunContext, or
-        None in shell-mode when admission fails (the reference returns 0)."""
+        None in shell-mode when admission fails (the reference returns 0).
+
+        Forms-mode divergence (deliberate): body.sql:490,544 return
+        glo_run_id to the calling form; here the run id lives on the
+        RunContext, so forms-mode returns None — callers needing the id
+        read ``ctx.run_id`` from the startup that created the run."""
         if called_by_forms:
             # forms-mode short-circuit (body.sql:490, 544)
             return None
@@ -290,7 +300,23 @@ class BatchRunner:
                     exclusive_run_yn=exclusive_run_yn,
                     control_date=session.control_date,
                 )
-                code = self._dependency_check(module, param_string, session.control_date)
+                try:
+                    code = self._dependency_check(
+                        module, param_string, session.control_date
+                    )
+                except TimeoutError:
+                    # poll-limit exceeded (engine extension — the
+                    # reference spins forever at 120 s/poll): finalize
+                    # the WAITING row under a status distinct from
+                    # DEPENDENCY FAILURE and surface the timeout raw
+                    self.monitor.finalize(
+                        run_uid,
+                        run_status="DEPENDENCY TIMEOUT",
+                        end_time=self.clock.now(),
+                        records_processed=0,
+                        records_in_error=0,
+                    )
+                    raise
                 if code != 0:
                     exc = DependencyFail(batchname)
                     exc.run_uid = run_uid  # type: ignore[attr-defined]

@@ -1587,9 +1587,14 @@ def et27_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def et28_audience_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # Integer `div`, not double `/` + cast: double division truncates
+    # instead of flooring for negative ids and loses exactness past 2^53.
+    # Both `div` and the shiftleft(user_id % 63) assume NON-NEGATIVE ids
+    # (the events fixture guarantees this; negative ids would also split
+    # truncate-vs-floor against DuckDB's `//`).
     words = e.groupBy(
         F.col("event_type").alias("seg"),
-        (F.col("user_id") / 63).cast("bigint").alias("bucket"),
+        F.expr("user_id div 63").alias("bucket"),
     ).agg(
         F.bit_or(F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))")).alias("word")
     )

@@ -31,6 +31,11 @@ def get_spark(app_name: str = "etl_batch_spark", *, master: str | None = None) -
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # pinned, not just Spark 4's default: fail-loud arithmetic /
+        # array-index semantics are a correctness contract here (e.g.
+        # similarity.multitable_topk relies on INVALID_ARRAY_INDEX for
+        # ragged embeddings instead of silently reading bit 0)
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -220,10 +220,23 @@ class TxTable:
             raise ValueError(f"table {self.path} has no data at version {version}")
         return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
 
-    def changes(self, v_from: int, v_to: "int | None" = None) -> DataFrame:
+    def changes(
+        self,
+        v_from: int,
+        v_to: "int | None" = None,
+        *,
+        schema=None,
+    ) -> DataFrame:
         """Change feed between two versions (Delta CDF semantics for a
         table without per-row lineage): rows with ``_change_type`` in
         {'insert', 'delete'}; an update appears as delete + insert.
+
+        ``schema`` (StructType or DDL string) types the empty bootstrap
+        feed of a still-empty table so downstream consumers that select
+        row columns (e.g. ``ivm.apply_feed``) see a no-op instead of an
+        AnalysisException.  Without it, the bootstrap feed is typed from
+        any file the log ever referenced; only a never-written table
+        falls back to the bare ``_change_type`` column.
 
         Scale path: when every commit in ``(v_from, v_to]`` is an
         ``append``, the feed is exactly the rows of the files those
@@ -251,10 +264,21 @@ class TxTable:
             )
 
         if not before_files and not after_files:
-            # bootstrap cursor over a still-empty table: an empty feed
-            # (only the column the feed itself guarantees — no row schema
-            # exists yet to type anything else)
-            return self.spark.range(0).select(F.lit("insert").alias("_change_type"))
+            # bootstrap cursor over a still-empty table: an empty feed,
+            # typed (in priority order) from the caller-supplied schema,
+            # then from any file the log ever referenced (appended then
+            # deleted rows still pin the row schema), else only the
+            # column the feed itself guarantees
+            ever = [f for v in vs for f in v.added]
+            if schema is not None:
+                empty = self.spark.createDataFrame([], schema)
+            elif ever:
+                empty = snap(ever[-1:]).limit(0)
+            else:
+                return self.spark.range(0).select(
+                    F.lit("insert").alias("_change_type")
+                )
+            return empty.withColumn("_change_type", F.lit("insert")).limit(0)
         if all(v.action == "append" for v in between):
             added = [f for v in between for f in v.added]
             if not added:

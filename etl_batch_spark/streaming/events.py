@@ -795,6 +795,10 @@ def upsert_latest_versioned(
     q.awaitTermination()
 
     def live() -> DataFrame:
-        return table.read().filter(F.col("event_type") != delete_type)
+        # null-safe: a stored row whose latest event_type is NULL is not
+        # a tombstone — plain != would evaluate NULL and drop it
+        return table.read().filter(
+            ~F.col("event_type").eqNullSafe(F.lit(delete_type))
+        )
 
     return n_batches, table, live

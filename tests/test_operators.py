@@ -528,6 +528,28 @@ class TestBloomFilter:
         got = bloom_semi_filter(fact, dim, "fk", "pk", num_bits=1 << 10)
         assert [r["row_id"] for r in got.collect()] == [1]
 
+    def test_rejects_decimal_precision_mismatch(self, spark):
+        """typeName() is 'decimal' for EVERY precision/scale, so a
+        typeName-level guard passes decimal(10,2) vs decimal(12,0) while
+        xxhash64 hashes different unscaled values (500 vs 5 for 5.00) —
+        the silent-false-negative case the guard exists to stop."""
+        from etl_batch_spark.operators.bloom import bloom_semi_filter
+
+        fact = spark.sql(
+            "SELECT 1L AS row_id, CAST(5.00 AS DECIMAL(10,2)) AS fk"
+        )
+        dim = spark.sql("SELECT CAST(5 AS DECIMAL(12,0)) AS pk")
+        with pytest.raises(ValueError, match="decimal\\(10,2\\)"):
+            bloom_semi_filter(fact, dim, "fk", "pk", num_bits=1 << 10)
+
+    def test_integral_width_mismatch_widened_not_rejected(self, spark):
+        from etl_batch_spark.operators.bloom import bloom_semi_filter
+
+        fact = spark.createDataFrame([(1, 5), (2, 6)], "row_id long, fk int")
+        dim = spark.createDataFrame([(5,)], "pk long")
+        got = bloom_semi_filter(fact, dim, "fk", "pk", num_bits=1 << 10)
+        assert [r["row_id"] for r in got.collect()] == [1]
+
     def test_rejects_bad_sizing(self, spark):
         from etl_batch_spark.operators.bloom import build_bloom
 

@@ -223,14 +223,19 @@ class TestDependencies:
         ctx = r.startup("CHILD", 1, exclusive_run_yn="Y")
         assert ctx.run_id == 1
 
-    def test_wait_parent_failure_polls_forever_then_errors(self):
+    def test_wait_parent_failure_polls_forever_then_times_out(self):
         # WAIT + failed parent → DECODE gives 1 → poll loop; bounded by
-        # max_polls in the engine (the reference would spin at 120 s/poll)
+        # max_polls in the engine (the reference would spin at 120 s/poll).
+        # The injected limit surfaces as a raw TimeoutError — NOT swallowed
+        # by the WHEN OTHERS parity net into DEPENDENCY FAILURE — and the
+        # WAITING row finalizes under its own status
         r = self.setup_pair("WAIT")
         self.run_parent(r, "FAILURE")
-        with pytest.raises(DependencyFail):
+        with pytest.raises(TimeoutError, match="dependency poll limit"):
             r.startup("CHILD", 1, exclusive_run_yn="Y")
         assert len(r.clock.sleeps) >= 5
+        child_rows = [x for x in r.monitor.latest_states() if x["module_id"] == 2]
+        assert child_rows[0]["run_status"] == "DEPENDENCY TIMEOUT"
 
     def test_running_parent_polled_until_success(self):
         r = self.setup_pair("MANDATORY")
@@ -253,9 +258,9 @@ class TestDependencies:
 
     def test_no_parent_monitor_row_polls(self):
         # parent registered but never ran on the control date → NO_DATA_FOUND
-        # path: sleep and retry until bounded
+        # path: sleep and retry until the bounded poll limit times out
         r = self.setup_pair("MANDATORY")
-        with pytest.raises(DependencyFail):
+        with pytest.raises(TimeoutError, match="dependency poll limit"):
             r.startup("CHILD", 1, exclusive_run_yn="Y")
         assert len(r.clock.sleeps) >= 5
 

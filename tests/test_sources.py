@@ -695,6 +695,13 @@ class TestTxTable:
         t = self._table(spark, tmp_path)
         # still-empty table: empty feed, not a ValueError
         assert t.changes(-1).count() == 0
+        # a caller-supplied schema types the bootstrap feed so consumers
+        # selecting row columns (e.g. ivm.apply_feed) see a no-op, not
+        # an AnalysisException
+        typed = t.changes(-1, schema="id long, name string")
+        assert typed.count() == 0
+        assert set(typed.columns) == {"id", "name", "_change_type"}
+        typed.select("id", "name").count()  # row columns resolvable
         # first commit is an overwrite (how the streaming sinks commit):
         # bootstrap feed reports every row as an insert via the diff path
         t.overwrite(spark.range(7))

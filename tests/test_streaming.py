@@ -882,3 +882,34 @@ def test_streaming_upsert_tombstone_beats_late_older_event(spark):
     assert len(merged) == 1 and merged[0]["event_type"] == "error"
     # live view still hides the key
     assert [r for r in merged if r["event_type"] != "error"] == []
+
+
+def test_streaming_upsert_null_event_type_stays_in_live_view(spark, tmp_path):
+    """A stored row whose latest event_type is NULL is not a tombstone:
+    the live view's filter must be null-safe, or `!= delete_type`
+    evaluates NULL and silently drops the key."""
+    from etl_batch_spark.streaming.events import upsert_latest_versioned
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_event_file(
+        os.path.join(src, "events_0001.parquet"),
+        event_id=1,
+        ts=datetime.datetime(2024, 1, 1, 12, 0, 0),
+        user_id=1,
+        event_type=None,  # NULL, not a tombstone
+        value=1.0,
+    )
+    _write_event_file(
+        os.path.join(src, "events_0002.parquet"),
+        event_id=2,
+        ts=datetime.datetime(2024, 1, 1, 12, 0, 0),
+        user_id=2,
+        event_type="error",  # real tombstone
+        value=2.0,
+    )
+    _, _, live = upsert_latest_versioned(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    got = {r["user_id"]: r["event_type"] for r in live().collect()}
+    assert got == {1: None}  # NULL kept, tombstone hidden
