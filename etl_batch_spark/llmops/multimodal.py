@@ -7,10 +7,13 @@ Arrow-batched ``mapInPandas`` transforms — the right shape for 100 TB:
 payloads never pass through the driver, batches stream per partition,
 and the Python stage is a narrow map (no shuffle).
 
-The actual codec step is STUBBED (no image/audio libraries in this
-environment): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic md5-derived fake decoder
-exercises the full plumbing (schema, batching, partitioning) end-to-end.
+Codec status: PNG decodes FOR REAL via the pure-stdlib codec in
+:mod:`etl_batch_spark.llmops.png` (zlib inflate + scanline unfilter) —
+``decode_image(..., fake=False)`` runs it on PNG payloads and raises
+``NotImplementedError`` only for formats that genuinely need external
+libraries (JPEG/WebP/audio/video).  ``fake=True`` keeps the
+deterministic md5-derived stub, which remains the oracle twin for the
+mm* registry queries (their fixture payloads are text, not PNGs).
 """
 
 from __future__ import annotations
@@ -76,27 +79,52 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real decode for payloads the stdlib can handle (PNG today).  The
+    8-dim feature is per-channel mean then per-channel std of the pixel
+    array in [0,1], zero-padded — deterministic, resolution-independent,
+    and cheap enough to compute inline with the decode pass."""
+    from etl_batch_spark.llmops.png import _SIGNATURE, decode_png
+
+    payload = bytes(payload)
+    if not payload.startswith(_SIGNATURE):
+        raise NotImplementedError(
+            "only PNG decodes without external codec libraries "
+            "(JPEG/WebP need PIL/libvips); run with fake=True to "
+            "exercise the pipeline plumbing on non-PNG payloads"
+        )
+    import numpy as np
+
+    width, height, channels, px = decode_png(payload)
+    arr = (
+        np.frombuffer(px, np.uint8)
+        .reshape(height * width, channels)
+        .astype(np.float64)
+        / 255.0
+    )
+    feat = list(arr.mean(axis=0)) + list(arr.std(axis=0))
+    feat = (feat + [0.0] * 8)[:8]
+    return width, height, [round(float(v), 6) for v in feat]
+
+
 def decode_image(
     df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = False
 ) -> DataFrame:
     """Decode payloads to (id, width, height, n_pixels, feature).
 
-    ``fake=False`` raises NotImplementedError from the executors (no
-    codec libraries here); ``fake=True`` runs the deterministic stub so
-    the Spark-side plumbing (Arrow batches, schema, partition streaming)
-    is fully exercised and testable.
+    ``fake=False`` decodes PNG payloads for real (pure-stdlib codec,
+    :mod:`etl_batch_spark.llmops.png`) and raises NotImplementedError
+    for formats needing external libraries; ``fake=True`` runs the
+    deterministic stub so the Spark-side plumbing (Arrow batches,
+    schema, partition streaming) is exercised on any payload.
     """
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        decode = _fake_decode if fake else _real_decode
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires a codec library (PIL/libvips); "
-                    "run with fake=True to exercise the pipeline plumbing"
-                )
-            rows = [_fake_decode(p) for p in pdf[payload_col]]
+            rows = [decode(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

@@ -292,9 +292,12 @@ class TestMultimodal:
             assert r["n_pixels"] == r["width"] * r["height"]
             assert len(r["feature"]) == 8
 
-    def test_decode_image_unstubbed_raises(self, spark, sf_dir):
+    def test_decode_image_real_mode_rejects_non_png(self, spark, sf_dir):
+        # fake=False decodes PNG for real (tests/test_png.py); the
+        # fixture payloads are text, so the non-PNG guard must still
+        # fail loudly rather than fabricate pixels
         d = multimodal.attach_payload(load_table(spark, sf_dir, "documents").limit(2))
-        with pytest.raises(Exception, match="NotImplementedError|codec"):
+        with pytest.raises(Exception, match="NotImplementedError|PNG"):
             multimodal.decode_image(d, fake=False).collect()
 
     def test_resize_plan_caps_max_side(self, spark, sf_dir):
