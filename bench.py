@@ -54,18 +54,22 @@ def main() -> None:
             pass
 
     # min over N timed runs at the target SF: one run still carries
-    # stray JIT/GC noise at small scale; min-of-2 is the steady state
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # stray JIT/GC noise at small scale; min-of-3 is the steady state,
+    # and max-min per query makes run-to-run variance visible so a
+    # round-over-round regression can be told from jitter
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, q in bench_queries.items():
         build = q.bench_build or q.build
-        best = float("inf")
+        runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             df = build(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     out = {
         "metric": "headline_queries_total",
@@ -73,6 +77,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": infer_sf(SF_DIR),
+        "runs_per_query": n_runs,
+        "spread": spread,
     }
     print(json.dumps(out))
 

@@ -1191,6 +1191,7 @@ _DUCK_HLL_H = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
 
 @query(
     "et23_portable_hll",
+    bench=True,
     doc="portable-HLL monthly distinct users from day-partial merges "
     "(operators.sketch; registers bit-identical across engines)",
     oracle=f"""
@@ -1261,6 +1262,7 @@ def et23_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "et24_histogram_quantiles",
+    bench=True,
     doc="mergeable fixed-width-histogram p50/p90/p99 vs exact "
     "(operators.sketch.hist_*)",
     oracle="""

@@ -1032,6 +1032,7 @@ def _ev17_duck_oracle() -> str:
 
 @query(
     "ev17_markov_attribution",
+    bench=True,
     doc="Markov removal-effect channel attribution (bounded-state "
     "fixed-point value iteration over journey transition counts)",
     oracle=_ev17_duck_oracle(),

@@ -2528,6 +2528,7 @@ def dd11_hot_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "pipe03_curation_report",
+    bench=True,
     doc="per-source curation report: quality pass-rate + scrub keep-ratio "
     "+ token-count p50/p90 (quality_score ∘ hot_span_scrub ∘ hist sketch)",
     oracle=f"""
@@ -2776,6 +2777,7 @@ def pipe04_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "mm04_phash_neardup",
+    bench=True,
     doc="difference-hash (dHash) near-dup pairs over decoded features "
     "(multimodal.decode_image ∘ phash bucket join)",
     oracle="""

@@ -3358,6 +3358,7 @@ def q96_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q97_skyline_pareto",
+    bench=True,
     doc="2-D Pareto frontier via range-sliced exclusive prefix-max "
     "(operators.ranks.global_prefix_agg), O(n log n) not O(n²)",
     oracle="""
@@ -3442,6 +3443,7 @@ def q98_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q99_merged_order_spans",
+    bench=True,
     doc="per-customer merge of overlapping 7-day order windows "
     "(gaps-and-islands: cummax end + break cumsum)",
     oracle="""
@@ -3519,6 +3521,7 @@ def q99_merged_order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q100_window_rank_surface",
+    bench=True,
     doc="ntile/percent_rank/cume_dist/nth_value/first+last window "
     "surface over segment partitions",
     oracle="""
