@@ -49,17 +49,18 @@ SCALED_TABLES = [
 ]
 
 
-def main() -> int:
+def main(argv: "list[str] | None" = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default=SRC)
     ap.add_argument("--out", default="/root/repo/.benchdata/sf1")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
     con = duckdb.connect()
     for t in FIXED_TABLES + SCALED_TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.src}/{t}.parquet'"
         )
 
     # per-key-family shift unit = max key + 1 (derived once, from the
