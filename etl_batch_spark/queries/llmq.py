@@ -420,11 +420,25 @@ def ss03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd12_bench_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench form at the documented production dial: n_clusters ~ sqrt(n)
+    (SCALE.md / SemDeDup paper), so within-cluster pair work stays ~n
+    instead of n^2/k with a fixed k.  The correctness form pins k=16 for
+    the DuckDB oracle; this is the configuration a user runs at scale —
+    same operator, same plan shape, scale-sized knob."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(16, int(math.isqrt(emb.count())))
+    return similarity.semantic_dedup(emb, n_clusters=k, threshold=0.35)
+
+
 @query(
     "dd12_semantic_dedup",
     doc="SemDeDup: cluster embeddings, drop items with an earlier same-cluster "
     "neighbor at cosine >= 0.35 (llmops.similarity.semantic_dedup)",
     bench=True,
+    bench_build=_dd12_bench_build,
     oracle=f"""
     WITH {_DUCK_IVF_ASSIGN},
     dropped AS (
