@@ -189,3 +189,35 @@ class TestDecodeImageReal:
         )
         with pytest.raises(Exception, match="NotImplementedError|PNG"):
             decode_image(df, fake=False).collect()
+
+
+class TestCodecProperty:
+    """Round-trip holds for ARBITRARY pixel content, dims and filter
+    choices — not just the gradient fixtures (no Spark; pure codec)."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 24),           # width
+        st.integers(1, 24),           # height
+        st.sampled_from([1, 2, 3, 4]),  # channels
+        st.sampled_from([0, 1, 2, 3, 4]),  # filter type
+        st.integers(0, 2**32 - 1),    # pixel seed
+    )
+    def test_roundtrip_arbitrary(self, w, h, ch, ft, seed):
+        import random
+
+        rng = random.Random(seed)
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        assert decode_png(encode_png(w, h, ch, pixels, filter_type=ft)) == (
+            w, h, ch, pixels,
+        )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def test_garbage_never_decodes_silently(self, blob):
+        """Arbitrary bytes either raise PngError / fail loudly — never
+        return fabricated pixels."""
+        with pytest.raises((PngError, Exception)):
+            decode_png(blob)
