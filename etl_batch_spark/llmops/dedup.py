@@ -292,6 +292,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     is the minimum node id reachable.  This turns near-dup candidate
@@ -309,6 +310,10 @@ def connected_components(
     optimizer re-plans the whole history each round.  Convergence is
     detected with an order-independent edge-set signature
     (count + bit_xor of pair hashes) — one tiny action per round.
+
+    Pass ``stats={}`` to receive ``stats["rounds"]`` — the observed
+    round count, the number the O(log n) convergence claim is about
+    (SCALE.md cites measured values at sf0.1 vs sf1).
     """
     # materialize the projected edge list once: both the node universe
     # and the working edge set read it, and the upstream lineage (the
@@ -325,7 +330,9 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sig = None
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         # large-star: every neighbor v > u links to min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
@@ -354,6 +361,8 @@ def connected_components(
         if prev_sig == sig:
             break
         prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixed point is a star per component: u → component-min v
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("node")).distinct().withColumn(

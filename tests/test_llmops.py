@@ -1025,3 +1025,20 @@ class TestHotSpanScrub:
         # counts) -> two disjoint 5-token spans
         assert (got[5]["n_spans"], got[5]["n_scrubbed"]) == (2, 10)
         assert got[5]["keep_ratio"] == round(1 - 10 / 11, 4)
+
+
+def test_connected_components_reports_round_count(spark):
+    """stats={} surfaces the convergence round count — the observable
+    behind the O(log n) claim (SCALE.md cites measured values)."""
+    from etl_batch_spark.llmops.dedup import connected_components
+
+    # a 6-chain: worst case for naive propagation, log-rounds for
+    # large-star/small-star
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    stats = {}
+    out = connected_components(edges, stats=stats)
+    rows = {r["node"]: r["component"] for r in out.collect()}
+    assert set(rows.values()) == {0}
+    assert 1 <= stats["rounds"] <= 4  # log2(7) ~ 3 (+1 fixed-point confirm)
