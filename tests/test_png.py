@@ -217,7 +217,8 @@ class TestCodecProperty:
     @settings(max_examples=20, deadline=None)
     @given(st.binary(min_size=0, max_size=200))
     def test_garbage_never_decodes_silently(self, blob):
-        """Arbitrary bytes either raise PngError / fail loudly — never
-        return fabricated pixels."""
-        with pytest.raises((PngError, Exception)):
+        """Arbitrary bytes raise PngError specifically (every malformed
+        path is wrapped) — never fabricated pixels, never a raw
+        struct/zlib error leaking through."""
+        with pytest.raises(PngError):
             decode_png(blob)
