@@ -107,8 +107,18 @@ def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, [round(float(v), 6) for v in feat]
 
 
+DECODED_QUARANTINE_SCHEMA = T.StructType(
+    list(DECODED_SCHEMA) + [T.StructField("error", T.StringType())]
+)
+
+
 def decode_image(
-    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = False
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+    errors: str = "raise",
 ) -> DataFrame:
     """Decode payloads to (id, width, height, n_pixels, feature).
 
@@ -117,25 +127,50 @@ def decode_image(
     for formats needing external libraries; ``fake=True`` runs the
     deterministic stub so the Spark-side plumbing (Arrow batches,
     schema, partition streaming) is exercised on any payload.
+
+    ``errors="raise"`` (default) aborts the job on the first bad
+    payload — right for curated inputs where corruption means a
+    pipeline bug.  ``errors="quarantine"`` is the 100 TB crawl shape:
+    each failing row survives with NULL dims/feature and the message in
+    an added ``error`` column (filter ``error IS NULL`` for the clean
+    side, ``IS NOT NULL`` for the quarantine sink) — one corrupt or
+    out-of-scope payload among billions cannot kill the decode job.
     """
+    if errors not in ("raise", "quarantine"):
+        raise ValueError(f"errors must be 'raise' or 'quarantine', got {errors!r}")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         decode = _fake_decode if fake else _real_decode
         for pdf in batches:
-            rows = [decode(p) for p in pdf[payload_col]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].values,
-                    "width": [r[0] for r in rows],
-                    "height": [r[1] for r in rows],
-                    "n_pixels": [r[0] * r[1] for r in rows],
-                    "feature": [r[2] for r in rows],
-                }
-            )
+            rows = []
+            errs: list = []
+            for p in pdf[payload_col]:
+                if errors == "raise":
+                    rows.append(decode(p))
+                else:
+                    try:
+                        rows.append(decode(p))
+                        errs.append(None)
+                    except Exception as exc:  # noqa: BLE001 — quarantined, not hidden
+                        rows.append((None, None, None))
+                        errs.append(f"{type(exc).__name__}: {exc}")
+            out = {
+                "doc_id": pdf[id_col].values,
+                "width": [r[0] for r in rows],
+                "height": [r[1] for r in rows],
+                "n_pixels": [
+                    r[0] * r[1] if r[0] is not None else None for r in rows
+                ],
+                "feature": [r[2] for r in rows],
+            }
+            if errors == "quarantine":
+                out["error"] = errs
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(run, DECODED_SCHEMA)
+    schema = DECODED_QUARANTINE_SCHEMA if errors == "quarantine" else DECODED_SCHEMA
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def resize_plan(

@@ -11,8 +11,9 @@ decode path next to its deterministic fake twin.
 Scope (deliberate): 8-bit depth, color types 0 (gray), 2 (RGB),
 4 (gray+alpha), 6 (RGBA), non-interlaced.  Palette (type 3), 16-bit and
 Adam7 interlace raise ``PngError`` — at training-pipeline scale those
-long-tail variants route to a quarantine sink rather than a slower
-universal decoder.  The decoder verifies chunk CRCs and the zlib stream,
+long-tail variants route to a quarantine sink
+(``multimodal.decode_image(errors="quarantine")``) rather than a
+slower universal decoder.  The decoder verifies chunk CRCs and the zlib stream,
 so corrupt payloads fail loudly instead of yielding garbage pixels.
 
 ``encode_png`` exists so tests can GENERATE real PNGs (any filter type
@@ -117,16 +118,21 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if not idat:
         raise PngError("missing IDAT")
 
+    stride = width * channels  # bytes per unfiltered scanline (depth 8)
+    expected = (stride + 1) * height
+    # Bounded inflate: IHDR fixes the exact output size, so never let a
+    # high-ratio (~1000:1) corrupt/adversarial stream expand past it —
+    # an unbounded zlib.decompress would OOM the executor before the
+    # size check ever ran.
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise PngError(f"corrupt IDAT zlib stream: {exc}") from exc
-
-    stride = width * channels  # bytes per unfiltered scanline (depth 8)
-    if len(raw) != (stride + 1) * height:
-        raise PngError(
-            f"decompressed size {len(raw)} != expected {(stride + 1) * height}"
-        )
+    if len(raw) > expected or d.unconsumed_tail:
+        raise PngError(f"decompressed size exceeds expected {expected}")
+    if len(raw) < expected:
+        raise PngError(f"decompressed size {len(raw)} != expected {expected}")
 
     bpp = channels  # bytes per pixel at depth 8
     out = bytearray(stride * height)
@@ -192,19 +198,21 @@ def encode_png(
         prev = pixels[(y - 1) * stride : y * stride] if y > 0 else bytes(stride)
         raw.append(filter_type)
         for x in range(stride):
+            # prev is all zeros on row 0, so `up`/`ul` need no y guard —
+            # the exact inverse of the decoder's unfilter arms
             left = row[x - bpp] if x >= bpp else 0
             up = prev[x]
-            ul = prev[x - bpp] if (y > 0 and x >= bpp) else 0
+            ul = prev[x - bpp] if x >= bpp else 0
             if filter_type == 0:
                 pred = 0
             elif filter_type == 1:
                 pred = left
             elif filter_type == 2:
-                pred = up if y > 0 else 0
+                pred = up
             elif filter_type == 3:
-                pred = ((left + (up if y > 0 else 0)) >> 1)
+                pred = (left + up) >> 1
             else:
-                pred = _paeth(left, up if y > 0 else 0, ul)
+                pred = _paeth(left, up, ul)
             raw.append((row[x] - pred) & 0xFF)
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:

@@ -12,6 +12,14 @@ import pytest
 from etl_batch_spark.llmops.png import PngError, decode_png, encode_png
 
 
+def _chunk(ctype, payload):
+    """PNG chunk framing: length + type + payload + CRC32."""
+    return (
+        struct.pack(">I", len(payload)) + ctype + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
 def _gradient(width, height, channels, seed=0):
     """Deterministic non-trivial pixel buffer (no two equal rows, per-
     channel phase shift) so filter predictors actually predict."""
@@ -30,17 +38,11 @@ def _hand_built_png_2x2_rgb():
     )
     raw = b"\x00" + pixels[:6] + b"\x00" + pixels[6:]  # filter 0 per row
 
-    def chunk(ctype, payload):
-        return (
-            struct.pack(">I", len(payload)) + ctype + payload
-            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
-        )
-
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
     ), pixels
 
 
@@ -86,17 +88,11 @@ class TestCodec:
         raw = b"\x00" + pixels[:6] + b"\x00" + pixels[6:]
         z = zlib.compress(raw)
 
-        def chunk(ctype, payload):
-            return (
-                struct.pack(">I", len(payload)) + ctype + payload
-                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
-            )
-
         split = (
             data[: 8 + 8 + 13 + 4]
-            + chunk(b"IDAT", z[:5])
-            + chunk(b"IDAT", z[5:])
-            + chunk(b"IEND", b"")
+            + _chunk(b"IDAT", z[:5])
+            + _chunk(b"IDAT", z[5:])
+            + _chunk(b"IEND", b"")
         )
         assert decode_png(split)[3] == pixels
 
@@ -115,17 +111,11 @@ class TestCodec:
 
     def test_rejects_out_of_scope_variants(self):
         def ihdr_png(depth, color, interlace):
-            def chunk(ctype, payload):
-                return (
-                    struct.pack(">I", len(payload)) + ctype + payload
-                    + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
-                )
-
             return (
                 b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace))
-                + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
-                + chunk(b"IEND", b"")
+                + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace))
+                + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+                + _chunk(b"IEND", b"")
             )
 
         with pytest.raises(PngError, match="bit depth"):
@@ -137,17 +127,11 @@ class TestCodec:
 
     def test_rejects_size_mismatch(self):
         # valid container, wrong decompressed length
-        def chunk(ctype, payload):
-            return (
-                struct.pack(">I", len(payload)) + ctype + payload
-                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
-            )
-
         data = (
             b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
-            + chunk(b"IEND", b"")
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+            + _chunk(b"IEND", b"")
         )
         with pytest.raises(PngError, match="decompressed size"):
             decode_png(data)
@@ -222,3 +206,49 @@ class TestCodecProperty:
         struct/zlib error leaking through."""
         with pytest.raises(PngError):
             decode_png(blob)
+
+
+def test_zlib_bomb_rejected_without_inflating(monkeypatch):
+    """A corrupt stream claiming tiny dims but inflating huge must be
+    rejected at the expected-size bound, not after a full (possibly
+    multi-GB) decompression."""
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10 MB -> ~10 KB
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    # the bounded decompressobj must never materialize more than
+    # expected+1 bytes; forbid the unbounded one-shot API outright
+    def banned(*a, **k):
+        raise AssertionError("unbounded zlib.decompress called")
+
+    monkeypatch.setattr(zlib, "decompress", banned)
+    with pytest.raises(PngError, match="exceeds expected"):
+        decode_png(data)
+
+
+def test_decode_image_quarantine_mode(spark):
+    """errors='quarantine': bad payloads survive as NULL-dim rows with
+    the error message; good rows decode exactly as in raise mode."""
+    from etl_batch_spark.llmops.multimodal import decode_image
+
+    good_px = _gradient(4, 3, 3, seed=1)
+    rows = [
+        (1, bytearray(encode_png(4, 3, 3, good_px))),
+        (2, bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),      # non-PNG
+        (3, bytearray(encode_png(4, 3, 3, good_px)[:-7])),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in
+           decode_image(df, fake=False, errors="quarantine").collect()}
+    assert got[1]["error"] is None and (got[1]["width"], got[1]["height"]) == (4, 3)
+    assert got[2]["width"] is None and "NotImplementedError" in got[2]["error"]
+    assert got[3]["width"] is None and "PngError" in got[3]["error"]
+    # clean/quarantine split is one filter each
+    out = decode_image(df, fake=False, errors="quarantine")
+    assert out.filter("error IS NULL").count() == 1
+    assert out.filter("error IS NOT NULL").count() == 2
+    with pytest.raises(ValueError, match="errors must be"):
+        decode_image(df, errors="bogus")
