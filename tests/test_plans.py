@@ -408,3 +408,18 @@ def test_q97_skyline_never_goes_quadratic(spark, sf_dir):
     assert plans.count_ops(df, "CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" not in s
     assert plans.unpartitioned_windows(df) <= 1
+
+
+def test_decode_image_both_modes_are_narrow_maps(spark):
+    """The multimodal decode (raise AND quarantine modes) must stay a
+    shuffle-free narrow map — payloads never cross an exchange and the
+    quarantine column adds no plan cost."""
+    from etl_batch_spark import plans
+    from etl_batch_spark.llmops.multimodal import decode_image
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    for kw in ({"fake": True}, {"fake": False, "errors": "quarantine"}):
+        plan = plans.formatted_plan(decode_image(df, **kw))
+        assert "MapInPandas" in plan
+        for node in ("Exchange", "Join", "Sort"):
+            assert node not in plan, (kw, node)
