@@ -21,9 +21,13 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from etl_batch_spark.llmops.png import _SIGNATURE as _PNG_SIGNATURE
+from etl_batch_spark.llmops.png import decode_png as _decode_png
 
 MEDIA_META = T.StructType(
     [
@@ -83,19 +87,17 @@ def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """Real decode for payloads the stdlib can handle (PNG today).  The
     8-dim feature is per-channel mean then per-channel std of the pixel
     array in [0,1], zero-padded — deterministic, resolution-independent,
-    and cheap enough to compute inline with the decode pass."""
-    from etl_batch_spark.llmops.png import _SIGNATURE, decode_png
-
+    and cheap enough to compute inline with the decode pass.  Imports
+    live at module level — this function runs once PER ROW in the
+    hottest loop of the module."""
     payload = bytes(payload)
-    if not payload.startswith(_SIGNATURE):
+    if not payload.startswith(_PNG_SIGNATURE):
         raise NotImplementedError(
             "only PNG decodes without external codec libraries "
             "(JPEG/WebP need PIL/libvips); run with fake=True to "
             "exercise the pipeline plumbing on non-PNG payloads"
         )
-    import numpy as np
-
-    width, height, channels, px = decode_png(payload)
+    width, height, channels, px = _decode_png(payload)
     arr = (
         np.frombuffer(px, np.uint8)
         .reshape(height * width, channels)

@@ -32,6 +32,12 @@ import zlib
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# Default pixel-count ceiling (8192x8192 == 64M pixels, ~256 MB RGBA).
+# The inflate bound below is derived from the payload's OWN IHDR, so
+# without this cap a crafted header claiming 60000x60000 would set a
+# ~14 GB decompress budget and OOM the worker before any size check —
+# quarantine mode can't catch an OOM-killed executor.
+MAX_PIXELS = 1 << 26
 
 
 class PngError(ValueError):
@@ -70,11 +76,14 @@ def _chunks(data: bytes):
         pos = end + 4
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+def decode_png(
+    data: bytes, *, max_pixels: int = MAX_PIXELS
+) -> tuple[int, int, int, bytes]:
     """Decode a PNG to ``(width, height, channels, pixels)`` where
     ``pixels`` is the raw unfiltered sample bytes, row-major,
     ``channels`` interleaved per pixel (exactly what a training
-    pipeline's patchifier consumes)."""
+    pipeline's patchifier consumes).  Images whose IHDR declares more
+    than ``max_pixels`` pixels are rejected BEFORE any allocation."""
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise PngError("payload is not bytes")
     data = bytes(data)
@@ -93,6 +102,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             )
             if width == 0 or height == 0:
                 raise PngError("zero dimension")
+            if width * height > max_pixels:
+                raise PngError(
+                    f"declared dimensions {width}x{height} exceed "
+                    f"max_pixels={max_pixels}"
+                )
             if depth != 8:
                 raise PngError(f"unsupported bit depth {depth} (only 8)")
             if color not in _CHANNELS:

@@ -1120,8 +1120,10 @@ def et20_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def et21_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").alias("day")
+    # integer `div`, matching et28 (double division truncates instead of
+    # flooring for negative ids and loses exactness past 2^53)
     words = e.groupBy(
-        day, (F.col("user_id") / 63).cast("bigint").alias("bucket")
+        day, F.expr("user_id div 63").alias("bucket")
     ).agg(
         F.bit_or(
             F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))")

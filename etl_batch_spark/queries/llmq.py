@@ -420,25 +420,24 @@ def ss03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DD12_K_CACHE: dict = {}
-
-
 def _dd12_bench_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench form at the documented production dial: n_clusters ~ sqrt(n)
     (SCALE.md / SemDeDup paper), so within-cluster pair work stays ~n
     instead of n^2/k with a fixed k.  The correctness form pins k=16 for
     the DuckDB oracle; this is the configuration a user runs at scale —
-    same operator, same plan shape, scale-sized knob.  The sizing
-    count() is cached per sf_dir, so only the first run at a given dir
-    pays it — bench.py's min-of-n reporting therefore excludes it and
-    times only the operator."""
+    same operator, same plan shape, scale-sized knob.  n comes from the
+    parquet footer (no Spark action), so every timed run measures only
+    the operator."""
     import math
 
+    import pyarrow.parquet as pq
+
+    from etl_batch_spark.catalog import table_path
+
+    n = pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
     emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _DD12_K_CACHE:
-        _DD12_K_CACHE[sf_dir] = max(16, int(math.isqrt(emb.count())))
     return similarity.semantic_dedup(
-        emb, n_clusters=_DD12_K_CACHE[sf_dir], threshold=0.35
+        emb, n_clusters=max(16, math.isqrt(n)), threshold=0.35
     )
 
 

@@ -252,3 +252,22 @@ def test_decode_image_quarantine_mode(spark):
     assert out.filter("error IS NOT NULL").count() == 2
     with pytest.raises(ValueError, match="errors must be"):
         decode_image(df, errors="bogus")
+
+
+def test_hostile_ihdr_dimensions_rejected_before_allocation():
+    """The inflate bound derives from the payload's own IHDR, so a
+    crafted header claiming huge dims must be rejected BEFORE any
+    decompression budget is allocated."""
+    bomb = zlib.compress(b"\x00" * 500_000, 9)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 6, 0, 0, 0))
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="exceed max_pixels"):
+        decode_png(data)
+    # the cap is a dial: a caller that really wants huge images can
+    # raise it explicitly (here it then fails on size, not dims)
+    with pytest.raises(PngError, match="decompressed size"):
+        decode_png(data, max_pixels=60000 * 60000)
