@@ -46,7 +46,10 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     by = list(by)
-    vals = [c for c in (right_value_cols or right.columns) if c not in {on, *by}]
+    # `is not None`, not truthiness: an explicit [] means "no value
+    # columns, existence only" and must not fall back to every column
+    src = right.columns if right_value_cols is None else right_value_cols
+    vals = [c for c in src if c not in {on, *by}]
 
     l = left.withColumn("_side", F.lit(1))
     r = right.select(

@@ -57,8 +57,17 @@ def apply_changelog(
     chg = changes.select(
         *value_cols, F.col(seq_col).alias(_SEQ), F.col(op_col).alias(_OP)
     )
-    # nulls_first: the seq -∞ snapshot rows sort oldest
-    w = W.partitionBy(*keys).orderBy(F.col(_SEQ).desc_nulls_last())
+    # nulls_first: the seq -∞ snapshot rows sort oldest.  Ties on seq
+    # (event-time sequences, unlike LSNs, can collide) break
+    # DETERMINISTICALLY: deletes beat upserts (a 'D' sharing a seq with
+    # a 'U' means the key ends deleted), then a stable value-hash — so
+    # the same input yields the same survivor on every run/partitioning,
+    # the repo-wide reproducibility discipline.
+    w = W.partitionBy(*keys).orderBy(
+        F.col(_SEQ).desc_nulls_last(),
+        F.when(F.col(_OP) == "D", 0).otherwise(1).asc(),
+        F.xxhash64(*value_cols).asc(),
+    )
     return (
         base.unionByName(chg)
         .withColumn("__rn", F.row_number().over(w))

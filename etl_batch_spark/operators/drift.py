@@ -66,11 +66,19 @@ def psi(
         ((F.col("c_ref") + 1) / (F.col("n_ref") + F.col("k"))).alias("p"),
         ((F.col("c_cur") + 1) / (F.col("n_cur") + F.col("k"))).alias("q"),
     )
-    return shares.groupBy("n_ref", "n_cur", F.col("k").alias("n_buckets")).agg(
-        F.round(
-            F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), round_to
-        ).alias("psi")
-    ).select("psi", "n_ref", "n_cur", "n_buckets")
+    # aggregate from `tot` (a global agg — ALWAYS one row) rather than
+    # grouping `shares`: when both slices are empty, a groupBy over the
+    # empty shares frame would return zero rows and break the documented
+    # 1-row contract (psi NULL, counts 0 is the honest empty answer)
+    contrib = shares.agg(
+        F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))).alias("s")
+    )
+    return tot.crossJoin(F.broadcast(contrib)).select(
+        F.round(F.col("s"), round_to).alias("psi"),
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        F.col("k").alias("n_buckets"),
+    )
 
 
 def cusum_flags(

@@ -68,7 +68,13 @@ def evaluate(df: DataFrame, rules: Sequence[Rule], *, unique: Sequence[str] = ()
     if not aggs:
         raise ValueError("no rules given")
     wide = df.agg(*aggs)
-    pairs = ", ".join(f"'{n}', coalesce(r{i}, 0L)" for i, n in enumerate(names))
+    # rule names are DATA, not SQL: escape quotes so a name like
+    # "not_null(o'brien_id)" can't break the stack() parse (or smuggle
+    # expression text into it)
+    pairs = ", ".join(
+        "'{}', coalesce(r{}, 0L)".format(n.replace("'", "''"), i)
+        for i, n in enumerate(names)
+    )
     return wide.selectExpr(f"stack({len(names)}, {pairs}) AS (rule, violations)")
 
 

@@ -25,11 +25,21 @@ asserted by the tests, which drive real TxTable commits through
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_batch_spark.operators.rollup import _LEVEL_FMT, _partials_from_raw
+
+
+def _nullsafe_cond(left: DataFrame, right: DataFrame, keys: "Sequence[str]"):
+    """AND of null-safe equalities — groupBy treats NULL as a real group,
+    so the partials-merge joins must too (a plain USING join would split
+    a NULL-keyed group into two rows where a rebuild gives one)."""
+    return reduce(
+        lambda a, b: a & b, [left[k].eqNullSafe(right[k]) for k in keys]
+    )
 
 
 def apply_feed(
@@ -73,9 +83,9 @@ def apply_feed(
             F.max(value_col).alias("d_max"),
         )
         return (
-            partials.join(ins, keys, "full_outer")
+            partials.join(ins, _nullsafe_cond(partials, ins, keys), "full_outer")
             .select(
-                *keys,
+                *[F.coalesce(partials[k], ins[k]).alias(k) for k in keys],
                 (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
                 # null-aware add WITHOUT a typed zero literal: a 0.0
                 # coalesce would coerce an integer/decimal sum to double
@@ -100,8 +110,13 @@ def apply_feed(
     if raw is None:
         raise ValueError("feed contains deletes: pass raw=<post-change snapshot>")
     touched = bucketed.select(*keys).distinct()
-    recomputed = _partials_from_raw(
+    fresh = _partials_from_raw(
         raw, ts_col=ts_col, key_cols=key_cols, value_col=value_col, level=level
-    ).join(touched, keys, "left_semi")
-    untouched = partials.join(touched, keys, "left_anti")
+    )
+    recomputed = fresh.join(
+        touched, _nullsafe_cond(fresh, touched, keys), "left_semi"
+    )
+    untouched = partials.join(
+        touched, _nullsafe_cond(partials, touched, keys), "left_anti"
+    )
     return untouched.unionByName(recomputed)

@@ -21,11 +21,17 @@ untouched, which is how table formats (Delta/Iceberg/Hudi) bound
 merge cost too.
 
 Atomicity: same staging-dir + rename swap as
-``sources.io.compact_small_files`` — readers see old or new, never a
-mix; a crash before the swap leaves the target intact.  Concurrency
-control belongs to the control plane: run it inside a BatchRunner
-module with the duplicate-run check (body.sql:219–247 semantics) so
-two writers never race the swap.
+``sources.io.compact_small_files`` — a reader never sees a MIX of old
+and new rows.  POSIX cannot atomically exchange two directories, so
+the swap is two renames: a reader racing the swap can hit a brief
+path-not-found and should retry, and a crash BETWEEN the renames
+leaves the data intact in ``<path>.__old__`` for manual recovery (a
+crash before the first rename leaves the target untouched).  Writers
+needing no-window swaps should use ``sources.txlog.TxTable``, whose
+commits are a single log-file rename.  Concurrency control belongs to
+the control plane: run it inside a BatchRunner module with the
+duplicate-run check (body.sql:219–247 semantics) so two writers never
+race the swap.
 """
 
 from __future__ import annotations
@@ -35,6 +41,20 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+# characters Hive/Spark escape in partition directory names
+# (ExternalCatalogUtils.escapePathName char list); control chars too
+_PARTITION_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _escape_partition_value(v: str) -> str:
+    """Hive-style %XX escaping for a partition value, matching what
+    ``df.write.partitionBy(...)`` produces, so directories this module
+    creates are indistinguishable from Spark-written ones."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _PARTITION_ESCAPE else c for c in v
+    )
 
 
 def merge_dataframes(
@@ -75,7 +95,8 @@ def merge_upsert(
     delete_col: str | None = None,
 ) -> tuple[int, int]:
     """Merge ``updates`` into the parquet table at ``target_path`` and
-    atomically swap the result in.  Returns (rows_before, rows_after)."""
+    swap the result in (two renames — see the module docstring for the
+    exact crash/race window).  Returns (rows_before, rows_after)."""
     target = spark.read.parquet(target_path)
     n_before = target.count()
     merged = merge_dataframes(target, updates, keys, delete_col=delete_col)
@@ -121,9 +142,24 @@ def merge_upsert_partitioned(
         for r in updates.select(partition_col).distinct().collect()
         if r[0] is not None
     ]
+    # Spark's partitionBy writer Hive-escapes special characters in
+    # partition values (':' -> '%3A', ...), so a timestamp partition's
+    # directory is e.g. `ts=2024-01-01 00%3A00%3A00`.  Resolve existing
+    # directories by UNESCAPING their value part rather than formatting
+    # our own — a raw f"{col}={v}" probe would miss every escaped
+    # partition and mis-create a duplicate unescaped directory beside it.
+    from urllib.parse import unquote
+
+    prefix = f"{partition_col}="
+    existing: dict[str, str] = {}
+    if os.path.isdir(target_path):
+        for d in os.listdir(target_path):
+            if d.startswith(prefix) and os.path.isdir(os.path.join(target_path, d)):
+                existing[unquote(d[len(prefix):])] = d
     rewritten: list[str] = []
     for v in sorted(touched, key=str):
-        part_dir = os.path.join(target_path, f"{partition_col}={v}")
+        dirname = existing.get(str(v), f"{prefix}{_escape_partition_value(str(v))}")
+        part_dir = os.path.join(target_path, dirname)
         upd_slice = updates.filter(F.col(partition_col) == v).drop(partition_col)
         if not os.path.isdir(part_dir):
             # brand-new partition: inserts only

@@ -52,13 +52,18 @@ def grouped_mad_outliers(
 
     def flag(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col].astype(float).to_numpy()
-        med = float(np.median(x))
-        mad = float(np.median(np.abs(x - med)))
+        # nan-aware stats: SQL median/mad ignore NULLs, so one NULL row
+        # must not poison the whole group's median/MAD to NaN (which
+        # would silently disable detection for the group); NULL rows
+        # themselves are never flagged (NaN comparisons are False)
+        med = float(np.nanmedian(x)) if np.any(~np.isnan(x)) else float("nan")
+        mad = float(np.nanmedian(np.abs(x - med)))
         out = pdf.copy()
         out["group_median"] = med
         out["group_mad"] = mad
-        if mad == 0.0:
+        if not mad > 0.0:  # constant group (0) or all-NULL group (nan)
             return out.iloc[0:0]
-        return out[np.abs(x - med) > k * mad]
+        with np.errstate(invalid="ignore"):
+            return out[np.abs(x - med) > k * mad]
 
     return df.groupBy(group_col).applyInPandas(flag, schema=out_schema)

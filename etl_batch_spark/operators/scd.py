@@ -43,6 +43,13 @@ def scd2_merge(
     ``current`` must carry ``valid_from``, ``valid_to`` (null = open) and
     ``is_current``; ``updates`` carries the key + tracked ``attrs``.
     ``effective_date`` (ISO day string) stamps closes and opens.
+
+    PRECONDITION (same as ``merge.merge_dataframes``): ``updates`` has
+    at most ONE row per key.  Duplicate update keys would fan the
+    full-outer join out and emit several ``is_current`` rows for the
+    same dimension key, corrupting the one-open-row invariant — capture
+    pipelines batching multiple changes per key must pre-reduce to the
+    latest change (e.g. ``cdc.apply_changelog``) before calling this.
     """
     eff = F.lit(effective_date).cast("date")
     cur = current.alias("cur")

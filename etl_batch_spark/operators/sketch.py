@@ -161,7 +161,12 @@ def cms_partials(
     the event count, partial-aggregated map-side in one shuffle.
     """
     rows = F.explode(F.expr(f"sequence(0, {d - 1})")).alias("r")
-    keyed = df.select(bucket.alias(bucket_name), F.col(key_col).alias("k"), rows)
+    # NULL keys are excluded like hll_partials/hist_partials do: they
+    # would hash to NULL and emit d phantom (r, c=NULL) counter rows per
+    # bucket, inflating sum(cnt)-derived N and merging upward forever
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        bucket.alias(bucket_name), F.col(key_col).alias("k"), rows
+    )
     h = H60.format(expr="concat(cast(r as string), '|', cast(k as string))")
     return (
         keyed.withColumn("c", F.expr(f"pmod({h}, {w})").cast("int"))

@@ -1384,3 +1384,140 @@ class TestCusumFlags:
         )
         assert out.filter("flagged AND yr = 2023").count() > 0
         assert out.filter("flagged AND yr = 2024").count() == 0
+
+
+class TestOperatorNullAndEdgeHardening:
+    """Round-3 review fixes: NULL-keyed groups, escaped partitions,
+    deterministic ties, empty-input contracts, name escaping."""
+
+    def test_apply_feed_nullsafe_insert_and_delete_paths(self, spark, tmp_path):
+        import datetime
+
+        from etl_batch_spark.operators.ivm import apply_feed
+        from etl_batch_spark.operators.rollup import _partials_from_raw
+
+        t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        schema = "ts timestamp, event_type string, value double"
+        base = spark.createDataFrame(
+            [(t, None, 1.0), (t, None, 2.0), (t, "click", 5.0)], schema
+        )
+        partials = _partials_from_raw(
+            base, ts_col="ts", key_cols=["event_type"], value_col="value",
+            level="day",
+        )
+        # insert path: a NULL-keyed group must fold into the existing
+        # NULL-keyed partial row, exactly as a rebuild would
+        ins = spark.createDataFrame([(t, None, 4.0)], schema).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        got = apply_feed(partials, ins, key_cols=["event_type"], level="day")
+        rebuilt = _partials_from_raw(
+            base.unionByName(ins.drop("_change_type")),
+            ts_col="ts", key_cols=["event_type"], value_col="value", level="day",
+        )
+        key = lambda r: tuple(map(str, r))
+        assert sorted(map(tuple, got.collect()), key=key) == sorted(
+            map(tuple, rebuilt.collect()), key=key
+        )
+        # delete path: deleting a NULL-keyed row must drop it from the
+        # NULL group, not leave the stale pre-delete partial behind
+        post = spark.createDataFrame([(t, None, 1.0), (t, "click", 5.0)], schema)
+        dele = spark.createDataFrame([(t, None, 2.0)], schema).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        got2 = apply_feed(
+            partials, dele, key_cols=["event_type"], level="day", raw=post
+        )
+        rebuilt2 = _partials_from_raw(
+            post, ts_col="ts", key_cols=["event_type"], value_col="value",
+            level="day",
+        )
+        assert sorted(map(tuple, got2.collect()), key=key) == sorted(
+            map(tuple, rebuilt2.collect()), key=key
+        )
+
+    def test_mad_outliers_null_value_does_not_poison_group(self, spark):
+        from etl_batch_spark.operators.outliers import grouped_mad_outliers
+
+        rows = [("g", float(v)) for v in [10, 11, 9, 10, 11, 9, 1000]]
+        rows.append(("g", None))  # one NULL must not NaN the group stats
+        df = spark.createDataFrame(rows, "grp string, v double")
+        got = grouped_mad_outliers(df, group_col="grp", value_col="v", k=3.0).collect()
+        assert [r["v"] for r in got] == [1000.0]
+
+    def test_merge_upsert_partitioned_matches_spark_escaped_dirs(self, spark, tmp_path):
+        import datetime
+        import os
+
+        from etl_batch_spark.operators.merge import merge_upsert_partitioned
+
+        t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        tgt = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a", t0), (2, "b", t0)], "id long, v string, ts_hour timestamp"
+        ).write.partitionBy("ts_hour").parquet(tgt)
+        upd = spark.createDataFrame(
+            [(1, "A", t0)], "id long, v string, ts_hour timestamp"
+        )
+        merge_upsert_partitioned(spark, tgt, upd, ["id"], partition_col="ts_hour")
+        # the ESCAPED directory was merged in place; no duplicate
+        # unescaped sibling was created
+        dirs = [d for d in os.listdir(tgt) if d.startswith("ts_hour=")]
+        assert dirs == ["ts_hour=2024-01-01 00%3A00%3A00"]
+        got = {r["id"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+        assert got == {1: "A", 2: "b"}
+
+    def test_apply_changelog_seq_tie_delete_beats_upsert(self, spark):
+        from etl_batch_spark.operators.cdc import apply_changelog
+
+        snap = spark.createDataFrame([(1, "old")], "k long, v string")
+        chg = spark.createDataFrame(
+            [(1, "new", 100, "U"), (1, "gone", 100, "D")],
+            "k long, v string, seq long, op string",
+        )
+        for _ in range(3):  # deterministic across runs
+            out = apply_changelog(
+                snap, chg.repartition(4), keys=["k"], seq_col="seq", op_col="op"
+            ).collect()
+            assert out == []  # the tied delete wins, every time
+
+    def test_psi_both_slices_empty_keeps_one_row_contract(self, spark):
+        from etl_batch_spark.operators.drift import psi
+
+        empty = spark.createDataFrame([], "b string")
+        row = psi(empty, empty, bucket_col="b").collect()
+        assert len(row) == 1
+        assert row[0]["psi"] is None
+        assert (row[0]["n_ref"], row[0]["n_cur"], row[0]["n_buckets"]) == (0, 0, 0)
+
+    def test_asof_empty_value_cols_means_none(self, spark):
+        import datetime
+
+        from etl_batch_spark.operators.asof import asof_join
+
+        t = datetime.datetime(2024, 1, 1)
+        left = spark.createDataFrame([(1, t)], "k long, ts timestamp")
+        right = spark.createDataFrame([(1, t, 9.0)], "k long, ts timestamp, px double")
+        got = asof_join(left, right, on="ts", by=["k"], right_value_cols=[])
+        assert "px" not in got.columns  # explicit [] != default-all
+
+    def test_expectations_rule_name_with_quote(self, spark):
+        from etl_batch_spark.operators.expectations import Rule, evaluate
+
+        df = spark.createDataFrame([(1,), (None,)], "x int")
+        rules = [Rule("not_null(o'brien_id)", F.col("x").isNull())]
+        got = evaluate(df, rules).collect()
+        assert got[0]["rule"] == "not_null(o'brien_id)"
+        assert got[0]["violations"] == 1
+
+    def test_cms_partials_excludes_null_keys(self, spark):
+        from etl_batch_spark.operators.sketch import cms_partials
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), (None,)], "k string"
+        ).withColumn("ts", F.lit("2024-01-01").cast("timestamp"))
+        got = cms_partials(
+            df, bucket=F.date_trunc("day", "ts"), key_col="k", d=3, w=16
+        ).collect()
+        assert all(r["c"] is not None for r in got)
+        assert sum(r["cnt"] for r in got) == 2 * 3  # 2 non-null rows x d
