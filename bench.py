@@ -31,6 +31,49 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
 
+def calibration(spark, sf_dir: str, n_runs: int = 3) -> dict[str, float]:
+    """Fixed, repo-independent probe suite (min-of-``n_runs`` seconds
+    each) pinning the artifact to the machine conditions it was measured
+    under.  Query timings only compare across rounds if the host held
+    still — and it measurably does not: the round-2 bench commit re-run
+    unchanged two days later was 1.43× slower (21.94 s → 31.38 s over
+    the same 42 queries) with NO code change.  Probing showed the drift
+    lives in per-job fixed overhead (driver scheduling / Py4J
+    round-trips), not CPU throughput — which dominates sub-second
+    sf0.1 entries — so the suite spans all three cost axes:
+
+    - ``cpu``:  bit_xor(xxhash64) fold over range(64M) — whole-stage
+      codegen throughput, no IO (bit_xor: overflow-free under ANSI)
+    - ``scan_shuffle``: lineitem groupBy-sum — parquet scan + exchange
+    - ``jobs20``: twenty trivial collect() jobs — per-job dispatch
+      latency, the axis that actually drifted between rounds 2 and 3
+
+    Compare ``queries[q]`` across rounds relative to the matching probe,
+    not as raw seconds."""
+    from pyspark.sql import functions as F
+
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    probes = {
+        "cpu": lambda: spark.range(1 << 26)
+        .select(F.expr("bit_xor(xxhash64(id))"))
+        .collect(),
+        "scan_shuffle": lambda: spark.read.parquet(li)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"))
+        .collect(),
+        "jobs20": lambda: [spark.range(10).collect() for _ in range(20)],
+    }
+    out = {}
+    for name, fn in probes.items():
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+    return out
+
+
 def infer_sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -79,6 +122,7 @@ def main() -> None:
         "sf": infer_sf(SF_DIR),
         "runs_per_query": n_runs,
         "spread": spread,
+        "calibration": calibration(spark, SF_DIR),
     }
     print(json.dumps(out))
 
