@@ -1,0 +1,81 @@
+"""tools/gen_subset.py: the perturbed-subset generator behind the
+generalization-parity sweep (run every registered query's Spark/DuckDB
+pair on data it was never tuned against) must be deterministic,
+schema-preserving, and genuinely seed-varied."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def subsets(tmp_path_factory):
+    from gen_subset import main
+
+    base = tmp_path_factory.mktemp("subsets")
+    out1, out1b, out2 = str(base / "s1"), str(base / "s1b"), str(base / "s2")
+    main(["--seed", "1", "--src", SRC, "--out", out1])
+    main(["--seed", "1", "--src", SRC, "--out", out1b])
+    main(["--seed", "2", "--src", SRC, "--out", out2])
+    return out1, out1b, out2
+
+
+def _one(con, sql):
+    return con.execute(sql).fetchone()[0]
+
+
+class TestGenSubset:
+    def test_deterministic_per_seed(self, subsets):
+        out1, out1b, _ = subsets
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "documents"):
+            diff = _one(con, f"""
+                SELECT count(*) FROM (
+                  SELECT * FROM '{out1}/{t}.parquet'
+                  EXCEPT SELECT * FROM '{out1b}/{t}.parquet')
+            """)
+            assert diff == 0, t
+
+    def test_seeds_differ(self, subsets):
+        out1, _, out2 = subsets
+        con = duckdb.connect()
+        only_s1 = _one(con, f"""
+            SELECT count(*) FROM (
+              SELECT o_orderkey FROM '{out1}/orders.parquet'
+              EXCEPT SELECT o_orderkey FROM '{out2}/orders.parquet')
+        """)
+        assert only_s1 > 0
+
+    def test_rows_are_a_subset_and_roughly_keep_pct(self, subsets):
+        out1, _, _ = subsets
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem", "events", "documents"):
+            foreign = _one(con, f"""
+                SELECT count(*) FROM (
+                  SELECT * FROM '{out1}/{t}.parquet'
+                  EXCEPT SELECT * FROM '{SRC}/{t}.parquet')
+            """)
+            assert foreign == 0, t
+            n_src = _one(con, f"SELECT count(*) FROM '{SRC}/{t}.parquet'")
+            n_out = _one(con, f"SELECT count(*) FROM '{out1}/{t}.parquet'")
+            # hash sampling at 80%: wide tolerance, just not degenerate
+            assert 0.6 * n_src < n_out < n_src, t
+
+    def test_dims_stay_full_and_schema_preserved(self, subsets):
+        out1, _, _ = subsets
+        con = duckdb.connect()
+        for t in ("region", "nation"):
+            assert _one(con, f"SELECT count(*) FROM '{out1}/{t}.parquet'") == _one(
+                con, f"SELECT count(*) FROM '{SRC}/{t}.parquet'"
+            )
+        for t in ("lineitem", "documents", "embeddings", "events"):
+            src_cols = con.execute(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()
+            out_cols = con.execute(f"DESCRIBE SELECT * FROM '{out1}/{t}.parquet'").fetchall()
+            assert src_cols == out_cols, t
