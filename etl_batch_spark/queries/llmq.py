@@ -368,7 +368,10 @@ _DUCK_IVF_ASSIGN = """
       FROM embeddings
     ),
     cents AS (
-      SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16
+      -- first 16 BY id, matching ivf_topk's orderBy+limit seeding —
+      -- "vec_id < 16" only coincides with it when ids are dense from 0
+      SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+      ORDER BY vec_id LIMIT 16
     ),
     assign AS (
       SELECT vec_id, e, nrm, cent_id FROM (
@@ -478,8 +481,10 @@ _DUCK_PQ = f"""
     ),
     subs AS (SELECT UNNEST(generate_series(0, 7)) AS sub),
     cb AS (
-      SELECT s.sub, v.vec_id AS code, v.e[s.sub * 8 + 1 : s.sub * 8 + 8] AS cvec
-      FROM v, subs s WHERE v.vec_id < 16
+      -- first 16 BY id, matching _pq_prep's orderBy+limit codebook —
+      -- "vec_id < 16" only coincides with it when ids are dense from 0
+      SELECT s.sub, c.vec_id AS code, c.e[s.sub * 8 + 1 : s.sub * 8 + 8] AS cvec
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16) c, subs s
     ),
     sv AS (
       SELECT v.vec_id, s.sub, v.e[s.sub * 8 + 1 : s.sub * 8 + 8] AS svec
@@ -1240,8 +1245,12 @@ def sm03_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
     init AS (
-      SELECT CAST(vec_id AS INT) AS cluster, e AS ce
-      FROM pts WHERE vec_id < 8
+      -- kmeans_lloyd seeds the first 8 vectors BY id and labels clusters
+      -- by seed POSITION (0..7), not by vec_id — the two only coincide
+      -- when ids are dense from 0 (caught by the gen_subset sweep)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             e AS ce
+      FROM pts ORDER BY vec_id LIMIT 8
     ),
     cent AS (
       SELECT 0 AS it, cluster, ce FROM init

@@ -3246,16 +3246,22 @@ def q93_try_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            ROUND(quantile_cont(l_quantity, 0.5) OVER (
-             PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+             PARTITION BY l_suppkey
+             ORDER BY l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
     FROM lineitem WHERE l_suppkey % 40 = 13
     """,
 )
 def q94_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 40 == 13)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    # (11,785 duplicate pairs at sf0.01) — a ROWS frame over a tied order
+    # is engine-ambiguous, so l_quantity joins the ordering: rows still
+    # tied after it are identical in the aggregated column, making any
+    # residual ambiguity value-invisible (caught by the gen_subset sweep).
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-6, 0)
     )
     return li.select(
