@@ -19,5 +19,12 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("double")
 def geo_mean(v: pd.Series) -> float:
-    """Geometric mean of a positive series: exp(mean(log(x)))."""
-    return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+    """Geometric mean of a positive series: exp(mean(log(x))).
+
+    NULLs are dropped first — the SQL twin AVG(LN(x)) ignores NULLs,
+    while a bare to_numpy() would turn them into NaN and poison the
+    whole group's mean; an all-NULL group returns NULL like AVG does."""
+    vals = v.dropna().to_numpy(dtype=np.float64)
+    if len(vals) == 0:
+        return None
+    return float(np.exp(np.log(vals).mean()))

@@ -68,53 +68,55 @@ def asof_join(
     # coincident one.
     tie = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
 
-    def matched(dirn: str, col: Column) -> Column:
-        # forward direction flips the time axis and reuses the same frame
+    def matched(dirn: str) -> Column:
+        # forward direction flips the time axis and reuses the same frame.
+        # The match is ONE struct per right row — never per value column:
+        # a per-column last(..., ignorenulls) would skip past a matched
+        # row whose value is legitimately NULL to an older row's value
+        # (and could stitch different rows' columns together); the struct
+        # is non-null for every right row, so the nearest ROW wins and
+        # its fields come back as-is, NULLs included (merge_asof
+        # semantics).
         t = F.col(on) if dirn == "backward" else -F.unix_micros(F.col(on))
         w = (
             W.partitionBy(*by)
             .orderBy(t, tie)
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        return F.last(F.when(F.col("_side") == 0, col), ignorenulls=True).over(w)
+        payload = F.when(
+            F.col("_side") == 0,
+            F.struct(
+                F.col(on).alias("__on"),
+                *[F.col(f"_rv_{c}").alias(c) for c in vals],
+            ),
+        )
+        return F.last(payload, ignorenulls=True).over(w)
 
     dirs = ("backward", "forward") if direction == "nearest" else (direction,)
     out = u
     for d in dirs:
-        out = out.withColumn(f"_m_{d}_{on}", matched(d, F.col(on)))
-        for c in vals:
-            out = out.withColumn(f"_m_{d}_{c}", matched(d, F.col(f"_rv_{c}")))
+        out = out.withColumn(f"_m_{d}", matched(d))
     out = out.filter(F.col("_side") == 1).drop("_side", *[f"_rv_{c}" for c in vals])
 
     if direction == "nearest":
-        bgap = F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"_m_backward_{on}")))
-        fgap = F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"_m_forward_{on}")))
-        out = out.withColumn(
-            "_use_fwd",
-            F.col(f"_m_backward_{on}").isNull()
-            | (F.col(f"_m_forward_{on}").isNotNull() & (fgap < bgap)),
+        bgap = F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col("_m_backward.__on")))
+        fgap = F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col("_m_forward.__on")))
+        use_fwd = F.col("_m_backward").isNull() | (
+            F.col("_m_forward").isNotNull() & (fgap < bgap)
         )
-        for c in [on, *vals]:
-            out = out.withColumn(
-                f"{c}{suffix}",
-                F.when(F.col("_use_fwd"), F.col(f"_m_forward_{c}")).otherwise(
-                    F.col(f"_m_backward_{c}")
-                ),
-            ).drop(f"_m_backward_{c}", f"_m_forward_{c}")
-        out = out.drop("_use_fwd")
+        out = out.withColumn(
+            "_m", F.when(use_fwd, F.col("_m_forward")).otherwise(F.col("_m_backward"))
+        ).drop("_m_backward", "_m_forward")
     else:
-        d = dirs[0]
-        for c in [on, *vals]:
-            out = out.withColumnRenamed(f"_m_{d}_{c}", f"{c}{suffix}")
+        out = out.withColumnRenamed(f"_m_{dirs[0]}", "_m")
 
+    keep = F.col("_m").isNotNull()
     if tolerance_s is not None:
         gap = (
-            F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"{on}{suffix}")))
-            / 1e6
+            F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col("_m.__on"))) / 1e6
         )
-        keep = F.col(f"{on}{suffix}").isNotNull() & (gap <= tolerance_s)
-        for c in [on, *vals]:
-            out = out.withColumn(
-                f"{c}{suffix}", F.when(keep, F.col(f"{c}{suffix}"))
-            )
-    return out
+        keep = keep & (gap <= tolerance_s)
+    out = out.withColumn(f"{on}{suffix}", F.when(keep, F.col("_m.__on")))
+    for c in vals:
+        out = out.withColumn(f"{c}{suffix}", F.when(keep, F.col(f"_m.{c}")))
+    return out.drop("_m")

@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -61,8 +62,12 @@ def lttb_downsample(
     """Per-``key_col`` LTTB pick of ``n_out`` (ts, value) points; series
     shorter than ``n_out`` pass through whole.  Ties on ts are broken by
     value so the selection is deterministic regardless of input order.
+    NULL-valued (or NULL-ts) points are dropped first: they carry no
+    shape information, and a NaN poisons every triangle area it touches.
     """
-    sub = df.select(key_col, ts_col, value_col)
+    sub = df.select(key_col, ts_col, value_col).filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     schema = sub.schema
 
     def _one_series(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -549,12 +549,14 @@ def et11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dlines AS (
         -- (orderkey, linenumber) is not unique in the fixture: collapse
-        -- duplicates so queue ids are unique and the window order total
+        -- duplicates so queue ids are unique and the window order total.
+        -- NULL-quantity lines are unallocatable (an all-NULL group would
+        -- put a NULL dq into the cumulative sum) — excluded on both sides
         SELECT l.l_partkey, l.l_orderkey AS d_orderkey,
                l.l_linenumber AS d_linenumber,
                MIN(o.o_orderdate) AS d_date, SUM(l.l_quantity) AS dq
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        WHERE l.l_partkey % 50 = 0
+        WHERE l.l_partkey % 50 = 0 AND l.l_quantity IS NOT NULL
         GROUP BY 1, 2, 3
     ),
     demand AS (
@@ -565,11 +567,13 @@ def et11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dlines
     ),
     slines AS (
+        -- a supply event needs both a date and a quantity (see dlines)
         SELECT l_partkey AS s_partkey, l_orderkey AS s_orderkey,
                l_linenumber AS s_linenumber,
                MIN(l_shipdate) AS s_date, SUM(l_quantity) AS sq
         FROM lineitem
         WHERE l_partkey % 50 = 0
+          AND l_quantity IS NOT NULL AND l_shipdate IS NOT NULL
         GROUP BY 1, 2, 3
     ),
     supply AS (
@@ -598,8 +602,10 @@ def et12_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d_date", "d_orderkey", "d_linenumber")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # NULL-quantity / NULL-date lines are unallocatable — see the oracle
     demand = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.filter(F.col("l_quantity").isNotNull())
+        .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             "l_partkey",
             F.col("l_orderkey").alias("d_orderkey"),
@@ -614,7 +620,8 @@ def et12_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     supply = (
-        li.groupBy(
+        li.filter(F.col("l_quantity").isNotNull() & F.col("l_shipdate").isNotNull())
+        .groupBy(
             F.col("l_partkey").alias("s_partkey"),
             F.col("l_orderkey").alias("s_orderkey"),
             F.col("l_linenumber").alias("s_linenumber"),
@@ -676,7 +683,13 @@ def et13_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("qty_sum"),
         )
 
-    base = partials(li.filter(F.col("l_shipdate") < cutoff))     # yesterday's state
+    # the split must be EXHAUSTIVE: a bare `< cutoff` / `>= cutoff` pair
+    # silently drops NULL-shipdate rows from BOTH partials (NULL compares
+    # to neither side), so base+delta would no longer equal the full
+    # recompute — unknown-date rows ride with the base state
+    base = partials(
+        li.filter((F.col("l_shipdate") < cutoff) | F.col("l_shipdate").isNull())
+    )  # yesterday's state
     delta = partials(li.filter(F.col("l_shipdate") >= cutoff))   # today's arrivals
     return (
         base.unionByName(delta)
@@ -780,7 +793,9 @@ def et15_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(value AS DOUBLE) AS y,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS i,
              COUNT(*) OVER (PARTITION BY user_id) AS m
-      FROM events WHERE user_id % 10 = 3
+      -- NULL-valued points are outside the series (lttb_downsample
+      -- drops them: no shape information, NaN-poisoned triangle areas)
+      FROM events WHERE user_id % 10 = 3 AND value IS NOT NULL
     ),
     params AS (
       SELECT user_id, MAX(m) AS m, (MAX(m) - 2) / CAST(10 AS DOUBLE) AS every
@@ -1269,9 +1284,11 @@ def et23_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators.sketch.hist_*)",
     oracle="""
     WITH b AS (
+      -- NULL values are outside the histogram, matching hist_partials'
+      -- aggregate semantics (a NULL bin would corrupt the cumulative sum)
       SELECT event_type, CAST(FLOOR(value / 8.0) AS BIGINT) AS bin,
              COUNT(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
       SELECT event_type, bin, cnt,

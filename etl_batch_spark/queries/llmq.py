@@ -1216,7 +1216,10 @@ def tx10_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sizes, tot
     )
     SELECT d.lang, COUNT(*) AS n_kept
-    FROM documents d JOIN rates r ON d.lang = r.lang
+    -- null-safe: an unknown-language stratum is still a stratum (the
+    -- operator samples it at its own rate); a plain equi-join would
+    -- silently drop those documents
+    FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
     WHERE {_DUCK_BUCKET_OF.format(salt="s0", key="doc_id")} < r.threshold
     GROUP BY d.lang
     """,
@@ -2732,8 +2735,9 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sizes, tot
     ),
     sampled AS (
+      -- null-safe stratum join, matching temperature_mixture_sample
       SELECT k.doc_id, k.text
-      FROM kept k JOIN rates r ON k.lang = r.lang
+      FROM kept k JOIN rates r ON k.lang IS NOT DISTINCT FROM r.lang
       WHERE {_DUCK_BUCKET_OF.format(salt="s0", key="k.doc_id")} < r.threshold
     ),
     base AS (

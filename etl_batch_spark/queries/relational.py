@@ -1379,12 +1379,18 @@ def q49_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CUME_DIST() OVER w, 6) AS cume,
            DENSE_RANK() OVER w AS drank
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey)
     """,
 )
 def q50_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    # NULLS LAST pinned on both sides: Spark defaults ASC to nulls FIRST
+    # where DuckDB defaults to nulls LAST — an unpinned ranking diverges
+    # the moment the ordering column is nullable (gen_subset --nulls)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+    )
     return o.select(
         "o_orderkey",
         "o_custkey",
@@ -2404,7 +2410,7 @@ def q72_modal_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT l_returnflag, l_quantity,
                SUM(l_extendedprice) OVER (PARTITION BY l_returnflag
-                                          ORDER BY l_quantity) AS cum_w,
+                                          ORDER BY l_quantity NULLS LAST) AS cum_w,
                SUM(l_extendedprice) OVER (PARTITION BY l_returnflag) AS tot_w
         FROM lineitem
     ) t
@@ -2414,7 +2420,10 @@ def q72_modal_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q73_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cum = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    # NULLS LAST pinned on both sides (see q50): unknown quantities sort
+    # past the 0.5 crossing and MIN ignores them, so the median is the
+    # same with or without NULL rows — but only under a pinned order
+    cum = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").asc_nulls_last())
     tot = W.partitionBy("l_returnflag")
     return (
         li.select(
@@ -3083,7 +3092,8 @@ def q89_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q90_xml_roundtrip",
     oracle="""
-    SELECT p_partkey, p_brand,
+    SELECT p_partkey,
+           COALESCE(p_brand, '') AS p_brand,
            ROUND(p_retailprice, 2) AS retail,
            CAST(len(p_name) AS INT) AS name_len
     FROM part WHERE p_partkey % 50 = 0
@@ -3091,10 +3101,16 @@ def q89_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q90_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    # NULL fields serialize as EMPTY elements — a bare concat() would
+    # NULL the whole document on one NULL field (Spark concat is
+    # NULL-propagating).  Round-trip convention: <brand></brand> parses
+    # back as '' for strings and NULL for numerics (from_xml), so the
+    # oracle reads COALESCE(p_brand, '') and a NULL price stays NULL.
     xml = F.concat(
         F.lit("<part><key>"), F.col("p_partkey").cast("string"),
-        F.lit("</key><brand>"), F.col("p_brand"),
-        F.lit("</brand><price>"), F.col("p_retailprice").cast("string"),
+        F.lit("</key><brand>"), F.coalesce(F.col("p_brand"), F.lit("")),
+        F.lit("</brand><price>"),
+        F.coalesce(F.col("p_retailprice").cast("string"), F.lit("")),
         F.lit("</price><name>"), F.col("p_name"),
         F.lit("</name></part>"),
     )
@@ -3341,13 +3357,15 @@ def q96_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 3-value group key
     gm = li.groupBy("l_returnflag").agg(
         F.round(geo_mean("l_extendedprice"), 4).alias("geo_mean")
-    )
+    ).withColumnRenamed("l_returnflag", "__gm_flag")
     counts = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines")
     )
-    return counts.join(gm, "l_returnflag").select(
-        "l_returnflag", "n_lines", "geo_mean"
-    )
+    # null-safe rejoin: GROUP BY keeps a NULL flag group on both sides,
+    # and a plain equi-join would silently drop it (NULL != NULL)
+    return counts.join(
+        gm, F.col("l_returnflag").eqNullSafe(F.col("__gm_flag"))
+    ).select("l_returnflag", "n_lines", "geo_mean")
 
 
 # ---------------------------------------------------------------------------
@@ -3369,8 +3387,11 @@ def q96_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators.ranks.global_prefix_agg), O(n log n) not O(n²)",
     oracle="""
     WITH g AS (
+      -- unknown price has no place on the frontier axis: excluded
+      -- explicitly, or its gmax would poison the prefix-max on one
+      -- engine only (Spark ranges NULLs first, DuckDB windows them last)
       SELECT p_retailprice AS price, MAX(p_size) AS gmax
-      FROM part GROUP BY 1
+      FROM part WHERE p_retailprice IS NOT NULL GROUP BY 1
     ),
     pm AS (
       SELECT price,
@@ -3390,8 +3411,11 @@ def q97_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
-        F.max("p_size").alias("gmax")
+    # NULL prices are off the frontier axis — see the oracle note
+    g = (
+        p.filter(F.col("p_retailprice").isNotNull())
+        .groupBy(F.col("p_retailprice").alias("price"))
+        .agg(F.max("p_size").alias("gmax"))
     )
     pm = global_prefix_agg(
         g, [F.col("price").asc()], F.col("gmax"), "pmax",
@@ -3539,14 +3563,19 @@ def q99_merged_order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(c_acctbal) OVER wf AS min_bal,
            LAST_VALUE(c_acctbal) OVER wf AS max_bal
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
-           wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS LAST, c_custkey),
+           wf AS (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal NULLS LAST, c_custkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
 def q100_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # NULLS LAST pinned on both sides — see q50
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_last(), "c_custkey"
+    )
     wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return c.select(
         "c_custkey",

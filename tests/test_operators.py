@@ -221,6 +221,31 @@ class TestAsofJoin:
     def test_tolerance_and_strict(self, spark):
         self._check(spark, "backward", tolerance_s=300.0, allow_exact=False)
 
+    def test_null_value_on_matched_row_is_returned_not_skipped(self, spark):
+        # merge_asof returns the nearest ROW's values as-is — a NULL value
+        # on that row must come back NULL, never be skipped past to an
+        # older row's value (and ts_right/value_right must come from the
+        # SAME row).  Regression: the per-column last(..., ignorenulls)
+        # formulation reached through NULLs.
+        from datetime import datetime
+
+        from etl_batch_spark.operators.asof import asof_join
+
+        ldf = spark.createDataFrame(
+            [("a", datetime(2024, 1, 1, 0, 0, 30), 1)],
+            "k string, ts timestamp, lid long",
+        )
+        rdf = spark.createDataFrame(
+            [
+                ("a", datetime(2024, 1, 1, 0, 0, 10), 7.0),   # older, non-null
+                ("a", datetime(2024, 1, 1, 0, 0, 20), None),  # nearest, NULL value
+            ],
+            "k string, ts timestamp, price double",
+        )
+        row = asof_join(ldf, rdf, on="ts", by=["k"], direction="backward").collect()[0]
+        assert row["ts_right"] == datetime(2024, 1, 1, 0, 0, 20)
+        assert row["price_right"] is None
+
 
 class TestSketchRollup:
     def test_weekly_estimate_close_to_exact(self, spark, sf_dir):

@@ -29,6 +29,24 @@ import os
 
 import duckdb
 
+# table -> non-key VALUE columns eligible for --nulls injection.  Keys /
+# ids stay non-null: their non-null contract is legitimate (the driver
+# fixtures guarantee it, and operator-level NULL-key hardening has its
+# own tests) — the sweep targets the value/ordering columns where Spark
+# and DuckDB NULL semantics (ordering, aggregates, arithmetic) can
+# silently diverge.
+NULLABLE_COLUMNS = {
+    "customer": ["c_acctbal", "c_mktsegment"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice", "p_brand"],
+    "orders": ["o_totalprice", "o_orderpriority", "o_orderstatus"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate", "l_returnflag"],
+    "events": ["value", "props"],
+    "documents": ["lang", "source"],
+    "embeddings": ["label"],
+}
+
 # table -> primary-key column list (hash input for the keep decision)
 PRIMARY_KEYS = {
     "customer": ["c_custkey"],
@@ -49,10 +67,17 @@ def main(argv: "list[str] | None" = None) -> int:
     ap.add_argument("--keep", type=int, default=80, help="percent of rows kept")
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None, help="default .benchdata/subset/s<seed>")
+    ap.add_argument(
+        "--nulls", type=int, default=0,
+        help="percent of rows whose NULLABLE_COLUMNS entries are nulled "
+             "(per column, independent hash draws)",
+    )
     args = ap.parse_args(argv)
     out = args.out or f"/root/repo/.benchdata/subset/s{args.seed}"
     if not 0 < args.keep <= 100:
         raise SystemExit(f"--keep must be in (0, 100], got {args.keep}")
+    if not 0 <= args.nulls <= 100:
+        raise SystemExit(f"--nulls must be in [0, 100], got {args.nulls}")
     os.makedirs(out, exist_ok=True)
 
     con = duckdb.connect()
@@ -64,8 +89,25 @@ def main(argv: "list[str] | None" = None) -> int:
         print(f"{t}: copied full")
     for t, pk in PRIMARY_KEYS.items():
         key = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
+        proj = "*"
+        if args.nulls:
+            cols = [
+                r[0] for r in con.execute(
+                    f"DESCRIBE SELECT * FROM '{args.src}/{t}.parquet'"
+                ).fetchall()
+            ]
+            exprs = []
+            for c in cols:
+                if c in NULLABLE_COLUMNS.get(t, []):
+                    exprs.append(
+                        f"CASE WHEN hash({key} || '|{c}#{args.seed}') % 100 "
+                        f"< {args.nulls} THEN NULL ELSE {c} END AS {c}"
+                    )
+                else:
+                    exprs.append(c)
+            proj = ", ".join(exprs)
         con.execute(
-            f"COPY (SELECT * FROM '{args.src}/{t}.parquet' "
+            f"COPY (SELECT {proj} FROM '{args.src}/{t}.parquet' "
             f"      WHERE hash({key} || '#{args.seed}') % 100 < {args.keep}) "
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
