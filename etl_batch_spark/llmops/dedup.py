@@ -427,11 +427,21 @@ def drop_duplicates_against(
     128-bit md5 (like the exact-dedup family), not the 60-bit H60: at
     ~1.3B corpus docs a 60-bit key has even odds of one collision, and
     each collision anti-joins a genuinely new document away silently.
+
+    Rows with a NULL ``text_col`` PASS THROUGH untouched (all of them,
+    not a collapsed representative): a missing text has no content hash,
+    so it can neither be proven a duplicate of the corpus nor of another
+    NULL-text row — content dedup has no say over it.  Filter them
+    upstream if ingestion should reject them.
     """
     h = F.md5(F.col(text_col).cast("binary"))
-    corpus_hashes = corpus.select(h.alias("_ch")).distinct()
+    with_text = new.filter(F.col(text_col).isNotNull())
+    no_text = new.filter(F.col(text_col).isNull())
+    corpus_hashes = (
+        corpus.filter(F.col(text_col).isNotNull()).select(h.alias("_ch")).distinct()
+    )
     batch_keepers = (
-        new.withColumn("_ch", h)
+        with_text.withColumn("_ch", h)
         .withColumn(
             "_rn",
             F.row_number().over(
@@ -442,7 +452,9 @@ def drop_duplicates_against(
         .drop("_rn")
     )
     return (
-        batch_keepers.join(corpus_hashes, "_ch", "left_anti").drop("_ch")
+        batch_keepers.join(corpus_hashes, "_ch", "left_anti")
+        .drop("_ch")
+        .unionByName(no_text)
     )
 
 

@@ -46,7 +46,11 @@ def attach_payload(
     df: DataFrame, *, text_col: str = "text", modality: str = "image", mime: str = "image/png"
 ) -> DataFrame:
     """Turn a text column into an opaque binary payload + metadata struct
-    (fixture adapter: real pipelines read payloads from object storage)."""
+    (fixture adapter: real pipelines read payloads from object storage).
+    Rows with a NULL ``text_col`` are dropped — there is nothing to
+    fabricate a payload from, and a NULL payload row entering the decode
+    stage is a missing-data condition, not a decodable input."""
+    df = df.filter(F.col(text_col).isNotNull())
     payload = F.encode(F.col(text_col), "UTF-8")
     return df.withColumn("payload", payload).withColumn(
         "media_meta",
@@ -149,6 +153,17 @@ def decode_image(
             rows = []
             errs: list = []
             for p in pdf[payload_col]:
+                if p is None:
+                    # missing payload: a clear error, never an opaque
+                    # md5/TypeError crash from inside the codec
+                    if errors == "raise":
+                        raise ValueError(
+                            f"NULL {payload_col!r} — decode_image needs a "
+                            "payload; filter or quarantine missing rows"
+                        )
+                    rows.append((None, None, None))
+                    errs.append("NullPayload: payload is NULL")
+                    continue
                 if errors == "raise":
                     rows.append(decode(p))
                 else:

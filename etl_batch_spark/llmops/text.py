@@ -408,8 +408,10 @@ def pack_nextfit(
     from etl_batch_spark.llmops.dedup import H60, tokens
 
     h = H60.format(expr=f"concat('{salt}', '|', cast({id_col} as string))")
+    # a NULL text has no token count: it cannot be placed in a bin (and
+    # a NaN n_tok would crash the per-shard walk) — packing skips it
     prepped = (
-        fan_out(df)
+        fan_out(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col),
             F.size(tokens(text_col)).cast("long").alias("n_tok"),
@@ -471,8 +473,13 @@ def score_batch(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 
     def _logistic(batches):
         import numpy as np
+        import pandas as pd
 
         for pdf in batches:
+            # NULL text -> NULL score: a model cannot infer on missing
+            # input, and fillna('') would fabricate the empty-string
+            # score for it (0.182426 — a silent constant)
+            missing = pdf[text_col].isna().to_numpy()
             txt = pdf[text_col].fillna("")
             n_chars = txt.str.len().clip(upper=2000)
             n_tok = txt.str.split().str.len().fillna(0).clip(upper=400)
@@ -480,7 +487,11 @@ def score_batch(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
             ratio = digits / np.maximum(txt.str.len(), 1)
             z = -1.5 + 0.004 * n_chars + 0.02 * n_tok - 2.0 * ratio
             out = pdf[[id_col]].copy()
-            out["score"] = (1.0 / (1.0 + np.exp(-z))).round(6)
+            score = (1.0 / (1.0 + np.exp(-z))).round(6)
+            out["score"] = pd.array(
+                np.where(missing, np.nan, score), dtype="Float64"
+            )
+            out.loc[missing, "score"] = pd.NA
             yield out
 
     return df.select(id_col, text_col).mapInPandas(_logistic, schema=schema)

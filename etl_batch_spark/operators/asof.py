@@ -52,7 +52,14 @@ def asof_join(
     vals = [c for c in src if c not in {on, *by}]
 
     l = left.withColumn("_side", F.lit(1))
-    r = right.select(
+    # a right row without a timestamp cannot sit on the timeline — it
+    # would sort ahead of every real row (Spark orders NULLs first) and
+    # pollute the frame as a bogus "earliest" match.  Left rows with a
+    # NULL `on` are KEPT and simply match nothing (their frame precedes
+    # every right row), preserving left-join cardinality — the same
+    # outcome as DuckDB ASOF LEFT JOIN, where a NULL comparison never
+    # satisfies the inequality.
+    r = right.filter(F.col(on).isNotNull()).select(
         *by,
         F.col(on),
         F.lit(0).alias("_side"),

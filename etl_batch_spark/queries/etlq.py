@@ -793,9 +793,11 @@ def et15_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(value AS DOUBLE) AS y,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS i,
              COUNT(*) OVER (PARTITION BY user_id) AS m
-      -- NULL-valued points are outside the series (lttb_downsample
-      -- drops them: no shape information, NaN-poisoned triangle areas)
-      FROM events WHERE user_id % 10 = 3 AND value IS NOT NULL
+      -- NULL-valued or NULL-ts points are outside the series
+      -- (lttb_downsample drops them: no shape information, NaN-poisoned
+      -- triangle areas / undefined x-axis position)
+      FROM events
+      WHERE user_id % 10 = 3 AND value IS NOT NULL AND ts IS NOT NULL
     ),
     params AS (
       SELECT user_id, MAX(m) AS m, (MAX(m) - 2) / CAST(10 AS DOUBLE) AS every

@@ -188,7 +188,9 @@ def ev03_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type || '>' ||
              LEAD(event_type, 1) OVER w || '>' ||
              LEAD(event_type, 2) OVER w AS path
-      FROM events
+      -- an event with no timestamp has no position in a path (engines
+      -- disagree on where NULL ts sorts; pinned by exclusion)
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     WHERE path IS NOT NULL
@@ -198,7 +200,8 @@ def ev03_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ev04_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    # no timestamp -> no position in a path; see the oracle note
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # F.concat, not concat_ws: the oracle's '||' propagates NULL, so a
     # NULL event_type anywhere in the trigram must null the whole path
@@ -233,14 +236,24 @@ def ev04_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ),
     clicks AS (
+      -- NULL ts kept OUT of the ASOF inputs on both sides: DuckDB's
+      -- sort-based ASOF treats NULL as an ordering value (a NULL-ts
+      -- left row matches the LATEST right row; NULL pairs with NULL),
+      -- where asof_join's contract is SQL comparison semantics — a
+      -- timeless row matches nothing
       SELECT user_id, ts, ROUND(MAX(value), 2) AS click_value
-      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+      GROUP BY user_id, ts
     )
     SELECT p.event_id, p.user_id, p.ts,
            c.ts AS ts_right, c.click_value AS click_value_right
-    FROM purchases p
+    FROM (SELECT * FROM purchases WHERE ts IS NOT NULL) p
     ASOF LEFT JOIN clicks c
       ON p.user_id = c.user_id AND p.ts >= c.ts
+    UNION ALL
+    SELECT event_id, user_id, ts,
+           NULL AS ts_right, NULL AS click_value_right
+    FROM purchases WHERE ts IS NULL
     """,
 )
 def ev05_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,11 +286,15 @@ def ev05_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="cogrouped per-key linear interpolation (operators.cogroup.cogroup_interpolate)",
     oracle="""
     WITH clicks AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      -- a timeless click has no interpolation point; a timeless
+      -- purchase can't anchor the series — both pinned by exclusion
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL
     ),
     purch AS (
       SELECT user_id, ts, epoch_us(ts) AS pts, ROUND(AVG(value), 2) AS pval
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      GROUP BY user_id, ts
     ),
     prev AS (
       SELECT c.event_id, p.pts AS xp, p.pval AS vp
@@ -305,7 +322,7 @@ def ev05_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev06_interpolate_at_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_batch_spark.operators.cogroup import cogroup_interpolate
 
-    e = _events(spark, sf_dir)
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -342,7 +359,9 @@ def ev06_interpolate_at_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR LAG(ts) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      -- session_window() drops NULL-ts rows on the Spark side; a
+      -- timeless event belongs to no session — pinned by exclusion
+      FROM events WHERE ts IS NOT NULL
     ),
     islands AS (
       SELECT user_id, ts,
@@ -383,10 +402,12 @@ def ev07_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="per-user LOCF time-weighted average of value",
     oracle="""
     WITH stepped AS (
+      -- a timeless gauge reading has no LOCF interval; pinned by
+      -- exclusion on both sides
       SELECT user_id, value, ts,
              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS next_ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
            ROUND(SUM(value * (epoch(next_ts) - epoch(ts)))
@@ -399,7 +420,7 @@ def ev07_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ev08_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     sec = lambda c: F.unix_micros(c) / F.lit(1e6)  # noqa: E731
     stepped = e.select(
@@ -480,10 +501,11 @@ def ev09_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="event-type transition counts + probabilities (Markov chain)",
     oracle="""
     WITH pairs AS (
+      -- a timeless event has no position in the transition order
       SELECT LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type,
              event_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     counts AS (
       SELECT prev_type, event_type, COUNT(*) AS n
@@ -496,7 +518,7 @@ def ev09_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ev10_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     counts = (
         e.select(F.lag("event_type").over(w).alias("prev_type"), "event_type")

@@ -819,7 +819,8 @@ def ss12_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(64 + (('0x' || substr(md5(text), 1, 2))::BIGINT % 192) AS INT) AS width,
              CAST(64 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 192) AS INT) AS height
-      FROM documents
+      -- attach_payload drops NULL-text rows (no payload to fabricate)
+      FROM documents WHERE text IS NOT NULL
     )
     """,
 )
@@ -1429,18 +1430,25 @@ def dd09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH corpus AS (
       SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS ch
-      FROM documents WHERE source NOT LIKE 'src1%'
+      FROM documents WHERE source NOT LIKE 'src1%' AND text IS NOT NULL
     ),
     batch AS (
       SELECT doc_id, source,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS ch,
              ROW_NUMBER() OVER (PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
                                 ORDER BY doc_id) AS rn
-      FROM documents WHERE source LIKE 'src1%'
+      FROM documents WHERE source LIKE 'src1%' AND text IS NOT NULL
     )
+    -- NOT EXISTS, never NOT IN: one NULL hash in the corpus set makes
+    -- NOT IN three-valued-logic-empty the ENTIRE result.  NULL-text
+    -- batch rows pass through (no content hash -> not provably dup),
+    -- matching drop_duplicates_against.
     SELECT b.doc_id, b.source
     FROM batch b
-    WHERE b.rn = 1 AND b.ch NOT IN (SELECT ch FROM corpus)
+    WHERE b.rn = 1 AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.ch = b.ch)
+    UNION ALL
+    SELECT doc_id, source FROM documents
+    WHERE source LIKE 'src1%' AND text IS NULL
     """,
 )
 def dd08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1956,11 +1964,12 @@ def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as a per-shard recursive CTE",
     oracle=f"""
     WITH RECURSIVE base AS (
+      -- NULL-text docs have no token count; pack_nextfit skips them
       SELECT doc_id,
              CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
              CAST((('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15))
                    ::BIGINT % 4) AS INT) AS shard
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     ordered AS (
       SELECT doc_id, n_tok, shard,
@@ -2358,13 +2367,19 @@ def sm11_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, source, text, {_DUCK_TOKENS} AS toks FROM documents)
     ),
     cal AS (
+      -- ranks over KNOWN qualities only, matching quantile_calibrate:
+      -- including NULLs would both brand them "worst" and shift every
+      -- real row's rank
       SELECT doc_id, source, quality,
              ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality), 6)
                AS calibrated
-      FROM scored
+      FROM scored WHERE quality IS NOT NULL
     )
     SELECT doc_id, source, quality, calibrated, (calibrated >= 0.8) AS kept
     FROM cal
+    UNION ALL
+    SELECT doc_id, source, quality, NULL AS calibrated, NULL AS kept
+    FROM scored WHERE quality IS NULL
     """,
 )
 def sm10_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2610,9 +2625,12 @@ def dd11_hot_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks t LEFT JOIN summ s USING (doc_id)
     ),
     bins AS (
+      -- hist_partials drops NULL values: a NULL-text doc has no token
+      -- count and sits outside the quantile estimate (and its cnt must
+      -- not inflate the cumulative total)
       SELECT source, CAST(FLOOR(n_tokens / 16.0) AS BIGINT) AS bin,
              COUNT(*) AS cnt
-      FROM perdoc GROUP BY 1, 2
+      FROM perdoc WHERE n_tokens IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
       SELECT source, bin, cnt,
@@ -2714,11 +2732,13 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
     ),
     kept AS (
+      -- ranks over KNOWN qualities only (quantile_calibrate semantics);
+      -- NULL-quality docs fail the gate on both engines
       SELECT doc_id, lang, text FROM (
         SELECT doc_id, lang, text,
                ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality),
                      6) AS calibrated
-        FROM scored
+        FROM scored WHERE quality IS NOT NULL
       ) WHERE calibrated >= 0.5
     ),
     sizes AS (SELECT lang, COUNT(*) AS n_s FROM kept GROUP BY 1),
@@ -2821,7 +2841,9 @@ def pipe04_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(generate_series(1, 8),
                i -> ROUND((('0x' || substr(md5(text), 3 + 2 * i, 2))::BIGINT)
                           / 255.0, 6)) AS f
-      FROM documents
+      -- attach_payload drops NULL-text rows; without this a NULL text
+      -- would fold to phash 0 here and fabricate an all-NULL dup bucket
+      FROM documents WHERE text IS NOT NULL
     ),
     ph AS (
       SELECT doc_id,
@@ -2872,7 +2894,8 @@ def mm04_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(64 + (('0x' || substr(md5(text), 1, 2))::BIGINT % 192) AS INT) AS width,
              CAST(64 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 192) AS INT) AS height
-      FROM documents
+      -- attach_payload drops NULL-text rows (no payload to fabricate)
+      FROM documents WHERE text IS NOT NULL
     ),
     sized AS (
       SELECT doc_id,

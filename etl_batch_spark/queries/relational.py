@@ -596,7 +596,7 @@ def q21_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT event_id, user_id, ts, event_type,
              LAST_VALUE(click_ts IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
       FROM (
         SELECT event_id, user_id, ts, event_type,
@@ -611,9 +611,12 @@ def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = e.withColumn(
         "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
     )
+    # NULLS FIRST pinned on both sides (DuckDB defaults to NULLS LAST):
+    # a timeless purchase then has an empty preceding frame — "no last
+    # click" — instead of inheriting the user's final click
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_first(), "event_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     return (
@@ -765,14 +768,17 @@ def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                          > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
-        FROM events
+        -- a timeless event belongs to no session (pinned by exclusion;
+        -- engines disagree on where NULL ts sorts)
+        FROM events WHERE ts IS NOT NULL
       )
     )
     GROUP BY user_id, session_id
     """,
 )
 def q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # timeless events are off the session timeline — see the oracle note
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
@@ -3144,11 +3150,15 @@ def q90_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT event_type) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING) AS INT) AS n_types_seen
-    FROM events WHERE user_id % 20 = 7
+    -- "types seen so far" is undefined for a timeless event (and
+    -- engines disagree on where NULL ts sorts) — pinned by exclusion
+    FROM events WHERE user_id % 20 = 7 AND ts IS NOT NULL
     """,
 )
 def q91_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 7)
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 20 == 7) & F.col("ts").isNotNull()
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

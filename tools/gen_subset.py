@@ -42,8 +42,8 @@ NULLABLE_COLUMNS = {
     "orders": ["o_totalprice", "o_orderpriority", "o_orderstatus"],
     "lineitem": ["l_quantity", "l_extendedprice", "l_discount",
                  "l_shipdate", "l_returnflag"],
-    "events": ["value", "props"],
-    "documents": ["lang", "source"],
+    "events": ["value", "props", "ts"],
+    "documents": ["lang", "source", "text"],
     "embeddings": ["label"],
 }
 
