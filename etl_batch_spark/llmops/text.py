@@ -482,7 +482,13 @@ def score_batch(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
             missing = pdf[text_col].isna().to_numpy()
             txt = pdf[text_col].fillna("")
             n_chars = txt.str.len().clip(upper=2000)
-            n_tok = txt.str.split().str.len().fillna(0).clip(upper=400)
+            # explicit ASCII whitespace class (= Java regex \s), NOT
+            # pandas .split(): Python's no-arg split is Unicode-aware
+            # (NBSP, ideographic space, …) where the engine-wide token
+            # contract — F.split on \s+ in the JVM operators — is ASCII
+            n_tok = (
+                txt.str.findall(r"[^ \t\n\r\f\x0b]+").str.len().clip(upper=400)
+            )
             digits = txt.str.count(r"[0-9]")
             ratio = digits / np.maximum(txt.str.len(), 1)
             z = -1.5 + 0.004 * n_chars + 0.02 * n_tok - 2.0 * ratio

@@ -165,7 +165,10 @@ def et03_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             fact.join(dim.select(pk), fact[fk] == dim[pk], "left")
             .agg(
-                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias("n_orphans"),
+                # count(when), not sum(when): a count of orphans over an
+                # empty fact table is 0 (like the oracle's COUNT FILTER),
+                # where SUM over zero rows would report NULL
+                F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
                 F.count(F.lit(1)).alias("n_rows"),
             )
             .select(F.lit(label).alias("fk"), "n_orphans", "n_rows")
@@ -496,8 +499,8 @@ def et10_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.p_name AS clean_name, d.dirty_name,
                levenshtein(n.p_name, d.dirty_name) AS distance
         FROM names n JOIN dirty d
-          ON string_split_regex(lower(trim(n.p_name)), '\\s+')[1] =
-             string_split_regex(lower(trim(d.dirty_name)), '\\s+')[1]
+          ON string_split_regex(lower(trim(n.p_name)), '[\\s\\x0B]+')[1] =
+             string_split_regex(lower(trim(d.dirty_name)), '[\\s\\x0B]+')[1]
          AND CAST(floor(len(n.p_name) / 8) AS BIGINT) =
              CAST(floor(len(d.dirty_name) / 8) AS BIGINT)
     )
@@ -717,7 +720,9 @@ def et13_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, documents.source, n_chars,
            ROUND(stats.m, 4) AS group_median, ROUND(stats.d, 4) AS group_mad
-    FROM documents JOIN stats ON documents.source = stats.source
+    -- null-safe: a NULL source is a legitimate GROUP BY group on both
+    -- engines; a plain equi-join back to it would silently drop it
+    FROM documents JOIN stats ON documents.source IS NOT DISTINCT FROM stats.source
     WHERE stats.d > 0 AND abs(n_chars - stats.m) > 3 * stats.d
     """,
 )
@@ -908,12 +913,20 @@ def et17_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.orderBy(F.desc("cnt"), F.asc("key"))
         .limit(5)
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct((-F.col("cnt")).alias("neg"), "key"))),
-                    lambda s: s.key.cast("string"),
+            # nullif(. , ''): string_agg over zero keys is NULL in SQL,
+            # where array_join over an empty collect_list gives '' —
+            # keys are bigints, so '' can never be a legitimate value
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct((-F.col("cnt")).alias("neg"), "key"))
+                        ),
+                        lambda s: s.key.cast("string"),
+                    ),
+                    ",",
                 ),
-                ",",
+                F.lit(""),
             ).alias("top_keys")
         )
     )
@@ -1371,9 +1384,11 @@ def _duck_psi_metric(bucket_ref: str, bucket_cur: str, metric: str) -> str:
     return f"""
       SELECT '{metric}' AS metric,
              ROUND(SUM(({q} - {p}) * ln({q} / {p})), 4) AS psi,
-             CAST(MAX(n_ref) AS BIGINT) AS n_ref,
-             CAST(MAX(n_cur) AS BIGINT) AS n_cur,
-             CAST(MAX(k) AS BIGINT) AS n_buckets
+             -- COALESCE: over an empty month-half the operator honestly
+             -- counts 0 rows / 0 buckets; MAX over zero rows is NULL
+             CAST(COALESCE(MAX(n_ref), 0) AS BIGINT) AS n_ref,
+             CAST(COALESCE(MAX(n_cur), 0) AS BIGINT) AS n_cur,
+             CAST(COALESCE(MAX(k), 0) AS BIGINT) AS n_buckets
       FROM (
         SELECT b, c_ref, c_cur,
                SUM(c_ref) OVER () AS n_ref, SUM(c_cur) OVER () AS n_cur,

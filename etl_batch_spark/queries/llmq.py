@@ -20,7 +20,9 @@ from etl_batch_spark.queries.registry import query
 
 # DuckDB twins of the shared building blocks (Spark forms live in llmops)
 _DUCK_H60 = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
-_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+# '[\\s\\x0B]+' = Java regex \\s: RE2's \\s lacks vertical tab, the JVM
+# operators split on Java \\s — pin the oracle to the engine contract
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '')"
 _DUCK_SHINGLES = (
     "list_transform(generate_series(1, len(toks) - 2), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
@@ -59,7 +61,7 @@ def dd01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd02_fingerprint",
     doc="normalized-fingerprint dedup (llmops.dedup.fingerprint_groups)",
     oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+    SELECT md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'))) AS fingerprint,
            MIN(doc_id) AS keeper_doc_id,
            COUNT(*) AS n_copies
     FROM documents
@@ -961,7 +963,7 @@ def tx02_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOK_RE_DUCK = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+_TOK_RE_DUCK = "[a-z]+|[0-9]+|[^a-z0-9\\s\\x0B]"
 
 
 @query(
@@ -971,7 +973,7 @@ _TOK_RE_DUCK = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(lower(text), '{_TOK_RE_DUCK}'))) AS BIGINT) AS bpe_tokens,
-           CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+           CAST(SUM(len(list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'),
                                     x -> x <> ''))) AS BIGINT) AS ws_tokens
     FROM documents
     GROUP BY source
@@ -1026,19 +1028,19 @@ def tx05_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(aug,
              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-             'https?://[^\\s]+', '<URL>', 'g'),
+             'https?://[^\\s\\x0B]+', '<URL>', 'g'),
              '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
            CAST(len(string_split(regexp_replace(regexp_replace(regexp_replace(aug,
              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-             'https?://[^\\s]+', '<URL>', 'g'),
+             'https?://[^\\s\\x0B]+', '<URL>', 'g'),
              '[0-9]{6,}', '<NUM>', 'g'), '<EMAIL>')) - 1
            + len(string_split(regexp_replace(regexp_replace(regexp_replace(aug,
              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-             'https?://[^\\s]+', '<URL>', 'g'),
+             'https?://[^\\s\\x0B]+', '<URL>', 'g'),
              '[0-9]{6,}', '<NUM>', 'g'), '<URL>')) - 1
            + len(string_split(regexp_replace(regexp_replace(regexp_replace(aug,
              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-             'https?://[^\\s]+', '<URL>', 'g'),
+             'https?://[^\\s\\x0B]+', '<URL>', 'g'),
              '[0-9]{6,}', '<NUM>', 'g'), '<NUM>')) - 1 AS BIGINT) AS n_redactions
     FROM (
       SELECT doc_id,
@@ -1514,18 +1516,24 @@ def ss05_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapInPandas (llmops.multimodal.window_energy)",
     oracle="""
     WITH d AS (
-      SELECT doc_id, text, length(text) AS n
-      FROM documents WHERE length(text) > 0
+      -- the operator frames the UTF-8 PAYLOAD BYTES, not characters:
+      -- hex(encode(text)) exposes the byte sequence to SQL (byte i is
+      -- the i-th hex pair), where ord(substr(text, i, 1)) would read
+      -- CODE POINTS — unbounded values and wrong frame boundaries the
+      -- moment the text is non-ASCII
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
     ),
     w AS (
-      SELECT doc_id, text, n,
+      SELECT doc_id, hx, n,
              unnest(generate_series(0, CAST((n - 1) // 128 AS INT))) AS widx
       FROM d
     )
     SELECT doc_id, CAST(widx AS INT) AS widx,
            ROUND(list_avg(list_transform(
                    generate_series(widx * 128 + 1, LEAST(widx * 128 + 256, n)),
-                   i -> ord(substr(text, i, 1))))
+                   i -> ('0x' || substr(hx, 2 * i - 1, 2))::INT))
                  / 255.0 + 1e-9, 6) AS energy
     FROM w
     """,
@@ -1589,14 +1597,18 @@ def sm06_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality model applied via pandas UDF (the batch-inference plumbing "
     "for any real classifier)",
     oracle="""
+    -- length(text), not the fixture n_chars column: the operator
+    -- featurizes from the text itself.  '[\\s\\x0B]+' = Java regex \\s
+    -- (RE2's \\s lacks vertical tab) — the engine-wide ASCII token
+    -- contract.
     SELECT doc_id,
            ROUND(1.0 / (1.0 + EXP(-(
              -1.5
-             + 0.004 * LEAST(n_chars, 2000)
-             + 0.02  * LEAST(len(list_filter(string_split_regex(text, '\\s+'),
+             + 0.004 * LEAST(length(text), 2000)
+             + 0.02  * LEAST(len(list_filter(string_split_regex(text, '[\\s\\x0B]+'),
                                              x -> x <> '')), 400)
              - 2.0   * (len(regexp_extract_all(text, '[0-9]')) /
-                        GREATEST(n_chars, 1))
+                        GREATEST(length(text), 1))
            ))), 6) AS score
     FROM documents
     """,

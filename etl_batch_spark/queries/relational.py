@@ -449,18 +449,20 @@ def q15_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.grouping import ensure_grand_row
+
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
-        )
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
     )
+    rolled = joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+    # SQL mandates the () grand-total row even over empty input
+    return ensure_grand_row(rolled, joined, {"n_customers": 0})
 
 
 @query(
@@ -473,11 +475,14 @@ def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.grouping import ensure_grand_row
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_lines"))
+    cubed = li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_lines")
     )
+    # SQL mandates the () grand-total row even over empty input
+    return ensure_grand_row(cubed, li, {"n_lines": 0})
 
 
 # ---------------------------------------------------------------------------
@@ -561,7 +566,7 @@ def q20_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_explode_words",
     oracle="""
     SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
-    FROM (SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS word
+    FROM (SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[\\s\\x0B]+')) AS word
           FROM documents)
     WHERE word <> ''
     GROUP BY word
@@ -975,8 +980,10 @@ def q39_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.grouping import ensure_grand_row
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    sets = (
         li.groupingSets(
             [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
             "l_returnflag",
@@ -996,6 +1003,11 @@ def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
             "n_rows",
         )
+    )
+    # SQL mandates the () member's row even over empty input: both
+    # GROUPING flags are 1 there, so gid = 3 and the keys coalesce
+    return ensure_grand_row(
+        sets, li, {"returnflag": "ALL", "linestatus": "ALL", "gid": 3, "n_rows": 0}
     )
 
 

@@ -11,6 +11,22 @@ query on data it was never tuned against:
     python tools/gen_subset.py --seed 1
     python tools/parity.py /root/repo/.benchdata/subset/s1
 
+Beyond row-subsetting (and ``--nulls``), three more distribution-shift
+classes, each targeting a divergence family the canonical fixtures
+cannot exercise:
+
+* ``--ties N``  — coarsens ordering/value columns on N% of rows
+  (timestamps to the hour, prices to hundreds, quantities to fives) so
+  window functions hit REAL peer groups: a rank/frame that only agreed
+  cross-engine because the data never tied surfaces here.
+* ``--unicode N`` — replaces N% of ``documents.text`` with strings from
+  a fixed multilingual/emoji/control-character palette: tokenization,
+  length semantics (code points vs UTF-16 units), regex character
+  classes and hash-of-UTF-8 all get exercised on non-ASCII input.
+* ``--keep 0``  — every fact table empty (constant dims stay): every
+  aggregate/join/window empty-input path must agree on zero rows with
+  the right schema instead of erroring.
+
 Sampling is per-row on a hash of (primary key, seed), so it is
 deterministic, seed-varied, and REFERENTIALLY RAGGED on purpose:
 dropping an order while keeping its lineitems (and vice versa) creates
@@ -60,6 +76,52 @@ PRIMARY_KEYS = {
 }
 FULL_TABLES = ["region", "nation"]
 
+# table -> {column: coarsening SQL over that column} for --ties: each
+# expression collapses many distinct values onto one so ORDER BY peers
+# actually tie.  Types are preserved (a coarsened ts is still a ts).
+TIE_COLUMNS = {
+    "customer": {"c_acctbal": "ROUND(c_acctbal / 500, 0) * 500"},
+    "supplier": {"s_acctbal": "ROUND(s_acctbal / 500, 0) * 500"},
+    "part": {"p_retailprice": "ROUND(p_retailprice / 100, 0) * 100"},
+    "orders": {
+        "o_totalprice": "ROUND(o_totalprice / 1000, 0) * 1000",
+        "o_orderdate": "date_trunc('month', o_orderdate)",
+    },
+    "lineitem": {
+        "l_quantity": "CAST(CEIL(l_quantity / 5) * 5 AS DECIMAL(15,2))",
+        "l_extendedprice": "ROUND(l_extendedprice / 1000, 0) * 1000",
+        "l_shipdate": "date_trunc('month', l_shipdate)",
+        "l_discount": "CAST(0.05 AS DECIMAL(15,2))",
+    },
+    "events": {
+        "ts": "date_trunc('hour', ts)",
+        "value": "ROUND(value / 10, 0) * 10",
+    },
+    "documents": {},
+    "embeddings": {},
+}
+
+# Fixed palette for --unicode: multilingual text, emoji (incl. ZWJ
+# sequences and supplementary-plane code points), combining accents,
+# NBSP / tab / CRLF whitespace, RTL scripts — the inputs where
+# character-length vs UTF-16-unit counts, regex \s/\w classes and
+# tokenizer splits diverge between engines if either side is sloppy.
+UNICODE_PALETTE = [
+    "café Ωmega ☕ naïve résumé",
+    "日本語テキスト 数据处理 한국어",
+    "emoji \U0001f680\U0001f525 zwj \U0001f469\u200d\U0001f4bb pair",
+    "line1\r\nline2\tcolumn\ttab",
+    "nbsp separated words here",
+    "combining é accent à grave",
+    "rtl שלום عالم mixed ltr",
+    "math \U0001d52a\U0001d51e\U0001d531\U0001d525 gothic \U00010348",
+    "",
+    "   ",
+    # \x0B / \x0C: Java regex \s includes vertical tab, RE2's \s does
+    # not — the engine pins oracles to '[\s\x0B]+'; this entry proves it
+    "vertical\x0btab and\x0cformfeed runs",
+]
+
 
 def main(argv: "list[str] | None" = None) -> int:
     ap = argparse.ArgumentParser()
@@ -72,12 +134,24 @@ def main(argv: "list[str] | None" = None) -> int:
         help="percent of rows whose NULLABLE_COLUMNS entries are nulled "
              "(per column, independent hash draws)",
     )
+    ap.add_argument(
+        "--ties", type=int, default=0,
+        help="percent of rows whose TIE_COLUMNS entries are coarsened "
+             "onto shared values (per column, independent hash draws)",
+    )
+    ap.add_argument(
+        "--unicode", type=int, default=0,
+        help="percent of documents.text rows replaced from the fixed "
+             "unicode palette",
+    )
     args = ap.parse_args(argv)
     out = args.out or f"/root/repo/.benchdata/subset/s{args.seed}"
-    if not 0 < args.keep <= 100:
-        raise SystemExit(f"--keep must be in (0, 100], got {args.keep}")
-    if not 0 <= args.nulls <= 100:
-        raise SystemExit(f"--nulls must be in [0, 100], got {args.nulls}")
+    if not 0 <= args.keep <= 100:
+        raise SystemExit(f"--keep must be in [0, 100], got {args.keep}")
+    for name in ("nulls", "ties", "unicode"):
+        v = getattr(args, name)
+        if not 0 <= v <= 100:
+            raise SystemExit(f"--{name} must be in [0, 100], got {v}")
     os.makedirs(out, exist_ok=True)
 
     con = duckdb.connect()
@@ -87,24 +161,55 @@ def main(argv: "list[str] | None" = None) -> int:
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied full")
+    if args.unicode:
+        con.execute("CREATE TEMP TABLE _palette (i INT, txt VARCHAR)")
+        con.executemany(
+            "INSERT INTO _palette VALUES (?, ?)",
+            list(enumerate(UNICODE_PALETTE)),
+        )
     for t, pk in PRIMARY_KEYS.items():
         key = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
         proj = "*"
-        if args.nulls:
-            cols = [
-                r[0] for r in con.execute(
-                    f"DESCRIBE SELECT * FROM '{args.src}/{t}.parquet'"
-                ).fetchall()
-            ]
+        if args.nulls or args.ties or args.unicode:
+            described = con.execute(
+                f"DESCRIBE SELECT * FROM '{args.src}/{t}.parquet'"
+            ).fetchall()
             exprs = []
-            for c in cols:
-                if c in NULLABLE_COLUMNS.get(t, []):
-                    exprs.append(
-                        f"CASE WHEN hash({key} || '|{c}#{args.seed}') % 100 "
-                        f"< {args.nulls} THEN NULL ELSE {c} END AS {c}"
+            for c, dtype, *_ in described:
+                e = c
+                # composition order: coarsen first, then unicode swap,
+                # then NULL (a NULL draw always wins)
+                if args.ties and c in TIE_COLUMNS.get(t, {}):
+                    coarse = TIE_COLUMNS[t][c]
+                    e = (
+                        f"CASE WHEN hash({key} || '|{c}~tie#{args.seed}') % 100 "
+                        f"< {args.ties} THEN CAST(({coarse}) AS {dtype}) "
+                        f"ELSE {e} END"
                     )
-                else:
-                    exprs.append(c)
+                if args.unicode and t == "documents" and c == "text":
+                    n = len(UNICODE_PALETTE)
+                    e = (
+                        f"CASE WHEN hash({key} || '|text~uni#{args.seed}') % 100 "
+                        f"< {args.unicode} THEN (SELECT txt FROM _palette WHERE "
+                        f"i = hash({key} || '|pick#{args.seed}') % {n}) "
+                        f"ELSE {e} END"
+                    )
+                if args.unicode and t == "documents" and c == "n_chars":
+                    # keep the derived fixture column consistent with
+                    # the swapped text (same hash draw as the text case)
+                    n = len(UNICODE_PALETTE)
+                    e = (
+                        f"CASE WHEN hash({key} || '|text~uni#{args.seed}') % 100 "
+                        f"< {args.unicode} THEN length((SELECT txt FROM _palette "
+                        f"WHERE i = hash({key} || '|pick#{args.seed}') % {n})) "
+                        f"ELSE {e} END"
+                    )
+                if args.nulls and c in NULLABLE_COLUMNS.get(t, []):
+                    e = (
+                        f"CASE WHEN hash({key} || '|{c}#{args.seed}') % 100 "
+                        f"< {args.nulls} THEN NULL ELSE {e} END"
+                    )
+                exprs.append(f"{e} AS {c}" if e != c else c)
             proj = ", ".join(exprs)
         con.execute(
             f"COPY (SELECT {proj} FROM '{args.src}/{t}.parquet' "
