@@ -985,13 +985,16 @@ def _ev17_duck_oracle() -> str:
     )""")
     return f"""
     WITH fp AS MATERIALIZED (
+      -- no timestamp -> no position in a journey (ev04 convention);
+      -- filtered identically on the Spark side, where array_sort would
+      -- otherwise put NULL ts FIRST while ORDER BY ts puts it LAST
       SELECT user_id, MIN(ts) AS fp_ts FROM events
-      WHERE event_type = 'purchase' GROUP BY 1
+      WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1
     ),
     pre AS MATERIALIZED (
       SELECT e.user_id, e.ts, e.event_id, e.event_type, fp.fp_ts
       FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
-      WHERE e.event_type <> 'purchase'
+      WHERE e.event_type <> 'purchase' AND e.ts IS NOT NULL
         AND (fp.fp_ts IS NULL OR e.ts < fp.fp_ts)
     ),
     seqs AS MATERIALIZED (
@@ -1060,7 +1063,8 @@ def _ev17_duck_oracle() -> str:
     oracle=_ev17_duck_oracle(),
 )
 def ev17_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    # no timestamp -> no position in a journey (ev04 convention; see oracle)
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     fp = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")

@@ -2393,6 +2393,11 @@ def q71_order_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY n.n_name
                                   ORDER BY COUNT(*) DESC, c.c_mktsegment) AS rn
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        -- mode semantics: NULL is "unknown", not a candidate value —
+        -- SQL's mode() aggregate ignores NULLs, and leaving them in
+        -- also splits the asc tie-break (Spark NULLS FIRST vs DuckDB
+        -- NULLS LAST); excluded explicitly on BOTH sides
+        WHERE c.c_mktsegment IS NOT NULL
         GROUP BY 1, 2
     ) t
     WHERE rn = 1
@@ -2402,7 +2407,8 @@ def q72_modal_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     counts = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        c.filter(F.col("c_mktsegment").isNotNull())  # mode ignores NULLs (see oracle)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -2501,8 +2507,12 @@ def q74_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q75_revenue_share",
     oracle="""
     WITH rev AS (
+        -- decimal accumulation: a double SUM is summation-order-dependent
+        -- and can land exactly on a ROUND half-boundary (1-cent flips seen
+        -- on perturbed corpora); decimal is exact and order-independent
         SELECT r.r_name AS region, n.n_name AS nation,
-               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2510,8 +2520,9 @@ def q74_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         GROUP BY 1, 2
     )
-    SELECT region, nation, ROUND(revenue, 2) AS revenue,
-           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+    SELECT region, nation, CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(revenue AS DOUBLE)
+                 / CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE), 6)
              AS region_share
     FROM rev
     """,
@@ -2528,12 +2539,21 @@ def q75_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev")
+        )
     )
-    share = F.col("rev") / F.sum("rev").over(W.partitionBy("region"))
+    # exact decimal sums, then ONE double division: identical inputs on
+    # both engines make the rounded share bit-identical
+    share = F.col("rev").cast("double") / F.sum("rev").over(
+        W.partitionBy("region")
+    ).cast("double")
     return rev.select(
         "region", "nation",
-        F.round("rev", 2).alias("revenue"),
+        F.round("rev", 2).cast("double").alias("revenue"),
         F.round(share, 6).alias("region_share"),
     )
 

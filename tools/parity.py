@@ -45,9 +45,16 @@ def norm_cell(v):
 
 
 def sort_key(row):
-    return tuple(
-        (str(type(c)), str(c)) for c in row
-    )
+    out = []
+    for c in row:
+        if isinstance(c, float):
+            # IEEE: -0.0 + 0.0 = +0.0 — Spark normalizes -0.0 in group
+            # keys where DuckDB preserves it; both are the SAME value
+            # (fa == fb below agrees), so the canonical row sort must
+            # not split them by string representation
+            c = c + 0.0
+        out.append((str(type(c)), str(c)))
+    return tuple(out)
 
 
 def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols):
