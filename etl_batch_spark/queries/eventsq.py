@@ -292,7 +292,12 @@ def ev05_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type = 'click' AND ts IS NOT NULL
     ),
     purch AS (
-      SELECT user_id, ts, epoch_us(ts) AS pts, ROUND(AVG(value), 2) AS pval
+      -- identical-division avg: decimal sum then ONE double division,
+      -- so a tied-ts group's mean can't straddle a ROUND half boundary
+      -- differently per engine
+      SELECT user_id, ts, epoch_us(ts) AS pts,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(value), 2) AS pval
       FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
       GROUP BY user_id, ts
     ),
@@ -329,7 +334,13 @@ def ev06_interpolate_at_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     purch = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
-        .agg(F.round(F.avg("value"), 2).alias("pval"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("value"),
+                2,
+            ).alias("pval")
+        )
     )
     out = cogroup_interpolate(
         clicks, purch, key_col="user_id", ts_col="ts", value_col="pval"
@@ -737,7 +748,13 @@ def ev13_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j
     )
     SELECT channel, COUNT(*) AS n_touches,
-           ROUND(SUM(value / n), 2) AS credited_revenue
+           -- exact fixed-point credit: value/n at double precision is
+           -- summation-order-dependent and odd-cents/2 lands exactly on
+           -- the ROUND half boundary; integer micro-cents with floor
+           -- division are bit-identical on every engine (value >= 0,
+           -- n >= 1, so // == truncation)
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT) * 10000 // n)
+                 / 1000000.0, 2) AS credited_revenue
     FROM cr GROUP BY channel
     """,
 )
@@ -781,7 +798,12 @@ def ev14_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return credited.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_touches"),
-        F.round(F.sum(F.col("value") / F.col("n")), 2).alias("credited_revenue"),
+        # exact fixed-point micro-cent credit (see oracle note)
+        F.round(
+            F.sum(F.expr("cast(round(value * 100) as bigint) * 10000 div n"))
+            / 1000000.0,
+            2,
+        ).alias("credited_revenue"),
     )
 
 

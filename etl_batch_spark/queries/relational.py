@@ -30,10 +30,23 @@ from etl_batch_spark.queries.registry import query
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           -- product sums accumulate in DECIMAL: the 4dp/6dp true values sit
+           -- exactly on ROUND-half boundaries, where a double sum's
+           -- order-dependent last ULP flips the cent per engine.  Plain 2dp
+           -- sums (sum_base_price) are grid-safe in double and stay native.
+           -- DECIMAL(12,2)x(4,2) keeps the triple product within precision
+           -- 38 on both engines (18,2 would trigger engine-specific scale
+           -- truncation).
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / COUNT(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -42,17 +55,28 @@ from etl_batch_spark.queries.registry import query
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal accumulation for the 4dp/6dp product sums (see oracle note)
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))), 2
+            )
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double")
+                / F.count("l_discount"),
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -224,7 +248,7 @@ def q08_not_exists_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
     SELECT r.r_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -252,7 +276,7 @@ def q09_multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -305,7 +329,11 @@ def q10_decode_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT UPPER(SUBSTR(p_name, 1, INSTR(p_name, ' ') - 1)) AS first_word,
            COUNT(*) AS n_parts,
-           ROUND(AVG(p_retailprice), 4) AS avg_price
+           -- identical-division avg (see q01 avg_disc): decimal sum then
+           -- ONE double division — cents/count can land exactly on the
+           -- 4dp half boundary (e.g. count=8) where double-sum order flips
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(p_retailprice), 4) AS avg_price
     FROM part
     WHERE INSTR(p_name, ' ') > 0
     GROUP BY 1
@@ -319,7 +347,11 @@ def q11_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(first_word.alias("first_word"))
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(12,2)")).cast("double")
+                / F.count("p_retailprice"),
+                4,
+            ).alias("avg_price"),
         )
     )
 
@@ -815,7 +847,7 @@ def q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -841,7 +873,7 @@ def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -859,7 +891,7 @@ def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q36_forecast_revenue",
     bench=True,
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -878,7 +910,15 @@ def q36_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -1055,7 +1095,10 @@ def q41_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q42_small_qty_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    -- decimal sum then ONE double division: cents/7 can land exactly on
+    -- the half-cent where double-sum order flips the rounding per engine
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN (SELECT l_partkey, ROUND(0.2 * AVG(l_quantity), 4) AS qty_lim
@@ -1074,7 +1117,13 @@ def q42_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(lim, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_lim"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -1169,7 +1218,7 @@ def q44_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1202,8 +1251,8 @@ def q45_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -1217,7 +1266,7 @@ def q45_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q46_disjunctive_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -1253,8 +1302,8 @@ def q46_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -1323,7 +1372,13 @@ def q47_multi_supplier_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(c.c_acctbal), 2) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (
-        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        -- identical-division avg: a balance can sit EXACTLY on the true
+        -- average (cents/count), where each engine's double-sum error
+        -- flips the strict > differently; decimal sum + one double
+        -- division makes the threshold bit-identical
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0.0
       )
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -1336,7 +1391,13 @@ def q48_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("avg_bal"))
+        # identical-division avg (see oracle note)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_bal")
+        )
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -1633,11 +1694,11 @@ def q54_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_volume_shipping",
     bench=True,
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -1682,8 +1743,8 @@ def q55_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -1698,11 +1759,11 @@ def q55_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_market_share",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
              n2.n_name AS nation
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -1727,7 +1788,7 @@ def q56_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
     n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
     return (
         li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
                 F.col("l_partkey") == F.col("p_partkey"))
@@ -1740,9 +1801,12 @@ def q56_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("c_rk") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # exact decimal sums, then ONE double division (q75 pattern)
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(0.0))
-                / F.sum(volume),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(volume).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -1759,7 +1823,7 @@ def q56_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1784,8 +1848,8 @@ def q57_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("profit")
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2
+            ).cast("double").alias("profit")
         )
     )
 
@@ -1861,24 +1925,35 @@ def q58_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q59_important_parts",
     oracle="""
+    -- decimal per-part values and an identically-derived double
+    -- threshold: a part sitting EXACTLY on total*0.0007 would otherwise
+    -- flip membership on each engine's double-sum error
     WITH partval AS (
-      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS val
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(3,0))) AS val
       FROM lineitem GROUP BY 1
     )
-    SELECT l_partkey, ROUND(val, 2) AS value
+    SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS value
     FROM partval
-    WHERE val > (SELECT SUM(l_extendedprice * l_quantity) * 0.0007 FROM lineitem)
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_quantity AS DECIMAL(3,0))) AS DOUBLE)
+                  * 0.0007 FROM lineitem)
     """,
 )
 def q59_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    val = F.col("l_extendedprice") * F.col("l_quantity")
+    # decimal values, double threshold — bit-identical membership (see oracle)
+    val = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(3,0)"
+    )
     partval = li.groupBy("l_partkey").agg(F.sum(val).alias("val"))
-    total = li.agg((F.sum(val) * 0.0007).alias("threshold"))
+    total = li.agg((F.sum(val).cast("double") * 0.0007).alias("threshold"))
     return (
         partval.crossJoin(F.broadcast(total))
-        .filter(F.col("val") > F.col("threshold"))
-        .select("l_partkey", F.round("val", 2).alias("value"))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.round("val", 2).cast("double").alias("value"))
     )
 
 
@@ -1931,10 +2006,10 @@ def q60_priority_class_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_promo_effect",
     oracle="""
     SELECT ROUND(100.0 *
-             SUM(CASE WHEN p.p_type = 'PROMO'
-                      THEN l.l_extendedprice * (1 - l.l_discount)
-                      ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS promo_revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
@@ -1944,7 +2019,7 @@ def q60_priority_class_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -1952,10 +2027,13 @@ def q61_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
+            # exact decimal sums, then ONE double division (q75 pattern)
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -1971,13 +2049,13 @@ def q61_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_top_supplier",
     oracle="""
     WITH revenue AS (
-      SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+      SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
       GROUP BY 1
     )
-    SELECT s.s_suppkey, s.s_name, ROUND(r.total_rev, 2) AS total_rev
+    SELECT s.s_suppkey, s.s_name, CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_rev
     FROM supplier s
     JOIN revenue r ON s.s_suppkey = r.l_suppkey
     WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
@@ -1992,14 +2070,14 @@ def q62_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).alias("total_rev"))
     )
     mx = revenue.agg(F.max("total_rev").alias("max_rev"))
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_rev"))
     )
 
 
@@ -2652,7 +2730,7 @@ def _q78_build(spark: SparkSession, sf_dir: str, *, exact: bool) -> DataFrame:
     )
     return pruned.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2).cast("double").alias("revenue"),
     )
 
 
@@ -2668,7 +2746,7 @@ def _q78_build(spark: SparkSession, sf_dir: str, *, exact: bool) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_suppkey IN (
         SELECT s.s_suppkey
@@ -3345,7 +3423,7 @@ def q94_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s.s_nationkey AS nation,
            COUNT(*) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY 1
     """,
@@ -3363,8 +3441,8 @@ def q95_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("s_nationkey").alias("nation")).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2
+        ).cast("double").alias("revenue"),
     )
 
 
