@@ -221,11 +221,17 @@ def et04_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "et05_hierarchy_levels",
     oracle="""
-    WITH RECURSIVE t AS (
-      SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey < 10
+    WITH RECURSIVE nodes AS (
+      -- node-SET semantics: duplicate customer rows are the same node,
+      -- or every duplicated ancestor multiplies its whole subtree's
+      -- counts through the recursion
+      SELECT DISTINCT c_custkey FROM customer
+    ),
+    t AS (
+      SELECT c_custkey, 0 AS depth FROM nodes WHERE c_custkey < 10
       UNION ALL
       SELECT c.c_custkey, t.depth + 1
-      FROM customer c JOIN t ON (c.c_custkey // 10) = t.c_custkey
+      FROM nodes c JOIN t ON (c.c_custkey // 10) = t.c_custkey
       WHERE c.c_custkey >= 10
     )
     SELECT depth, COUNT(*) AS n_nodes,
@@ -237,7 +243,8 @@ def et04_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def et05_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_batch_spark.operators.hierarchy import bfs_levels
 
-    c = load_table(spark, sf_dir, "customer")
+    # node-SET grain, matching the oracle's DISTINCT nodes CTE
+    c = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
     edges = c.filter(F.col("c_custkey") >= 10).select(
         F.col("c_custkey").alias("child"),
         F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),

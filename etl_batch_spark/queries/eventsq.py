@@ -287,8 +287,11 @@ def ev05_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH clicks AS (
       -- a timeless click has no interpolation point; a timeless
-      -- purchase can't anchor the series — both pinned by exclusion
-      SELECT event_id, user_id, ts FROM events
+      -- purchase can't anchor the series — both pinned by exclusion.
+      -- DISTINCT pins the per-click grain: duplicate ingested click
+      -- rows would otherwise fan out quadratically through the
+      -- prev/nxt event_id self-joins below
+      SELECT DISTINCT event_id, user_id, ts FROM events
       WHERE event_type = 'click' AND ts IS NOT NULL
     ),
     purch AS (
@@ -328,8 +331,10 @@ def ev06_interpolate_at_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_batch_spark.operators.cogroup import cogroup_interpolate
 
     e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .distinct()  # per-click grain, matching the oracle's DISTINCT
     )
     purch = (
         e.filter(F.col("event_type") == "purchase")

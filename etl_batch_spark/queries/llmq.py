@@ -228,7 +228,11 @@ def dd13_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_documents(spark, sf_dir), bits=16)
+    # one signature per document: doc_id is the document key, so
+    # duplicate ingests (exact re-reads of the same doc) collapse before
+    # the per-row signature fold — matching the oracle's doc_id grain
+    docs = _documents(spark, sf_dir).select("doc_id", "text").distinct()
+    return dedup.simhash(docs, bits=16)
 
 
 _DUCK_BUCKET = (
@@ -545,7 +549,11 @@ def ss10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     x AS (
-      SELECT vec_id,
+      -- rid keeps the oracle PER-ROW (map semantics): the projection is
+      -- a row-local transform, so duplicate-ingested rows each project
+      -- (grouping by vec_id alone would SUM duplicates into doubled
+      -- projections); rid is only a grouping key, dropped from output
+      SELECT vec_id, ROW_NUMBER() OVER () AS rid,
              list_transform(e, w -> CAST(round(w * 1e6, 0) AS BIGINT)) AS x
       FROM v
     ),
@@ -560,10 +568,13 @@ def ss10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT x.vec_id, CAST(g.j AS INT) AS j,
            CAST(SUM(g.s * x.x[g.i + 1]) AS BIGINT) AS proj_micro
     FROM x CROSS JOIN grid g
-    GROUP BY x.vec_id, g.j
+    GROUP BY x.rid, x.vec_id, g.j
     """,
 )
 def ss11_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-ROW map semantics (see oracle's rid note): no distinct — the
+    # operator's contract is a shuffle-free row-local transform, pinned
+    # by test_ss11_random_projection_is_shuffle_free
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.random_project(emb, out_dim=16, in_dim=64)
 
@@ -1248,7 +1259,9 @@ def sm03_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "step a per-(cluster, dim) AVG re-assembled with list(ORDER BY pos)",
     oracle="""
     WITH RECURSIVE pts AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      -- vec_id is the vector key: duplicate ingests collapse before
+      -- seeding, or LIMIT k would seed the same vector as two clusters
+      SELECT DISTINCT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
     init AS (
       -- kmeans_lloyd seeds the first 8 vectors BY id and labels clusters
@@ -1296,7 +1309,10 @@ def sm03_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ss04_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # distinct vector grain, matching the oracle's DISTINCT (see note)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).distinct()
     assigned = similarity.kmeans_lloyd(emb, k=8, max_iterations=3)
     return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
 
@@ -1382,7 +1398,10 @@ def pipe01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 0.3 * (len(list_distinct(toks)) / CAST(NULLIF(len(toks), 0) AS DOUBLE))
                    + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
                             / CAST(NULLIF(length(text), 0) AS DOUBLE)) + 1e-9, 4) AS quality
-      FROM (SELECT doc_id, source, text, {_DUCK_TOKENS} AS toks FROM documents)
+      -- distinct document grain: duplicate ingests must not be sampled
+      -- (and counted) twice
+      FROM (SELECT doc_id, source, text, {_DUCK_TOKENS} AS toks
+            FROM (SELECT DISTINCT doc_id, source, text FROM documents))
     )
     SELECT source, COUNT(*) AS n_kept
     FROM scored
@@ -1392,7 +1411,9 @@ def pipe01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sm04_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _documents(spark, sf_dir)
+    # distinct document grain (see oracle note) — also keeps the
+    # doc_id join 1:1 instead of fanning out duplicate ingests
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "text").distinct()
     scored = docs.join(text.quality_score(docs), "doc_id")
     kept = sampling.weighted_hash_sample(
         scored, key_col="doc_id", weight_col="quality"
@@ -2376,7 +2397,10 @@ def sm11_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
                             / CAST(NULLIF(length(text), 0) AS DOUBLE)) + 1e-9,
                    4) AS quality
-      FROM (SELECT doc_id, source, text, {_DUCK_TOKENS} AS toks FROM documents)
+      -- distinct document grain: duplicate ingests would both shift
+      -- every PERCENT_RANK and double-count in the calibrated output
+      FROM (SELECT doc_id, source, text, {_DUCK_TOKENS} AS toks
+            FROM (SELECT DISTINCT doc_id, source, text FROM documents))
     ),
     cal AS (
       -- ranks over KNOWN qualities only, matching quantile_calibrate:
@@ -2395,7 +2419,8 @@ def sm11_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sm10_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _documents(spark, sf_dir)
+    # distinct document grain (see oracle note)
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "text").distinct()
     scored = docs.select("doc_id", "source").join(text.quality_score(docs), "doc_id")
     cal = sampling.quantile_calibrate(
         scored, score_col="quality", group_col="source"
@@ -2593,7 +2618,13 @@ def dd11_hot_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="per-source curation report: quality pass-rate + scrub keep-ratio "
     "+ token-count p50/p90 (quality_score ∘ hot_span_scrub ∘ hist sketch)",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, source, text, {{tok}} AS toks FROM documents),
+    WITH toks AS (
+      -- distinct document grain: duplicate ingests would instantly make
+      -- every gram of a duplicated doc "hot" (COUNT >= 2), fan out the
+      -- doc_id joins, and double-count the per-source report
+      SELECT doc_id, source, text, {{tok}} AS toks
+      FROM (SELECT DISTINCT doc_id, source, text FROM documents)
+    ),
     quality AS (
       SELECT doc_id, source,
              ROUND(0.4 * LEAST(1.0, len(toks) / 100.0)
@@ -2685,7 +2716,8 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_batch_spark.llmops.text import quality_score
     from etl_batch_spark.operators.sketch import hist_partials, hist_quantiles
 
-    docs = _documents(spark, sf_dir)
+    # distinct document grain (see oracle note)
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "text").distinct()
     src = docs.select("doc_id", "source")
     q = quality_score(docs)
     scrub = dedup.hot_span_scrub(docs, n=5, min_count=2)
@@ -2740,8 +2772,10 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
                             / CAST(NULLIF(length(text), 0) AS DOUBLE)) + 1e-9,
                    4) AS quality
+      -- distinct document grain: duplicate ingests shift every
+      -- PERCENT_RANK, double-sample strata and double-pack bins
       FROM (SELECT doc_id, source, lang, text, {_DUCK_TOKENS} AS toks
-            FROM documents)
+            FROM (SELECT DISTINCT doc_id, source, lang, text FROM documents))
     ),
     kept AS (
       -- ranks over KNOWN qualities only (quantile_calibrate semantics);
@@ -2805,10 +2839,13 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipe04_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _documents(spark, sf_dir)
-    scored = docs.select("doc_id", "source", "lang", "text").join(
-        text.quality_score(docs), "doc_id"
+    # distinct document grain (see oracle note)
+    docs = (
+        _documents(spark, sf_dir)
+        .select("doc_id", "source", "lang", "text")
+        .distinct()
     )
+    scored = docs.join(text.quality_score(docs), "doc_id")
     cal = sampling.quantile_calibrate(
         scored, score_col="quality", group_col="source"
     )

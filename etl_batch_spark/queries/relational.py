@@ -559,7 +559,11 @@ def q19_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return c.exceptAll(recent).distinct()
+    # subtract == EXCEPT DISTINCT (set semantics).  exceptAll().distinct()
+    # is NOT equivalent under duplicate left rows: a key present twice on
+    # the left and once on the right survives exceptAll with one copy,
+    # where set-EXCEPT removes it entirely (caught by the dup-row sweep).
+    return c.subtract(recent)
 
 
 # ---------------------------------------------------------------------------

@@ -106,7 +106,14 @@ def q32_atoi_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q33_datediff_hms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # one output row per DISTINCT order: the oracle's GROUP BY
+    # (o_orderkey, o_orderdate) collapses duplicate order rows, so the
+    # Spark grain is pinned with the same distinct before the join
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .distinct()
+    )
     li = load_table(spark, sf_dir, "lineitem")
     last_ship = (
         li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_shipdate"))

@@ -144,11 +144,18 @@ def main(argv: "list[str] | None" = None) -> int:
         help="percent of documents.text rows replaced from the fixed "
              "unicode palette",
     )
+    ap.add_argument(
+        "--dup", type=int, default=0,
+        help="percent of (post-perturbation) rows appended a second time "
+             "as EXACT duplicates, PKs included — duplicate ingestion: "
+             "the strongest full-row tie stress, and the grain probe "
+             "that flushes out per-row vs per-key query semantics",
+    )
     args = ap.parse_args(argv)
     out = args.out or f"/root/repo/.benchdata/subset/s{args.seed}"
     if not 0 <= args.keep <= 100:
         raise SystemExit(f"--keep must be in [0, 100], got {args.keep}")
-    for name in ("nulls", "ties", "unicode"):
+    for name in ("nulls", "ties", "unicode", "dup"):
         v = getattr(args, name)
         if not 0 <= v <= 100:
             raise SystemExit(f"--{name} must be in [0, 100], got {v}")
@@ -211,10 +218,20 @@ def main(argv: "list[str] | None" = None) -> int:
                     )
                 exprs.append(f"{e} AS {c}" if e != c else c)
             proj = ", ".join(exprs)
+        sel = (
+            f"SELECT {proj} FROM '{args.src}/{t}.parquet' "
+            f"WHERE hash({key} || '#{args.seed}') % 100 < {args.keep}"
+        )
+        if args.dup:
+            # exact duplicates of the already-perturbed rows (dup is the
+            # LAST stage so copies are bit-identical to their originals)
+            sel = (
+                f"WITH base AS ({sel}) SELECT * FROM base UNION ALL "
+                f"SELECT * FROM base "
+                f"WHERE hash({key} || '~dup#{args.seed}') % 100 < {args.dup}"
+            )
         con.execute(
-            f"COPY (SELECT {proj} FROM '{args.src}/{t}.parquet' "
-            f"      WHERE hash({key} || '#{args.seed}') % 100 < {args.keep}) "
-            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY ({sel}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
         n_src = con.execute(f"SELECT count(*) FROM '{args.src}/{t}.parquet'").fetchone()[0]
         n_out = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
