@@ -79,3 +79,61 @@ class TestGenSubset:
             src_cols = con.execute(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()
             out_cols = con.execute(f"DESCRIBE SELECT * FROM '{out1}/{t}.parquet'").fetchall()
             assert src_cols == out_cols, t
+
+    def test_dup_appends_exact_copies(self, tmp_path):
+        """--dup N appends bit-identical copies (PKs included) of a
+        deterministic slice of the already-perturbed rows: every output
+        row must exist in the --dup 0 run of the same seed, surplus rows
+        must be exact duplicates, and some duplicate PKs must exist."""
+        from gen_subset import main
+
+        base, dup = str(tmp_path / "base"), str(tmp_path / "dup")
+        args = ["--seed", "3", "--keep", "90", "--nulls", "5", "--src", SRC]
+        main(args + ["--out", base])
+        main(args + ["--dup", "25", "--out", dup])
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "documents"):
+            foreign = _one(con, f"""
+                SELECT count(*) FROM (
+                  SELECT * FROM '{dup}/{t}.parquet'
+                  EXCEPT SELECT * FROM '{base}/{t}.parquet')
+            """)
+            assert foreign == 0, t
+            n_base = _one(con, f"SELECT count(*) FROM '{base}/{t}.parquet'")
+            n_dup = _one(con, f"SELECT count(*) FROM '{dup}/{t}.parquet'")
+            assert n_base < n_dup <= n_base * 1.35, t
+        dup_pks = _one(con, f"""
+            SELECT count(*) FROM (
+              SELECT o_orderkey FROM '{dup}/orders.parquet'
+              GROUP BY 1 HAVING count(*) > 1)
+        """)
+        assert dup_pks > 0
+
+    def test_hot_replicates_with_fresh_keys(self, tmp_path):
+        """--hot N adds N-1 fresh-keyed copies of one hot entity per
+        fact table: key cardinality must NOT grow duplicated PKs beyond
+        the source's own, the hot supplier must dominate lineitem, and
+        hot document CONTENT must repeat under distinct doc_ids."""
+        from gen_subset import main
+
+        out = str(tmp_path / "hot")
+        main(["--seed", "4", "--keep", "100", "--hot", "10",
+              "--src", SRC, "--out", out])
+        con = duckdb.connect()
+        extra_dup_docs = _one(con, f"""
+            SELECT count(*) FROM (
+              SELECT doc_id FROM '{out}/documents.parquet'
+              GROUP BY 1 HAVING count(*) > 1)
+        """)
+        assert extra_dup_docs == 0
+        top, second = [r[1] for r in con.execute(f"""
+            SELECT l_suppkey, count(*) FROM '{out}/lineitem.parquet'
+            GROUP BY 1 ORDER BY 2 DESC LIMIT 2
+        """).fetchall()]
+        assert top >= 5 * second
+        hot_texts = _one(con, f"""
+            SELECT count(*) FROM (
+              SELECT md5(text), count(DISTINCT doc_id) AS c
+              FROM '{out}/documents.parquet' GROUP BY 1 HAVING c >= 10)
+        """)
+        assert hot_texts >= 3

@@ -151,6 +151,17 @@ def main(argv: "list[str] | None" = None) -> int:
              "the strongest full-row tie stress, and the grain probe "
              "that flushes out per-row vs per-key query semantics",
     )
+    ap.add_argument(
+        "--hot", type=int, default=0,
+        help="skew factor: replicate one deterministic hot entity per "
+             "fact table HOT-1 extra times with FRESH primary keys — "
+             "hot join keys (one supplier's lines, one customer's "
+             "orders, one user's events), hot CONTENT (copies of the "
+             "same document text under new doc_ids) and identical "
+             "embeddings under new vec_ids.  Probes df-caps, join "
+             "fanout, window peer groups and ties at identical "
+             "distances — skew no uniform perturbation creates",
+    )
     args = ap.parse_args(argv)
     out = args.out or f"/root/repo/.benchdata/subset/s{args.seed}"
     if not 0 <= args.keep <= 100:
@@ -159,6 +170,8 @@ def main(argv: "list[str] | None" = None) -> int:
         v = getattr(args, name)
         if not 0 <= v <= 100:
             raise SystemExit(f"--{name} must be in [0, 100], got {v}")
+    if args.hot < 0:
+        raise SystemExit(f"--hot must be >= 0, got {args.hot}")
     os.makedirs(out, exist_ok=True)
 
     con = duckdb.connect()
@@ -236,6 +249,58 @@ def main(argv: "list[str] | None" = None) -> int:
         n_src = con.execute(f"SELECT count(*) FROM '{args.src}/{t}.parquet'").fetchone()[0]
         n_out = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n_src} -> {n_out} rows")
+
+    if args.hot > 1:
+        # skew pass: replicate one hot entity per fact table with FRESH
+        # primary keys (hot-1 extra copies).  Runs last, over the
+        # already-perturbed output, so every copy carries the same
+        # perturbations as its original.
+        h = args.hot - 1
+        specs = {
+            "lineitem": (
+                "l_suppkey = (SELECT MIN(l_suppkey) FROM cur)",
+                "cur.* REPLACE (CAST(l_linenumber + 10000 * g.i AS INTEGER)"
+                " AS l_linenumber)",
+            ),
+            "orders": (
+                "o_custkey = (SELECT MIN(o_custkey) FROM cur)",
+                "cur.* REPLACE (o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM cur)"
+                " * g.i AS o_orderkey)",
+            ),
+            "events": (
+                "user_id = (SELECT MIN(user_id) FROM cur)",
+                "cur.* REPLACE (event_id + (SELECT MAX(event_id) + 1 FROM cur)"
+                " * g.i AS event_id)",
+            ),
+            # hot CONTENT: same text under fresh doc_ids (dedup/df-cap probe)
+            "documents": (
+                "doc_id IN (SELECT doc_id FROM cur ORDER BY doc_id LIMIT 3)",
+                "cur.* REPLACE (doc_id + (SELECT MAX(doc_id) + 1 FROM cur)"
+                " * g.i AS doc_id)",
+            ),
+            # identical embeddings under fresh vec_ids (tie-break probe)
+            "embeddings": (
+                "vec_id = (SELECT MIN(vec_id) FROM cur)",
+                "cur.* REPLACE (vec_id + (SELECT MAX(vec_id) + 1 FROM cur)"
+                " * g.i AS vec_id)",
+            ),
+        }
+        for t, (pred, proj) in specs.items():
+            path = f"{out}/{t}.parquet"
+            con.execute(f"CREATE OR REPLACE TEMP TABLE cur AS SELECT * FROM '{path}'")
+            if con.execute("SELECT count(*) FROM cur").fetchone()[0] == 0:
+                continue
+            con.execute(f"""
+                COPY (
+                  SELECT * FROM cur
+                  UNION ALL
+                  SELECT {proj}
+                  FROM cur, (SELECT UNNEST(generate_series(1, {h})) AS i) g
+                  WHERE {pred}
+                ) TO '{path}' (FORMAT PARQUET)
+            """)
+            n = con.execute(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+            print(f"{t}: hot-replicated -> {n} rows")
     return 0
 
 
