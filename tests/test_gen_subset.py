@@ -137,3 +137,24 @@ class TestGenSubset:
               FROM '{out}/documents.parquet' GROUP BY 1 HAVING c >= 10)
         """)
         assert hot_texts >= 3
+
+    def test_neg_flips_signs_only_on_neg_columns(self, tmp_path):
+        from gen_subset import main
+
+        out = str(tmp_path / "neg")
+        main(["--seed", "5", "--keep", "100", "--neg", "40",
+              "--src", SRC, "--out", out])
+        con = duckdb.connect()
+        n_neg = _one(con, f"SELECT count(*) FILTER (value < 0) FROM '{out}/events.parquet'")
+        n_all = _one(con, f"SELECT count(*) FROM '{out}/events.parquet'")
+        assert 0 < n_neg < n_all
+        # magnitudes preserved: |values| multiset identical to source
+        diff = _one(con, f"""
+            SELECT count(*) FROM (
+              SELECT ABS(value) v FROM '{out}/events.parquet' WHERE value IS NOT NULL
+              EXCEPT ALL
+              SELECT ABS(value) FROM '{SRC}/events.parquet' WHERE value IS NOT NULL)
+        """)
+        assert diff == 0
+        # untouched money columns stay non-negative
+        assert _one(con, f"SELECT count(*) FILTER (o_totalprice < 0) FROM '{out}/orders.parquet'") == 0

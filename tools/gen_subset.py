@@ -76,6 +76,16 @@ PRIMARY_KEYS = {
 }
 FULL_TABLES = ["region", "nation"]
 
+# table -> columns sign-flipped by --neg: the money/gauge columns whose
+# REAL-WORLD domain includes negatives (refund events, debit balances)
+# even though the shipped fixtures happen to be positive — probes the
+# floor-vs-truncate and round-negative-half family.
+NEG_COLUMNS = {
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "events": ["value"],
+}
+
 # table -> {column: coarsening SQL over that column} for --ties: each
 # expression collapses many distinct values onto one so ORDER BY peers
 # actually tie.  Types are preserved (a coarsened ts is still a ts).
@@ -152,6 +162,12 @@ def main(argv: "list[str] | None" = None) -> int:
              "that flushes out per-row vs per-key query semantics",
     )
     ap.add_argument(
+        "--neg", type=int, default=0,
+        help="percent of rows whose NEG_COLUMNS entries are sign-flipped "
+             "(refund/debit semantics): probes floor-vs-truncate integer "
+             "division, negative ROUND halves and sign-sensitive guards",
+    )
+    ap.add_argument(
         "--hot", type=int, default=0,
         help="skew factor: replicate one deterministic hot entity per "
              "fact table HOT-1 extra times with FRESH primary keys — "
@@ -166,7 +182,7 @@ def main(argv: "list[str] | None" = None) -> int:
     out = args.out or f"/root/repo/.benchdata/subset/s{args.seed}"
     if not 0 <= args.keep <= 100:
         raise SystemExit(f"--keep must be in [0, 100], got {args.keep}")
-    for name in ("nulls", "ties", "unicode", "dup"):
+    for name in ("nulls", "ties", "unicode", "dup", "neg"):
         v = getattr(args, name)
         if not 0 <= v <= 100:
             raise SystemExit(f"--{name} must be in [0, 100], got {v}")
@@ -190,7 +206,7 @@ def main(argv: "list[str] | None" = None) -> int:
     for t, pk in PRIMARY_KEYS.items():
         key = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
         proj = "*"
-        if args.nulls or args.ties or args.unicode:
+        if args.nulls or args.ties or args.unicode or args.neg:
             described = con.execute(
                 f"DESCRIBE SELECT * FROM '{args.src}/{t}.parquet'"
             ).fetchall()
@@ -204,6 +220,12 @@ def main(argv: "list[str] | None" = None) -> int:
                     e = (
                         f"CASE WHEN hash({key} || '|{c}~tie#{args.seed}') % 100 "
                         f"< {args.ties} THEN CAST(({coarse}) AS {dtype}) "
+                        f"ELSE {e} END"
+                    )
+                if args.neg and c in NEG_COLUMNS.get(t, []):
+                    e = (
+                        f"CASE WHEN hash({key} || '|{c}~neg#{args.seed}') % 100 "
+                        f"< {args.neg} THEN CAST(-({e}) AS {dtype}) "
                         f"ELSE {e} END"
                     )
                 if args.unicode and t == "documents" and c == "text":
