@@ -1412,8 +1412,14 @@ def pipe01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sm04_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct document grain (see oracle note) — also keeps the
-    # doc_id join 1:1 instead of fanning out duplicate ingests
-    docs = _documents(spark, sf_dir).select("doc_id", "source", "text").distinct()
+    # doc_id join 1:1 instead of fanning out duplicate ingests;
+    # localCheckpoint = one corpus pass for both consumers (see pipe03)
+    docs = (
+        _documents(spark, sf_dir)
+        .select("doc_id", "source", "text")
+        .distinct()
+        .localCheckpoint()
+    )
     scored = docs.join(text.quality_score(docs), "doc_id")
     kept = sampling.weighted_hash_sample(
         scored, key_col="doc_id", weight_col="quality"
@@ -2419,8 +2425,14 @@ def sm11_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sm10_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # distinct document grain (see oracle note)
-    docs = _documents(spark, sf_dir).select("doc_id", "source", "text").distinct()
+    # distinct document grain (see oracle note); localCheckpoint = one
+    # corpus pass for both consumers (see pipe03)
+    docs = (
+        _documents(spark, sf_dir)
+        .select("doc_id", "source", "text")
+        .distinct()
+        .localCheckpoint()
+    )
     scored = docs.select("doc_id", "source").join(text.quality_score(docs), "doc_id")
     cal = sampling.quantile_calibrate(
         scored, score_col="quality", group_col="source"
@@ -2716,8 +2728,17 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_batch_spark.llmops.text import quality_score
     from etl_batch_spark.operators.sketch import hist_partials, hist_quantiles
 
-    # distinct document grain (see oracle note)
-    docs = _documents(spark, sf_dir).select("doc_id", "source", "text").distinct()
+    # distinct document grain (see oracle note).  localCheckpoint
+    # materializes the deduped corpus ONCE: three downstream consumers
+    # (source map, quality scorer, hot-span scrubber) otherwise each
+    # replay the scan+distinct — at 100 TB that is the difference
+    # between one corpus pass and several (dd12 precedent).
+    docs = (
+        _documents(spark, sf_dir)
+        .select("doc_id", "source", "text")
+        .distinct()
+        .localCheckpoint()
+    )
     src = docs.select("doc_id", "source")
     q = quality_score(docs)
     scrub = dedup.hot_span_scrub(docs, n=5, min_count=2)
@@ -2839,11 +2860,13 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipe04_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # distinct document grain (see oracle note)
+    # distinct document grain (see oracle note); localCheckpoint = one
+    # corpus pass for the multi-consumer composition (see pipe03)
     docs = (
         _documents(spark, sf_dir)
         .select("doc_id", "source", "lang", "text")
         .distinct()
+        .localCheckpoint()
     )
     scored = docs.join(text.quality_score(docs), "doc_id")
     cal = sampling.quantile_calibrate(
