@@ -529,22 +529,31 @@ def bm25_topk(
     from etl_batch_spark.llmops.dedup import tokens
 
     terms = F.array(*[F.lit(t) for t in query_terms])
-    toked = fan_out(df).select(
-        F.col(id_col), tokens(text_col).alias("toks")
-    ).select(
-        id_col,
-        F.size("toks").cast("double").alias("dl"),
-        F.explode(F.filter("toks", lambda t: F.array_contains(terms, t))).alias("term"),
+    # ONE corpus pass: tokenize once into (id, dl, query-term hits) —
+    # a shuffle-volume-sized projection — and localCheckpoint it so the
+    # corpus stats (n_docs, avgdl) and the tf stream both read it
+    # instead of re-scanning + re-tokenizing the raw corpus (the old
+    # form carried three full-corpus tokenization passes).
+    base = (
+        fan_out(df)
+        .select(F.col(id_col), tokens(text_col).alias("toks"))
+        .select(
+            id_col,
+            F.size("toks").cast("double").alias("dl"),
+            F.filter("toks", lambda t: F.array_contains(terms, t)).alias("hits"),
+        )
+        .localCheckpoint()
+    )
+    toked = base.select(
+        id_col, "dl", F.explode("hits").alias("term")
     )
     tf = toked.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf"),
         F.first("dl").alias("dl"),
     )
-    corpus = df.agg(
+    corpus = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-    ).crossJoin(
-        df.select(F.size(tokens(text_col)).cast("double").alias("dl"))
-        .agg(F.avg("dl").alias("avgdl"))
+        F.avg("dl").alias("avgdl"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (

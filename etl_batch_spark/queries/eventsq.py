@@ -55,30 +55,39 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ev01_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE corpus pass: the oracle's per-stage CTEs re-read events three
+    # times and join each stage back on user_id; here the sequential
+    # stage times chain as per-user window minima over a single scan —
+    # one hash exchange on user_id serves all three stages (the old
+    # stage-join form carried 6 scans / 13 exchanges).  NULL chaining
+    # matches the join form: ts > NULL is never true, so a user without
+    # stage k has NULL for every later stage.
     e = _events(spark, sf_dir)
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t3", t3)
+        .select("user_id", "t1", "t2", "t3")
+        .distinct()
     )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s1.agg(F.count(F.lit(1)).alias("step1_view"))
-        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("step2_click"))))
-        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("step3_purchase"))))
+    return per_user.agg(
+        F.count("t1").alias("step1_view"),
+        F.count("t2").alias("step2_click"),
+        F.count("t3").alias("step3_purchase"),
     )
 
 

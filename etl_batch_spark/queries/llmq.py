@@ -1371,7 +1371,11 @@ def pipe01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     train = docs.filter(F.col("source") != "src0")
     bench_docs = docs.filter(F.col("source") == "src0")
-    deduped = dedup.drop_exact_duplicates(train)
+    # one corpus pass: the deduped corpus feeds quality, the semi join,
+    # decontamination and sampling — without the checkpoint each replays
+    # the scan + dedup shuffle (9 scans in the executed plan; pipe03
+    # precedent)
+    deduped = dedup.drop_exact_duplicates(train).localCheckpoint()
     good = text.quality_score(deduped).filter(F.col("quality") >= 0.58).select("doc_id")
     kept = deduped.join(good, "doc_id", "left_semi")
     contaminated = text.contamination(kept, bench_docs, n=4).select("doc_id")
