@@ -54,43 +54,56 @@ def scd2_merge(
     eff = F.lit(effective_date).cast("date")
     cur = current.alias("cur")
     upd = updates.alias("upd")
-    joined = cur.filter(F.col("is_current")).join(
-        upd, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer"
+    # ONE join, one pass (the Delta-style MERGE shape): the full-outer
+    # join carries ALL current rows (is_current rides in the join
+    # condition, so a historical row simply never matches and passes
+    # through as cur-only — its update still matches the key's open
+    # row, preserving the one-open-row invariant), and every output
+    # branch is an exploded per-row variant.  The previous union-of-
+    # filtered-branches form replayed the snapshot scan and join per
+    # branch (9 scans in et01's executed plan).
+    # presence markers, not key-nullness: a NULL-key row on either side
+    # never matches, and marker-based classification passes it through
+    # (cur side) or emits it fresh (upd side) exactly once — the old
+    # branch form classified a NULL-key open row as BOTH untouched and
+    # inserted
+    cur = cur.withColumn("_cur_present", F.lit(True)).alias("cur")
+    upd = upd.withColumn("_upd_present", F.lit(True)).alias("upd")
+    joined = cur.join(
+        upd,
+        (F.col(f"cur.{key}") == F.col(f"upd.{key}")) & F.col("cur.is_current"),
+        "full_outer",
     )
-    changed_keys = joined.filter(
-        F.col(f"cur.{key}").isNotNull()
-        & F.col(f"upd.{key}").isNotNull()
-        & _any_attr_differs(attrs)
-    )
-    inserted = joined.filter(F.col(f"cur.{key}").isNull())
 
-    closed = changed_keys.select(
-        F.col(f"cur.{key}").alias(key),
-        *[F.col(f"cur.{a}").alias(a) for a in attrs],
-        F.col("cur.valid_from").alias("valid_from"),
-        eff.alias("valid_to"),
-        F.lit(False).alias("is_current"),
-    )
-    opened = changed_keys.select(
-        F.col(f"upd.{key}").alias(key),
-        *[F.col(f"upd.{a}").alias(a) for a in attrs],
-        eff.alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    fresh = inserted.select(
-        F.col(f"upd.{key}").alias(key),
-        *[F.col(f"upd.{a}").alias(a) for a in attrs],
-        eff.alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    # untouched: historical rows plus current rows with no effective change
-    changed_ids = changed_keys.select(F.col(f"cur.{key}").alias(key))
-    untouched = current.join(
-        F.broadcast(changed_ids).withColumnRenamed(key, "_chg_key"),
-        (F.col(key) == F.col("_chg_key")) & F.col("is_current"),
-        "left_anti",
-    ).select(key, *attrs, "valid_from", "valid_to", "is_current")
+    def row(key_col, attr_side, valid_from, valid_to, is_current):
+        return F.struct(
+            key_col.alias(key),
+            *[F.col(f"{attr_side}.{a}").alias(a) for a in attrs],
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            is_current.alias("is_current"),
+        )
 
-    return untouched.unionByName(closed).unionByName(opened).unionByName(fresh)
+    cur_row = row(
+        F.col(f"cur.{key}"), "cur",
+        F.col("cur.valid_from"), F.col("cur.valid_to"), F.col("cur.is_current"),
+    )
+    closed_row = row(
+        F.col(f"cur.{key}"), "cur",
+        F.col("cur.valid_from"), eff, F.lit(False),
+    )
+    open_row = row(
+        F.col(f"upd.{key}"), "upd",
+        eff, F.lit(None).cast("date"), F.lit(True),
+    )
+    variants = (
+        # unmatched cur side: historical rows, and open rows with no update
+        F.when(F.col("upd._upd_present").isNull(), F.array(cur_row))
+        # unmatched upd side: brand-new key -> one fresh open row
+        .when(F.col("cur._cur_present").isNull(), F.array(open_row))
+        # matched, attrs changed -> close the open row and open a new one
+        .when(_any_attr_differs(attrs), F.array(closed_row, open_row))
+        # matched, no effective change -> pass the open row through
+        .otherwise(F.array(cur_row))
+    )
+    return joined.select(F.explode(variants).alias("_r")).select("_r.*")
