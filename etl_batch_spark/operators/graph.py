@@ -91,6 +91,10 @@ def triangle_count(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame
     degree — the standard mitigation for power-law hubs at scale.  Two
     shuffle joins on single key columns; AQE handles residual skew.
     """
+    # the canonical edge list feeds six consumers (both wedge sides,
+    # the closing join, edge/node stats) — materialize it ONCE, or each
+    # replays the upstream derivation (et15's edge list is itself a
+    # lineitem self-join: 12 scans in the executed plan without this)
     e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
@@ -98,6 +102,7 @@ def triangle_count(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame
         )
         .filter(F.col("u") < F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))

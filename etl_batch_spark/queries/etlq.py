@@ -1427,9 +1427,16 @@ def _duck_psi_metric(bucket_ref: str, bucket_cur: str, metric: str) -> str:
 def et26_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_batch_spark.operators.drift import psi
 
-    e = load_table(spark, sf_dir, "events")
-    ref = e.filter(F.dayofmonth("ts") <= 15)
-    cur = e.filter(F.dayofmonth("ts") > 15)
+    # ONE events pass: the two psi calls read each half twice (bucket
+    # counts + side totals), so without the checkpoint the scan replays
+    # 12x; the slim projection is exactly the three derived columns
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", F.dayofmonth("ts").alias("_dom"))
+        .localCheckpoint()
+    )
+    ref = e.filter(F.col("_dom") <= 15)
+    cur = e.filter(F.col("_dom") > 15)
     by_type = psi(ref, cur, bucket_col="event_type").withColumn(
         "metric", F.lit("event_type")
     )

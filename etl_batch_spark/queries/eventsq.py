@@ -635,31 +635,40 @@ def ev11_time_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ev12_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE corpus pass (ev01's window-chain form, plus the 24 h deadline
+    # riding each stage): one scan + one hash exchange on user_id
+    # replaces the three stage-joins (6 scans / 13 exchanges)
     e = _events(spark, sf_dir)
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
+    w = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t1", t1)
     deadline = F.col("t1") + F.expr("INTERVAL 24 HOURS")
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= deadline),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= deadline),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t3", t3)
+        .select("user_id", "t1", "t2", "t3")
+        .distinct()
     )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= deadline))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s1.agg(F.count(F.lit(1)).alias("step1_view"))
-        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("step2_click_24h"))))
-        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("step3_purchase_24h"))))
+    return per_user.agg(
+        F.count("t1").alias("step1_view"),
+        F.count("t2").alias("step2_click_24h"),
+        F.count("t3").alias("step3_purchase_24h"),
     )
 
 
