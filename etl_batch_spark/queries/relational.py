@@ -981,14 +981,20 @@ def q38_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q39 — exact decimal aggregation: money math without float drift
-# (DecimalType end-to-end, matching scale on both engines).
+# q39 — exact decimal aggregation: money math without float drift.
+# The accumulation is DecimalType end-to-end (exact at any group size),
+# but the OUTPUT edge is a string: raw DecimalType output columns are
+# not canonicalizer-safe (round 3: rows+schema matched, driver hash did
+# not, while exact local parity passed).  CAST(decimal(18,2) AS STRING)
+# renders identically ("1234.50") on Spark and DuckDB, so the hash is
+# bit-exact while the math stays decimal-exact internally.
 # ---------------------------------------------------------------------------
 @query(
     "q39_decimal_exact",
     oracle="""
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS VARCHAR) AS total,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_orderstatus
@@ -1001,6 +1007,7 @@ def q39_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("string")
             .alias("total"),
             F.count(F.lit(1)).alias("n_orders"),
         )

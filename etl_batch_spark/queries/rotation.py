@@ -34,56 +34,56 @@ ROWS_ONLY_OK: frozenset[str] = frozenset({
 # displaced round-2 names (q02/q03/q11/q13/q18/q19/q21) + the next 43
 # never-checked queries in registry priority order.
 DRIVER_WINDOW: list[str] = [
-    "q02_point_lookup",
-    "q03_min_default",
-    "q11_prefix_match",
-    "q13_union_all_branches",
-    "q18_intersect",
-    "q19_except",
-    "q21_explode_words",
-    "q36_forecast_revenue",
-    "q37_from_json_map",
-    "q38_approx_aggregates",
     "q39_decimal_exact",
-    "q40_grouping_sets",
-    "q41_lag_lead",
-    "q42_small_qty_revenue",
-    "q43_customer_distribution",
-    "q44_large_quantity_orders",
-    "q45_local_supplier_volume",
-    "q46_disjunctive_revenue",
-    "q47_multi_supplier_returns",
-    "q48_dormant_rich_customers",
-    "q49_stats_aggregates",
-    "q50_ranking_windows",
-    "q51_daily_gap_fill",
-    "q52_forward_fill",
-    "q53_min_cost_supplier",
-    "q54_order_priority_checking",
-    "q55_volume_shipping",
-    "q56_market_share",
-    "q57_product_profit",
-    "q58_returned_items",
-    "q59_important_parts",
-    "q60_priority_class_lines",
-    "q61_promo_effect",
-    "q62_top_supplier",
-    "q63_parts_supplier_count",
-    "q64_dominant_shippers",
-    "q65_revenue_trend",
-    "q66_price_histogram",
-    "q67_rolling_30d_revenue",
-    "q68_unpivot_status_qty",
-    "q69_bag_set_ops",
-    "q70_multi_distinct",
-    "q71_order_window_overlap",
-    "q72_modal_segment",
-    "q73_weighted_median",
-    "q74_daily_streaks",
-    "q75_revenue_share",
-    "q76_calendar_breakdown",
-    "q77_topk_per_group",
-    "q78_bloom_semi_filter",
+    "q01_pricing_summary",
+    "q09_multiway_join_revenue",
+    "q35_shipping_priority",
+    "ev06_interpolate_at_clicks",
+    "q95_salted_skew_join",
+    "ev14_linear_attribution",
+    "q79_string_surface",
+    "q80_null_safe_join",
+    "q81_posexplode_words",
+    "q82_not_in_null_semantics",
+    "q83_variant_props",
+    "q84_udtf_split_fields",
+    "q86_aggregate_surface",
+    "q87_lateral_topn",
+    "q88_union_evolving_schema",
+    "q89_recursive_cte",
+    "q90_xml_roundtrip",
+    "q91_running_distinct",
+    "q92_period_over_period",
+    "q94_rolling_median",
+    "q96_pandas_udaf_geomean",
+    "q98_grouped_regression",
+    "q99_merged_order_spans",
+    "q100_window_rank_surface",
+    "et23_portable_hll",
+    "et24_histogram_quantiles",
+    "et26_psi_drift",
+    "et27_cusum_changepoints",
+    "et28_audience_bitmap_ops",
+    "ev13_last_touch_attribution",
+    "ev16_ab_test_zscore",
+    "ev17_markov_attribution",
+    "dd13_lsh_dedup_recall",
+    "ss13_multitable_ann",
+    "ss14_hard_negatives",
+    "ss12_ann_recall",
+    "tx03_token_count",
+    "tx05_winnow_fingerprints",
+    "tx06_redact_pii",
+    "tx04_quality_score",
+    "tx07_repetition_stats",
+    "tx08_token_entropy",
+    "tx09_decontaminate",
+    "tx10_sequence_packing",
+    "sm03_temperature_mix",
+    "pipe01_training_mix",
+    "sm04_quality_weighted_sample",
+    "dd09_containment",
+    "dd08_incremental_dedup",
 ]
 
 # ROUND 4 PREP (written during round 3): once CORRECTNESS_r03.json
@@ -135,7 +135,6 @@ DRIVER_GREEN: list[str] = [
     "ev03_active_users",
     "ev04_top_paths",
     "ev05_asof_operator",
-    "ev06_interpolate_at_clicks",
     "ev07_session_window_builtin",
     "ev08_time_weighted_avg",
     "ev09_ohlc_bars",
@@ -147,20 +146,25 @@ DRIVER_GREEN: list[str] = [
     "mm02_frame_sample",
     "mm05_patch_grid",
     "pipe02_rag_corpus",
-    "q01_pricing_summary",
+    "q02_point_lookup",
+    "q03_min_default",
     "q04_next_run_id",
     "q05_date_trunc_daily",
     "q06_latest_order_per_customer",
     "q07_exists_semi_join",
     "q08_not_exists_anti_join",
-    "q09_multiway_join_revenue",
     "q10_decode_status_matrix",
+    "q11_prefix_match",
     "q12_topk_orders",
+    "q13_union_all_branches",
     "q14_string_agg_ordered",
     "q15_window_running",
     "q16_rollup",
     "q17_cube",
+    "q18_intersect",
+    "q19_except",
     "q20_json_props",
+    "q21_explode_words",
     "q22_asof_join",
     "q23_range_join_bands",
     "q24_full_outer_join",
@@ -172,7 +176,48 @@ DRIVER_GREEN: list[str] = [
     "q32_atoi_priority",
     "q33_datediff_hms",
     "q34_check_date_codes",
-    "q35_shipping_priority",
+    "q36_forecast_revenue",
+    "q37_from_json_map",
+    "q38_approx_aggregates",
+    "q40_grouping_sets",
+    "q41_lag_lead",
+    "q42_small_qty_revenue",
+    "q43_customer_distribution",
+    "q44_large_quantity_orders",
+    "q45_local_supplier_volume",
+    "q46_disjunctive_revenue",
+    "q47_multi_supplier_returns",
+    "q48_dormant_rich_customers",
+    "q49_stats_aggregates",
+    "q50_ranking_windows",
+    "q51_daily_gap_fill",
+    "q52_forward_fill",
+    "q53_min_cost_supplier",
+    "q54_order_priority_checking",
+    "q55_volume_shipping",
+    "q56_market_share",
+    "q57_product_profit",
+    "q58_returned_items",
+    "q59_important_parts",
+    "q60_priority_class_lines",
+    "q61_promo_effect",
+    "q62_top_supplier",
+    "q63_parts_supplier_count",
+    "q64_dominant_shippers",
+    "q65_revenue_trend",
+    "q66_price_histogram",
+    "q67_rolling_30d_revenue",
+    "q68_unpivot_status_qty",
+    "q69_bag_set_ops",
+    "q70_multi_distinct",
+    "q71_order_window_overlap",
+    "q72_modal_segment",
+    "q73_weighted_median",
+    "q74_daily_streaks",
+    "q75_revenue_share",
+    "q76_calendar_breakdown",
+    "q77_topk_per_group",
+    "q78_bloom_semi_filter",
     "q85_null_ordering",
     "q93_try_function_surface",
     "q97_skyline_pareto",

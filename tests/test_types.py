@@ -58,9 +58,14 @@ def test_dtypes_match_oracle(spark, sf_dir, duck, name):
 
 def test_no_oracle_bearing_query_emits_nested_columns(spark, sf_dir):
     """The external driver's pandas canonicalizer cannot hash array/
-    map/struct cells (CORRECTNESS_r01's et17 failure mode).  Pin the
-    constraint engine-wide: every oracle-bearing query emits scalar
-    columns only — flatten with concat_ws / printf at the query edge."""
+    map/struct cells (CORRECTNESS_r01's et17 failure mode), and hashes
+    Spark-side vs DuckDB-side Decimal cells differently even when the
+    values are equal (CORRECTNESS_r03's q39 failure mode: rows+schema
+    green, hash red, exact local parity green).  Pin the constraint
+    engine-wide: every oracle-bearing query emits scalar, non-decimal
+    columns only — flatten nested types with concat_ws / printf and
+    render decimals as strings (or cast to double) at the query edge;
+    decimal accumulation stays internal."""
     from pyspark.sql import types as T
 
     offenders = {}
@@ -70,7 +75,9 @@ def test_no_oracle_bearing_query_emits_nested_columns(spark, sf_dir):
         bad = [
             f.name
             for f in q.build(spark, sf_dir).schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
+            )
         ]
         if bad:
             offenders[name] = bad
