@@ -15,6 +15,12 @@ from etl_batch_spark.catalog import load_table
 from etl_batch_spark.operators.scd import scd2_merge
 from etl_batch_spark.queries.registry import query
 
+# DuckDB twin of the portable-HLL 60-bit hash (llmops/dedup.py::H60 on
+# the Spark side): both engines hash user_id to the same 60-bit integer,
+# so HLL register tables are bit-identical cross-engine.  Shared by the
+# et07 (day→week) and et23 (day→month) sketch-rollup oracles.
+_DUCK_HLL_H = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+
 
 # ---------------------------------------------------------------------------
 # et01 — SCD2 merge: the customer dimension snapshot (all rows open since
@@ -305,25 +311,67 @@ def et06_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# et07 — mergeable-sketch rollup: daily HLL user sketches merged to
-# weekly distinct-user estimates.  Rows-only check (sketch estimates
-# are engine-specific); closeness vs exact is asserted in
+# et07 — mergeable-sketch rollup: daily HLL register partials of
+# distinct users merged to weekly estimates without ever re-scanning
+# raw data — the distinct-count member of the rollup cascade (et04 is
+# the numeric one).  Built on the engine-portable HLL
+# (operators/sketch.py: deterministic md5-based registers, bit-identical
+# on any engine), so the WHOLE rollup — day partials, MAX-merge upward,
+# estimator — is exactly oracle-checkable; the DuckDB twin computes the
+# same registers at week level directly, and MAX-merge associativity is
+# what parity proves.  Spark's native Datasketches variant
+# (operators/rollup.py::sketch_rollup, binary sketches + hll_union_agg)
+# remains the engine-specific alternative, closeness-tested in
 # test_operators.  At 100 TB this replaces a re-scan of the raw log for
-# every wider window with a union over kilobyte sketches.
+# every wider window with a MAX-merge over (buckets × 256)-row register
+# tables.
 # ---------------------------------------------------------------------------
 @query(
     "et07_sketch_rollup",
-    doc="mergeable HLL rollup: daily user sketches merged to weekly distinct "
-    "estimates (operators.rollup.sketch_rollup; rows-only — closeness vs "
-    "exact asserted in test_operators)",
-    oracle=None,
+    doc="mergeable HLL rollup: daily user register partials merged to weekly "
+    "distinct estimates (operators.sketch portable HLL; day→week MAX-merge "
+    "never touches raw data again)",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+             {_DUCK_HLL_H} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT bucket, h % 256 AS idx,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT bucket, idx, MAX(rho) AS max_rho FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT bucket, COUNT(*) AS n_present,
+             SUM(pow(2.0, -max_rho)) AS s_present
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT bucket,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+               / ((256 - n_present) * 1.0 + s_present) AS e_raw,
+             256 - n_present AS v
+      FROM agg
+    )
+    SELECT bucket,
+           CASE WHEN e_raw <= 640.0 AND v > 0
+                THEN ROUND(256.0 * ln(256.0 / v), 2)
+                ELSE ROUND(e_raw, 2) END AS est_distinct,
+           CASE WHEN e_raw <= 640.0 AND v > 0 THEN 'linear' ELSE 'raw' END
+             AS est_branch
+    FROM est
+    """,
 )
 def et07_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_batch_spark.operators.rollup import sketch_estimate_over, sketch_rollup
+    from etl_batch_spark.operators.sketch import hll_estimate, hll_merge, hll_partials
 
     e = load_table(spark, sf_dir, "events")
-    daily = sketch_rollup(e, ts_col="ts", key_col="user_id", levels=("day",))
-    return sketch_estimate_over(daily, level="week")
+    day = hll_partials(e, key_col="user_id", bucket=F.date_trunc("DAY", F.col("ts")))
+    week = hll_merge(day, F.date_trunc("WEEK", F.col("bucket")))
+    return hll_estimate(week)
 
 
 # ---------------------------------------------------------------------------
@@ -1223,11 +1271,9 @@ def et22_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5-based 60-bit hash, so the oracle rebuilds the identical sketch
 # from scratch at month level: hash-identical registers + associative
 # MAX merge ⇒ value-identical estimates — the mergeability proof is the
-# parity check itself.
+# parity check itself.  (_DUCK_HLL_H is defined at the top of the file,
+# shared with et07's week-level rollup oracle.)
 # ---------------------------------------------------------------------------
-_DUCK_HLL_H = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
-
-
 @query(
     "et23_portable_hll",
     bench=True,

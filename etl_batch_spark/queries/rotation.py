@@ -41,6 +41,7 @@ DRIVER_WINDOW: list[str] = [
     "ev06_interpolate_at_clicks",
     "q95_salted_skew_join",
     "ev14_linear_attribution",
+    "et07_sketch_rollup",
     "q79_string_surface",
     "q80_null_safe_join",
     "q81_posexplode_words",
@@ -83,7 +84,6 @@ DRIVER_WINDOW: list[str] = [
     "pipe01_training_mix",
     "sm04_quality_weighted_sample",
     "dd09_containment",
-    "dd08_incremental_dedup",
 ]
 
 # ROUND 4 PREP (written during round 3): once CORRECTNESS_r03.json
@@ -113,7 +113,6 @@ DRIVER_GREEN: list[str] = [
     "et04_rollup_cascade",
     "et05_hierarchy_levels",
     "et06_table_checksum",
-    "et07_sketch_rollup",
     "et08_snapshot_diff",
     "et09_expectations",
     "et10_apply_changelog",
