@@ -423,3 +423,41 @@ def test_decode_image_both_modes_are_narrow_maps(spark):
         assert "MapInPandas" in plan
         for node in ("Exchange", "Join", "Sort"):
             assert node not in plan, (kw, node)
+
+
+def test_scan_count_budgets(spark, sf_dir):
+    """Registry-wide pin of the scan-replay audit: Spark replays a
+    shared lazy subplan once PER CONSUMER, so a pipeline feeding one
+    deduped corpus to three reports silently re-reads (and re-dedups)
+    the corpus three times.  At 100 TB scan count dominates cost; the
+    round-3 audit hand-collapsed every multi-pass plan (funnel 6→1
+    scans, SCD2 9→2, BM25 3→1, pipeline dedup stages 9–15→1, et15
+    12→2, et26 12→1).  tests/scan_budgets.json records each query's
+    audited parquet-scan and checkpoint-scan node counts; any future
+    lazy-subplan replay fails here instead of waiting for the next
+    audit.  Regenerate budgets deliberately with
+    `python tools/scan_audit.py --write` after a plan change you have
+    verified is scan-minimal.  (Grand-row emptiness probes and other
+    limit(1) scans count too — they are bounded at runtime, but the
+    budget keeps their number visible.)"""
+    import json
+    import os
+
+    budgets = json.load(
+        open(os.path.join(os.path.dirname(__file__), "scan_budgets.json"))
+    )
+    missing, over = [], {}
+    for name, q in QUERIES.items():
+        b = budgets.get(name)
+        if b is None:
+            missing.append(name)
+            continue
+        df = q.build(spark, sf_dir)
+        got = {
+            "parquet": plans.count_ops(df, "Scan parquet"),
+            "rdd": plans.count_ops(df, "Scan ExistingRDD"),
+        }
+        if got["parquet"] > b["parquet"] or got["rdd"] > b["rdd"]:
+            over[name] = {"budget": b, "plan": got}
+    assert missing == [], f"queries without a scan budget (run scan_audit --write): {missing}"
+    assert over == {}, f"scan-count regressions: {over}"
