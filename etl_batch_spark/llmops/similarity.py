@@ -382,7 +382,7 @@ def kmeans_lloyd(
     d = (
         fan_out(df)
         .select(F.col(id_col), as_double(vec_col).alias("e"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     first_row = d.select("e").first()
     if first_row is None:
@@ -810,7 +810,7 @@ def semantic_dedup(
         # three consumers below (both pair sides + the final labeling
         # join) would each replay the scan+assignment lineage;
         # materialize it once — the kmeans_lloyd discipline
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = assign.select(
         F.col("cluster"),

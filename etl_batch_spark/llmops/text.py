@@ -542,7 +542,7 @@ def bm25_topk(
             F.size("toks").cast("double").alias("dl"),
             F.filter("toks", lambda t: F.array_contains(terms, t)).alias("hits"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     toked = base.select(
         id_col, "dl", F.explode("hits").alias("term")

@@ -26,6 +26,35 @@ _SEQ = "__cdc_seq"
 _OP = "__cdc_op"
 
 
+def _tie_break_hash(df: DataFrame, cols: Sequence[str]) -> F.Column:
+    """Deterministic per-row hash over ``cols`` for tie-breaking.
+
+    ``xxhash64`` rejects MapType (and anything nesting one) at analysis
+    time — maps have no canonical element order to hash.  Such columns
+    go through ``to_json`` first: Spark serializes map entries in their
+    stored order, which is stable for a given row, so the hash stays
+    deterministic per run — all the tie-break needs.  Hashable columns
+    pass through untouched, preserving the hash (and thus the chosen
+    survivor) for every schema that worked before.
+    """
+    from pyspark.sql import types as T
+
+    def hashable(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    exprs = [
+        F.col(c) if hashable(df.schema[c].dataType) else F.to_json(F.col(c))
+        for c in cols
+    ]
+    return F.xxhash64(*exprs)
+
+
 def apply_changelog(
     snapshot: DataFrame,
     changes: DataFrame,
@@ -62,14 +91,17 @@ def apply_changelog(
     # DETERMINISTICALLY: deletes beat upserts (a 'D' sharing a seq with
     # a 'U' means the key ends deleted), then a stable value-hash — so
     # the same input yields the same survivor on every run/partitioning,
-    # the repo-wide reproducibility discipline.
+    # the repo-wide reproducibility discipline.  Map-typed value columns
+    # hash via their JSON image (_tie_break_hash) — xxhash64 alone would
+    # reject them at analysis time.
+    union = base.unionByName(chg)
     w = W.partitionBy(*keys).orderBy(
         F.col(_SEQ).desc_nulls_last(),
         F.when(F.col(_OP) == "D", 0).otherwise(1).asc(),
-        F.xxhash64(*value_cols).asc(),
+        _tie_break_hash(union, value_cols).asc(),
     )
     return (
-        base.unionByName(chg)
+        union
         .withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col(_OP) != "D"))
         .select(*value_cols)

@@ -80,7 +80,9 @@ def pagerank(
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
 
-def triangle_count(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, *, a: str = "a", b: str = "b", checkpoint: bool = True
+) -> DataFrame:
     """One-row (n_nodes, n_edges, n_triangles) for an undirected edge
     list (any orientation, duplicates/self-loops tolerated).
 
@@ -90,11 +92,20 @@ def triangle_count(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame
     no /6 division) and bounds the wedge fan-out by the SMALLER endpoint
     degree — the standard mitigation for power-law hubs at scale.  Two
     shuffle joins on single key columns; AQE handles residual skew.
+
+    ``checkpoint=False`` skips the edge-list materialization for callers
+    that only want the plan, or that run on preemptible executors where
+    non-replicated checkpoint blocks would make a lost executor fatal
+    instead of a lineage recompute — at the cost of re-deriving the
+    edge list once per consumer.
     """
     # the canonical edge list feeds six consumers (both wedge sides,
     # the closing join, edge/node stats) — materialize it ONCE, or each
     # replays the upstream derivation (et15's edge list is itself a
-    # lineitem self-join: 12 scans in the executed plan without this)
+    # lineitem self-join: 12 scans in the executed plan without this).
+    # eager=False: building this DataFrame stays a pure plan
+    # construction (no cluster job at call time); the blocks
+    # materialize on the first action and every consumer reuses them.
     e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
@@ -102,8 +113,9 @@ def triangle_count(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame
         )
         .filter(F.col("u") < F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
     e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))

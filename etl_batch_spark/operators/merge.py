@@ -148,6 +148,13 @@ def merge_upsert_partitioned(
     # directories by UNESCAPING their value part rather than formatting
     # our own — a raw f"{col}={v}" probe would miss every escaped
     # partition and mis-create a duplicate unescaped directory beside it.
+    # A dirname counts as ESCAPED only if re-escaping the unquoted value
+    # reproduces it exactly; otherwise it is a legacy raw directory
+    # (written by a non-escaping producer) whose value may itself
+    # contain literal %XX — index it under its raw value too, so an
+    # update for `a%3Ab` merges into `ts=a%3Ab` instead of creating a
+    # second, escaped directory beside it.  Raw indexing never clobbers
+    # an escaped resolution for the same value.
     from urllib.parse import unquote
 
     prefix = f"{partition_col}="
@@ -155,7 +162,12 @@ def merge_upsert_partitioned(
     if os.path.isdir(target_path):
         for d in os.listdir(target_path):
             if d.startswith(prefix) and os.path.isdir(os.path.join(target_path, d)):
-                existing[unquote(d[len(prefix):])] = d
+                raw = d[len(prefix):]
+                unq = unquote(raw)
+                if _escape_partition_value(unq) == raw:
+                    existing[unq] = d
+                else:
+                    existing.setdefault(raw, d)
     rewritten: list[str] = []
     for v in sorted(touched, key=str):
         dirname = existing.get(str(v), f"{prefix}{_escape_partition_value(str(v))}")

@@ -1479,7 +1479,7 @@ def et26_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "value", F.dayofmonth("ts").alias("_dom"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ref = e.filter(F.col("_dom") <= 15)
     cur = e.filter(F.col("_dom") > 15)

@@ -1375,7 +1375,7 @@ def pipe01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontamination and sampling — without the checkpoint each replays
     # the scan + dedup shuffle (9 scans in the executed plan; pipe03
     # precedent)
-    deduped = dedup.drop_exact_duplicates(train).localCheckpoint()
+    deduped = dedup.drop_exact_duplicates(train).localCheckpoint(eager=False)
     good = text.quality_score(deduped).filter(F.col("quality") >= 0.58).select("doc_id")
     kept = deduped.join(good, "doc_id", "left_semi")
     contaminated = text.contamination(kept, bench_docs, n=4).select("doc_id")
@@ -1422,7 +1422,7 @@ def sm04_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _documents(spark, sf_dir)
         .select("doc_id", "source", "text")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     scored = docs.join(text.quality_score(docs), "doc_id")
     kept = sampling.weighted_hash_sample(
@@ -2435,7 +2435,7 @@ def sm10_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _documents(spark, sf_dir)
         .select("doc_id", "source", "text")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     scored = docs.select("doc_id", "source").join(text.quality_score(docs), "doc_id")
     cal = sampling.quantile_calibrate(
@@ -2741,7 +2741,7 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _documents(spark, sf_dir)
         .select("doc_id", "source", "text")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     src = docs.select("doc_id", "source")
     q = quality_score(docs)
@@ -2870,7 +2870,7 @@ def pipe04_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _documents(spark, sf_dir)
         .select("doc_id", "source", "lang", "text")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     scored = docs.join(text.quality_score(docs), "doc_id")
     cal = sampling.quantile_calibrate(

@@ -1942,22 +1942,27 @@ def q58_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH partval AS (
       SELECT l_partkey,
              SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * CAST(l_quantity AS DECIMAL(3,0))) AS val
+                 * CAST(l_quantity AS DECIMAL(5,0))) AS val
       FROM lineitem GROUP BY 1
     )
     SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS value
     FROM partval
     WHERE CAST(val AS DOUBLE) >
           (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                           * CAST(l_quantity AS DECIMAL(3,0))) AS DOUBLE)
+                           * CAST(l_quantity AS DECIMAL(5,0))) AS DOUBLE)
                   * 0.0007 FROM lineitem)
     """,
 )
 def q59_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # decimal values, double threshold — bit-identical membership (see oracle)
+    # decimal values, double threshold — bit-identical membership (see
+    # oracle).  (5,0) gives l_quantity headroom to 99,999: with ANSI on,
+    # an overflowing cast ABORTS the query, so the cast width is a
+    # domain contract, not a storage hint — (3,0) would cliff at 1,000
+    # units on a wider-domain corpus.  Exactness is unchanged: decimal
+    # products are exact at any width that fits.
     val = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
-        "decimal(3,0)"
+        "decimal(5,0)"
     )
     partval = li.groupBy("l_partkey").agg(F.sum(val).alias("val"))
     total = li.agg((F.sum(val).cast("double") * 0.0007).alias("threshold"))

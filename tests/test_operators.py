@@ -454,6 +454,26 @@ class TestApplyChangelog:
         with pytest.raises(ValueError):
             apply_changelog(snap, chg, keys=["k"], seq_col="seq", op_col="op")
 
+    def test_map_typed_value_column(self, spark):
+        """xxhash64 rejects MapType at analysis time; the tie-break must
+        route map columns through their JSON image instead of failing."""
+        from etl_batch_spark.operators.cdc import apply_changelog
+
+        snap = spark.createDataFrame(
+            [(1, {"a": 1}), (2, {"b": 2})], "k long, props map<string,int>"
+        )
+        chg = spark.createDataFrame(
+            [(2, {"b": 3}, 10, "U"), (3, {"c": 4}, 11, "I"), (1, None, 12, "D")],
+            "k long, props map<string,int>, seq long, op string",
+        )
+        got = {
+            (r["k"], tuple(sorted((r["props"] or {}).items())))
+            for r in apply_changelog(
+                snap, chg, keys=["k"], seq_col="seq", op_col="op"
+            ).collect()
+        }
+        assert got == {(2, (("b", 3),)), (3, (("c", 4),))}
+
 
 class TestBlockedFuzzyJoin:
     def test_finds_typos_within_block(self, spark):
@@ -1490,6 +1510,28 @@ class TestOperatorNullAndEdgeHardening:
         dirs = [d for d in os.listdir(tgt) if d.startswith("ts_hour=")]
         assert dirs == ["ts_hour=2024-01-01 00%3A00%3A00"]
         got = {r["id"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+        assert got == {1: "A", 2: "b"}
+
+    def test_merge_upsert_partitioned_legacy_raw_percent_dir(self, spark, tmp_path):
+        """A directory written RAW by a non-escaping producer, whose
+        value literally contains a %XX sequence, must merge in place —
+        not be mis-read as its unquoted form (creating an escaped
+        sibling beside the legacy dir)."""
+        import os
+
+        from etl_batch_spark.operators.merge import merge_upsert_partitioned
+
+        tgt = str(tmp_path / "t")
+        # legacy producer wrote the value '50%40' without escaping
+        legacy = os.path.join(tgt, "seg=50%40")
+        spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(legacy)
+        upd = spark.createDataFrame(
+            [(1, "A", "50%40"), (2, "b", "50%40")], "id long, v string, seg string"
+        )
+        merge_upsert_partitioned(spark, tgt, upd, ["id"], partition_col="seg")
+        dirs = sorted(d for d in os.listdir(tgt) if d.startswith("seg="))
+        assert dirs == ["seg=50%40"], dirs
+        got = {r["id"]: r["v"] for r in spark.read.parquet(legacy).collect()}
         assert got == {1: "A", 2: "b"}
 
     def test_apply_changelog_seq_tie_delete_beats_upsert(self, spark):
