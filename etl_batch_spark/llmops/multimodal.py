@@ -8,12 +8,14 @@ payloads never pass through the driver, batches stream per partition,
 and the Python stage is a narrow map (no shuffle).
 
 Codec status: PNG decodes FOR REAL via the pure-stdlib codec in
-:mod:`etl_batch_spark.llmops.png` (zlib inflate + scanline unfilter) —
-``decode_image(..., fake=False)`` runs it on PNG payloads and raises
-``NotImplementedError`` only for formats that genuinely need external
-libraries (JPEG/WebP/audio/video).  ``fake=True`` keeps the
-deterministic md5-derived stub, which remains the oracle twin for the
-mm* registry queries (their fixture payloads are text, not PNGs).
+:mod:`etl_batch_spark.llmops.png` (zlib inflate + scanline unfilter),
+and baseline JPEG via :mod:`etl_batch_spark.llmops.jpeg` (huffman +
+8x8 DCT) — ``decode_image(..., fake=False)`` dispatches on the payload
+signature and raises ``NotImplementedError`` only for formats that
+genuinely need external libraries (WebP/progressive JPEG/audio/video).
+``fake=True`` keeps the deterministic md5-derived stub, which remains
+the oracle twin for the mm* registry queries (their fixture payloads
+are text, not images).
 """
 
 from __future__ import annotations
@@ -26,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_batch_spark.llmops.jpeg import SIGNATURE as _JPEG_SIGNATURE
+from etl_batch_spark.llmops.jpeg import decode_jpeg as _decode_jpeg
 from etl_batch_spark.llmops.png import _SIGNATURE as _PNG_SIGNATURE
 from etl_batch_spark.llmops.png import decode_png as _decode_png
 
@@ -88,20 +92,25 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real decode for payloads the stdlib can handle (PNG today).  The
-    8-dim feature is per-channel mean then per-channel std of the pixel
+    """Real decode for payloads the in-repo codecs handle (PNG and
+    baseline JPEG), dispatched on the payload signature.  The 8-dim
+    feature is per-channel mean then per-channel std of the pixel
     array in [0,1], zero-padded — deterministic, resolution-independent,
     and cheap enough to compute inline with the decode pass.  Imports
     live at module level — this function runs once PER ROW in the
     hottest loop of the module."""
     payload = bytes(payload)
-    if not payload.startswith(_PNG_SIGNATURE):
+    if payload.startswith(_PNG_SIGNATURE):
+        width, height, channels, px = _decode_png(payload)
+    elif payload.startswith(_JPEG_SIGNATURE):
+        width, height, channels, px = _decode_jpeg(payload)
+    else:
         raise NotImplementedError(
-            "only PNG decodes without external codec libraries "
-            "(JPEG/WebP need PIL/libvips); run with fake=True to "
-            "exercise the pipeline plumbing on non-PNG payloads"
+            "only PNG and baseline JPEG decode without external codec "
+            "libraries (WebP/audio/video need PIL/libvips/ffmpeg); run "
+            "with fake=True to exercise the pipeline plumbing on other "
+            "payloads"
         )
-    width, height, channels, px = _decode_png(payload)
     arr = (
         np.frombuffer(px, np.uint8)
         .reshape(height * width, channels)

@@ -164,11 +164,11 @@ class TestDecodeImageReal:
             want = [round(float(v), 6) for v in (want + [0.0] * 8)[:8]]
             assert [round(float(v), 6) for v in r["feature"]] == want
 
-    def test_non_png_payload_still_raises(self, spark):
+    def test_unsupported_format_payload_still_raises(self, spark):
         from etl_batch_spark.llmops.multimodal import decode_image
 
         df = spark.createDataFrame(
-            [(1, bytearray(b"\xff\xd8\xff\xe0 not a png"))],
+            [(1, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 "))],
             "doc_id long, payload binary",
         )
         with pytest.raises(Exception, match="NotImplementedError|PNG"):
@@ -237,8 +237,9 @@ def test_decode_image_quarantine_mode(spark):
     good_px = _gradient(4, 3, 3, seed=1)
     rows = [
         (1, bytearray(encode_png(4, 3, 3, good_px))),
-        (2, bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),      # non-PNG
+        (2, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 ")),    # unsupported format
         (3, bytearray(encode_png(4, 3, 3, good_px)[:-7])),  # truncated
+        (4, bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),       # corrupt JPEG
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in
@@ -246,10 +247,11 @@ def test_decode_image_quarantine_mode(spark):
     assert got[1]["error"] is None and (got[1]["width"], got[1]["height"]) == (4, 3)
     assert got[2]["width"] is None and "NotImplementedError" in got[2]["error"]
     assert got[3]["width"] is None and "PngError" in got[3]["error"]
+    assert got[4]["width"] is None and "JpegError" in got[4]["error"]
     # clean/quarantine split is one filter each
     out = decode_image(df, fake=False, errors="quarantine")
     assert out.filter("error IS NULL").count() == 1
-    assert out.filter("error IS NOT NULL").count() == 2
+    assert out.filter("error IS NOT NULL").count() == 3
     with pytest.raises(ValueError, match="errors must be"):
         decode_image(df, errors="bogus")
 
