@@ -8,20 +8,40 @@ training corpora.  Everything here is from the public JPEG standard
 zigzag + dequantization, the 8x8 type-II DCT, YCbCr (BT.601) color, and
 2:1 chroma subsampling.
 
-Scope (deliberate): baseline and extended-sequential Huffman DCT
-(SOF0/SOF1), 8-bit precision, 1-component (grayscale) or 3-component
-(YCbCr) images, sampling factors 1 or 2 per axis, restart intervals.
-Progressive (SOF2), arithmetic coding, hierarchical, 12-bit, CMYK and
-multi-scan non-interleaved files raise ``JpegError`` — at
-training-pipeline scale those long-tail variants route to a quarantine
-sink (``multimodal.decode_image(errors="quarantine")``) rather than a
+Scope (deliberate): Huffman DCT in all three common arrangements —
+baseline/extended-sequential (SOF0/SOF1, interleaved or multi-scan
+non-interleaved) and progressive (SOF2: spectral selection +
+successive approximation, the T.81 Annex G scan protocol that most
+web-exported JPEGs use) — 8-bit precision, 1-component (grayscale) or
+3-component (YCbCr) images, sampling factors 1 or 2 per axis, restart
+intervals.  Arithmetic coding, lossless/hierarchical, 12-bit and CMYK
+raise ``JpegError`` — at training-pipeline scale those long-tail
+variants route to a quarantine sink
+(``multimodal.decode_image(errors="quarantine")``) rather than a
 slower universal decoder.
+
+Decoding is scan-driven: every scan (a baseline file has one; a
+progressive file has many) accumulates quantized coefficients into
+per-component block arrays, and dequantization + the IDCT run once at
+EOI over the whole array (vectorized einsum — one matrix sandwich for
+every block at once).  That architecture is exactly T.81's model, and
+it makes progressive refinement (DC/AC first scans shifted by the
+successive-approximation bit position, refinement scans OR-ing /
+nudging one bit at a time) a per-scan detail rather than a separate
+decoder.
 
 ``encode_jpeg`` exists so tests can GENERATE real JPEGs without PIL and
 round-trip them: at quality 100 the quantization tables are all ones
 and the only loss is DCT rounding (a couple of gray levels), so a
 round-trip asserts the whole pipeline — FDCT -> zigzag -> huffman ->
-parse -> huffman -> dequant -> IDCT — within a tight tolerance.  The
+parse -> huffman -> dequant -> IDCT — within a tight tolerance.  With
+``progressive=True`` it emits the Annex G scan script (interleaved DC
+first + refinement, per-component AC first + refinement), and because
+successive approximation reconstructs every coefficient EXACTLY (the
+point transform drops bits the refinement scan restores), the
+progressive encoding of an image must decode to pixels bit-identical
+to its sequential encoding — the strongest cross-check the two scan
+protocols admit.  The
 encoder's Huffman tables are valid canonical tables chosen for
 simplicity, not the Annex K defaults; the decoder is table-driven off
 DHT, so it reads both these and standard-table files identically.
@@ -210,6 +230,214 @@ def decode_jpeg(
         raise JpegError(f"malformed JPEG structure: {exc}") from exc
 
 
+def _parse_scan_header(
+    seg: bytes, comps: list[dict], progressive: bool
+) -> tuple[list[tuple[dict, int, int]], int, int, int, int]:
+    """Validate an SOS payload against the frame: returns
+    ``([(component, dc_table_id, ac_table_id), ...], Ss, Se, Ah, Al)``.
+    Sequential scans must cover the full band at full precision;
+    progressive scans must follow the T.81 Annex G shape (DC scans may
+    interleave components, AC scans are single-component, refinement
+    advances one bit plane at a time)."""
+    ns = seg[0] if seg else 0
+    if not 1 <= ns <= len(comps) or len(seg) != 4 + 2 * ns:
+        raise JpegError("malformed SOS header")
+    by_id = {c["id"]: c for c in comps}
+    scomps = []
+    seen: set[int] = set()
+    for i in range(ns):
+        cs, t = seg[1 + 2 * i : 3 + 2 * i]
+        if cs not in by_id or cs in seen:
+            raise JpegError(f"scan references unknown/duplicate component {cs}")
+        seen.add(cs)
+        scomps.append((by_id[cs], t >> 4, t & 0x0F))
+    ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+    if progressive:
+        if ss == 0:
+            if se != 0:
+                raise JpegError("progressive DC scan must have Se=0")
+        else:
+            if ns != 1:
+                raise JpegError("progressive AC scan must be single-component")
+            if not ss <= se <= 63:
+                raise JpegError(f"bad spectral band {ss}..{se}")
+        if al > 13 or (ah and ah != al + 1):
+            raise JpegError(f"bad successive-approximation bits Ah={ah} Al={al}")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise JpegError("sequential scan must cover the full band")
+    return scomps, ss, se, ah, al
+
+
+def _decode_block(
+    reader: _BitReader,
+    cf,
+    dct: dict | None,
+    act: dict | None,
+    pred: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    eobrun: int,
+) -> tuple[int, int]:
+    """Decode one block's contribution from the current scan into
+    ``cf`` (the block's quantized coefficients, zigzag order).  Covers
+    all four T.81 scan kinds — DC/AC first (Ah=0) and DC/AC refinement
+    (Ah>0); a sequential scan is the Ss=0, Se=63, Ah=Al=0 special case
+    of the same code path.  Returns the updated (DC predictor, EOB
+    run)."""
+    if ss == 0:
+        if ah == 0:
+            s = reader.decode_symbol(dct)
+            if s > 11:
+                raise JpegError(f"bad DC category {s}")
+            pred += reader.receive_extend(s)
+            cf[0] = pred << al
+        elif reader.read(1):  # DC refinement: one bit, ORed in at Al
+            cf[0] |= 1 << al
+    k = ss if ss else 1
+    if k > se:
+        return pred, eobrun
+    if ah == 0:  # AC first scan (or the AC part of a sequential scan)
+        if eobrun:
+            return pred, eobrun - 1
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                # EOBn: run of (1 << r) + ext blocks ending here,
+                # current block included (hence the -1)
+                eobrun = (1 << r) - 1 + (reader.read(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise JpegError("AC coefficient index overflow")
+            cf[k] = reader.receive_extend(s) << al
+            k += 1
+        return pred, eobrun
+    # AC refinement (T.81 G.1.2.3): each known-nonzero coefficient the
+    # scan passes consumes one correction bit that may nudge it by one
+    # bit plane; RS symbols insert new +-(1<<Al) values after a run of
+    # zero-HISTORY positions.
+    p1 = 1 << al
+
+    def correct(i: int) -> None:
+        if reader.read(1) and not (int(cf[i]) & p1):
+            cf[i] += p1 if cf[i] > 0 else -p1
+
+    if eobrun:
+        for i in range(k, se + 1):
+            if cf[i]:
+                correct(i)
+        return pred, eobrun - 1
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        newval = 0
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) + (reader.read(r) if r else 0)
+                break  # remaining band refined below, then eobrun -= 1
+            # ZRL: skip 16 zero-history positions
+        elif s == 1:
+            newval = p1 if reader.read(1) else -p1
+        else:
+            raise JpegError("bad refinement magnitude category")
+        while True:
+            if k > se:
+                raise JpegError("refinement run past band end")
+            if cf[k]:
+                correct(k)
+                k += 1
+                continue
+            if r == 0:
+                break
+            r -= 1
+            k += 1
+        if newval:
+            cf[k] = newval
+        k += 1
+    if eobrun:
+        for i in range(k, se + 1):
+            if cf[i]:
+                correct(i)
+        eobrun -= 1
+    return pred, eobrun
+
+
+def _decode_scan(
+    segments: list[bytes],
+    scan: tuple,
+    huff: dict,
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+) -> None:
+    """Run one scan's entropy segments into the components' coefficient
+    arrays.  Multi-component scans interleave by MCU; single-component
+    scans traverse that component's own block grid (T.81 A.2)."""
+    scomps, ss, se, ah, al = scan
+    for c, td, ta in scomps:
+        if ss == 0 and ah == 0 and (0, td) not in huff:
+            raise JpegError("missing huffman table referenced by scan")
+        if se >= 1 and (1, ta) not in huff:
+            raise JpegError("missing huffman table referenced by scan")
+    interleaved = len(scomps) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        c0 = scomps[0][0]
+        units = c0["sb_w"] * c0["sb_h"]
+    per_seg = restart_interval if restart_interval else units
+    expected = -(-units // per_seg)
+    if len(segments) < expected:
+        raise JpegError(f"expected {expected} restart segments, got {len(segments)}")
+    unit = 0
+    for seg_bytes in segments[:expected]:
+        reader = _BitReader(seg_bytes)
+        pred = {c["id"]: 0 for c, _, _ in scomps}
+        eobrun = 0  # EOB runs never cross a restart boundary
+        for _ in range(min(per_seg, units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for c, td, ta in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            cf = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                            pred[c["id"]], eobrun = _decode_block(
+                                reader, cf, huff.get((0, td)), huff.get((1, ta)),
+                                pred[c["id"]], ss, se, ah, al, eobrun,
+                            )
+            else:
+                c, td, ta = scomps[0]
+                by, bx = divmod(unit, c["sb_w"])
+                pred[c["id"]], eobrun = _decode_block(
+                    reader, c["coef"][by, bx], huff.get((0, td)),
+                    huff.get((1, ta)), pred[c["id"]], ss, se, ah, al, eobrun,
+                )
+            unit += 1
+
+
+def _idct_plane(coef: np.ndarray, qt_zz: np.ndarray) -> np.ndarray:
+    """Dequantize a (block_rows, block_cols, 64) zigzag coefficient
+    array and inverse-DCT every block at once (einsum over the whole
+    array — no per-block Python loop), returning the level-shifted
+    pixel plane."""
+    deq = coef.astype(np.float64) * qt_zz.astype(np.float64)
+    raster = np.empty_like(deq)
+    raster[:, :, ZIGZAG] = deq  # zigzag index k lands at raster ZIGZAG[k]
+    blocks = raster.reshape(raster.shape[0], raster.shape[1], 8, 8)
+    px = np.einsum("ki,yxkl,lj->yxij", _DCT, blocks, _DCT)  # D.T @ B @ D
+    return (
+        px.transpose(0, 2, 1, 3).reshape(blocks.shape[0] * 8, blocks.shape[1] * 8)
+        + 128.0
+    )
+
+
 def _decode_impl(data: bytes, *, max_pixels: int) -> tuple[int, int, int, bytes]:
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise JpegError("payload is not bytes")
@@ -221,18 +449,27 @@ def _decode_impl(data: bytes, *, max_pixels: int) -> tuple[int, int, int, bytes]
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     restart_interval = 0
     sof = None
+    progressive = False
+    geom = None  # (hmax, vmax, mcux, mcuy) — fixed at the first SOS
+    seq_scanned: list[int] = []  # component ids consumed by sequential scans
+    dc_seen: set[int] = set()  # component ids with a progressive DC-first scan
+    n_scans = 0
     pos = 2
     n = len(data)
     while True:
-        if pos + 4 > n:
-            raise JpegError("truncated marker segment")
+        if pos + 2 > n:
+            raise JpegError("truncated marker segment (missing EOI)")
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at offset {pos}")
         while pos + 1 < n and data[pos + 1] == 0xFF:
             pos += 1  # legal fill bytes before a marker (T.81 B.1.1.2)
         marker = data[pos + 1]
+        if marker == 0xD9:  # EOI — scans complete
+            break
         if marker == 0xD8:  # stray SOI
             raise JpegError("unexpected SOI inside stream")
+        if pos + 4 > n:
+            raise JpegError("truncated marker segment")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -252,7 +489,7 @@ def _decode_impl(data: bytes, *, max_pixels: int) -> tuple[int, int, int, bytes]
                     raise JpegError("truncated DQT table")
                 qtables[tq] = np.array(list(vals), dtype=np.int32)
                 p += step
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT — tables may be redefined between scans
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
@@ -261,7 +498,10 @@ def _decode_impl(data: bytes, *, max_pixels: int) -> tuple[int, int, int, bytes]
                 values = seg[p + 17 : p + 17 + nv]
                 huff[(tc, th)] = _build_decode_table(bits, values)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman DCT
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF: sequential / progressive
+            if sof is not None:
+                raise JpegError("multiple SOF markers")
+            progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise JpegError(f"unsupported precision {precision} (only 8)")
@@ -284,109 +524,78 @@ def _decode_impl(data: bytes, *, max_pixels: int) -> tuple[int, int, int, bytes]
                     raise JpegError(f"unsupported sampling factor {h}x{v}")
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
             sof = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegError(
-                f"unsupported SOF marker 0xFF{marker:02X} (progressive/"
-                "arithmetic/hierarchical); baseline SOF0/SOF1 only"
+                f"unsupported SOF marker 0xFF{marker:02X} (arithmetic/"
+                "lossless/hierarchical); Huffman SOF0/SOF1/SOF2 only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS — one of possibly many scans
             if sof is None:
                 raise JpegError("SOS before SOF")
-            ns = seg[0]
             width, height, comps = sof
-            if ns != len(comps):
-                raise JpegError(
-                    "non-interleaved multi-scan files not supported "
-                    f"(scan has {ns} of {len(comps)} components)"
-                )
-            sel = {}
-            for i in range(ns):
-                cs, t = seg[1 + 2 * i : 3 + 2 * i]
-                sel[cs] = (t >> 4, t & 0x0F)
-            for c in comps:
-                if c["id"] not in sel:
-                    raise JpegError(f"scan missing component {c['id']}")
-                c["td"], c["ta"] = sel[c["id"]]
-            pos = pos + 2 + seglen
-            break
-        # APPn / COM / anything else: skip
+            if geom is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                for c in comps:
+                    # coefficient grid is MCU-padded; a single-component
+                    # scan traverses only the component's own (smaller)
+                    # ceil(dims/8) grid — trailing padded blocks exist
+                    # solely for interleaved-scan geometry
+                    c["coef"] = np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                    )
+                    cw = -(-width * c["h"] // hmax)
+                    ch = -(-height * c["v"] // vmax)
+                    c["sb_w"] = -(-cw // 8)
+                    c["sb_h"] = -(-ch // 8)
+                geom = (hmax, vmax, mcux, mcuy)
+            scan = _parse_scan_header(seg, comps, progressive)
+            if progressive:
+                scomps, ss, _se, ah, _al = scan
+                for c, _, _ in scomps:
+                    if ss == 0 and ah == 0:
+                        dc_seen.add(c["id"])
+                    elif c["id"] not in dc_seen:
+                        raise JpegError(
+                            f"scan for component {c['id']} before its DC scan"
+                        )
+            else:
+                for c, _, _ in scan[0]:
+                    if c["id"] in seq_scanned:
+                        raise JpegError(f"component {c['id']} scanned twice")
+                    seq_scanned.append(c["id"])
+            segments, pos = _split_entropy(data, pos + 2 + seglen)
+            _decode_scan(segments, scan, huff, restart_interval,
+                         geom[2], geom[3])
+            n_scans += 1
+            continue  # pos already sits on the next marker's 0xFF
+        # APPn / COM / DNL / anything else: skip
         pos = pos + 2 + seglen
 
-    segments, end = _split_entropy(data, pos)
-    if not (end + 1 < n and data[end + 1] == 0xD9):
-        # decoders conventionally tolerate a missing EOI only when the
-        # scan itself is complete; we require it for loud failure
-        raise JpegError("scan not terminated by EOI")
-
+    if sof is None or n_scans == 0:
+        raise JpegError("no scan before EOI")
     width, height, comps = sof
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
+    if progressive:
+        missing = [c["id"] for c in comps if c["id"] not in dc_seen]
+    else:
+        missing = [c["id"] for c in comps if c["id"] not in seq_scanned]
+    if missing:
+        raise JpegError(f"scan missing component {missing[0]}")
+
+    hmax, vmax, _, _ = geom
+    planes = []
     for c in comps:
         if c["tq"] not in qtables:
             raise JpegError(f"missing quantization table {c['tq']}")
-        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
-            raise JpegError("missing huffman table referenced by scan")
-        c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-
-    n_mcu = mcux * mcuy
-    per_seg = restart_interval if restart_interval else n_mcu
-    expected_segments = -(-n_mcu // per_seg)
-    if len(segments) < expected_segments:
-        raise JpegError(
-            f"expected {expected_segments} restart segments, got {len(segments)}"
-        )
-
-    mcu = 0
-    for seg_bytes in segments[:expected_segments]:
-        reader = _BitReader(seg_bytes)
-        pred = {c["id"]: 0 for c in comps}
-        for _ in range(min(per_seg, n_mcu - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for c in comps:
-                dct = huff[(0, c["td"])]
-                act = huff[(1, c["ta"])]
-                qt = qtables[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.float64)
-                        s = reader.decode_symbol(dct)
-                        if s > 11:
-                            raise JpegError(f"bad DC category {s}")
-                        pred[c["id"]] += reader.receive_extend(s)
-                        coef[0] = pred[c["id"]] * qt[0]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL: sixteen zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC coefficient index overflow")
-                            # qt is stored in DQT (zigzag) order, so it
-                            # indexes by k while the coefficient lands at
-                            # its raster position — dequant at placement
-                            coef[ZIGZAG[k]] = reader.receive_extend(s) * qt[k]
-                            k += 1
-                        block = _DCT.T @ coef.reshape(8, 8) @ _DCT
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
-            mcu += 1
-
-    planes = []
-    for c in comps:
+        plane = _idct_plane(c["coef"], qtables[c["tq"]])
         cw = -(-width * c["h"] // hmax)
         ch = -(-height * c["v"] // vmax)
-        p = c["plane"][:ch, :cw]
+        p = plane[:ch, :cw]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         planes.append(p[:height, :width])
 
@@ -440,35 +649,56 @@ def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return luma.astype(np.int32), chroma.astype(np.int32)
 
 
-def _encode_block(
+def _mag(v: int) -> int:
+    """DC/AC magnitude category (T.81 F.1.2.1)."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _ext(v: int, s: int) -> int:
+    """Magnitude extension bits for a category-``s`` value."""
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _shift_to_zero(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward ZERO (the
+    T.81 G.1.2.2 rule — DC uses a plain arithmetic shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _fdct_quant(
+    padded: list[np.ndarray], qts_zz: list[np.ndarray], qsel: list[int]
+) -> list[np.ndarray]:
+    """FDCT + quantize every plane into (block_rows, block_cols, 64)
+    int32 arrays in zigzag order — one einsum per plane, no per-block
+    Python loop."""
+    out = []
+    for p, qi in zip(padded, qsel):
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p - 128.0).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ik,yxkl,jl->yxij", _DCT, blocks, _DCT)  # D @ B @ D.T
+        zz = coef.reshape(bh, bw, 64)[:, :, ZIGZAG]
+        out.append(np.round(zz / qts_zz[qi]).astype(np.int32))
+    return out
+
+
+def _write_block_seq(
     writer: _BitWriter,
-    block: np.ndarray,
-    qt_zz: np.ndarray,
+    zz: np.ndarray,
     pred: int,
     dc_tab: dict[int, tuple[int, int]],
     ac_tab: dict[int, tuple[int, int]],
 ) -> int:
-    """FDCT + quantize + entropy-encode one 8x8 block; returns new DC."""
-    coef = _DCT @ (block - 128.0) @ _DCT.T
-    zz = np.array([coef.flat[ZIGZAG[k]] for k in range(64)])
-    q = np.round(zz / qt_zz).astype(np.int64)
-
-    def magnitude(v: int) -> int:
-        return int(v).bit_length() if v >= 0 else int(-v).bit_length()
-
-    def extend_bits(v: int, s: int) -> int:
-        return v if v >= 0 else v + (1 << s) - 1
-
-    dc = int(q[0])
+    """Entropy-encode one quantized block (sequential full band);
+    returns the new DC predictor."""
+    dc = int(zz[0])
     diff = dc - pred
-    s = magnitude(diff)
+    s = _mag(diff)
     code, ln = dc_tab[s]
     writer.write(code, ln)
-    writer.write(extend_bits(diff, s), s)
-
+    writer.write(_ext(diff, s), s)
     run = 0
     for k in range(1, 64):
-        v = int(q[k])
+        v = int(zz[k])
         if v == 0:
             run += 1
             continue
@@ -476,15 +706,139 @@ def _encode_block(
             code, ln = ac_tab[0xF0]  # ZRL
             writer.write(code, ln)
             run -= 16
-        s = magnitude(v)
+        s = _mag(v)
         code, ln = ac_tab[(run << 4) | s]
         writer.write(code, ln)
-        writer.write(extend_bits(v, s), s)
+        writer.write(_ext(v, s), s)
         run = 0
     if run:
         code, ln = ac_tab[0x00]  # EOB
         writer.write(code, ln)
     return dc
+
+
+def _flush_eobrun(
+    writer: _BitWriter,
+    ac_tab: dict[int, tuple[int, int]],
+    eobrun: int,
+    bitbuf: list[int] | None = None,
+) -> int:
+    """Emit a pending EOBn symbol (plus its extension bits), then any
+    correction bits the run deferred (refinement scans append the
+    correction bits of EOB-covered blocks right after the EOBRUN code
+    — T.81 G.1.2.3).  Returns the cleared run count (0)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1  # eobrun <= 0x7FFF, so r <= 14
+        code, ln = ac_tab[r << 4]
+        writer.write(code, ln)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+    if bitbuf:
+        for b in bitbuf:
+            writer.write(b, 1)
+        bitbuf.clear()
+    return 0
+
+
+def _write_block_ac_first(
+    writer: _BitWriter,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    ac_tab: dict[int, tuple[int, int]],
+) -> int:
+    """AC first scan (Ah=0): band values at precision Al, zero runs and
+    cross-block EOB runs."""
+    vals = [_shift_to_zero(int(zz[k]), al) for k in range(ss, se + 1)]
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eobrun(writer, ac_tab, eobrun)
+        return eobrun
+    eobrun = _flush_eobrun(writer, ac_tab, eobrun)
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        s = _mag(v)
+        code, ln = ac_tab[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(_ext(v, s), s)
+        run = 0
+    return 1 if nz[-1] < len(vals) - 1 else 0  # trailing zeros start an EOB run
+
+
+def _write_block_ac_refine(
+    writer: _BitWriter,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    bitbuf: list[int],
+    ac_tab: dict[int, tuple[int, int]],
+) -> int:
+    """AC refinement scan (Ah=Al+1): newly-significant coefficients are
+    inserted as +-1 after runs of zero-HISTORY positions; coefficients
+    already nonzero at the previous precision each contribute one
+    correction bit, written right after the symbol whose decoder-side
+    traversal passes them (or after the EOBRUN flush for the block's
+    tail) — the exact mirror of _decode_block's refinement path."""
+    cur = [_shift_to_zero(int(zz[k]), al) for k in range(ss, se + 1)]
+    prev = [_shift_to_zero(v, 1) for v in cur]  # value at the prior scan
+    newnz = [i for i in range(len(cur)) if prev[i] == 0 and cur[i] != 0]
+    if not newnz:
+        eobrun += 1
+        bitbuf.extend(abs(cur[i]) & 1 for i in range(len(cur)) if prev[i])
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eobrun(writer, ac_tab, eobrun, bitbuf)
+        return eobrun
+    eobrun = _flush_eobrun(writer, ac_tab, eobrun, bitbuf)
+    last_new = newnz[-1]
+    i = 0
+    while i <= last_new:
+        run = 0
+        corrections: list[int] = []
+        placement = -1
+        while True:
+            if prev[i]:
+                corrections.append(abs(cur[i]) & 1)
+                i += 1
+                continue
+            if cur[i] != 0:
+                placement = i
+                break
+            if run == 15:
+                break  # this position is the 16th zero-history skip: ZRL
+            run += 1
+            i += 1
+        if placement >= 0:
+            code, ln = ac_tab[(run << 4) | 1]
+            writer.write(code, ln)
+            writer.write(1 if cur[placement] > 0 else 0, 1)
+        else:
+            code, ln = ac_tab[0xF0]  # ZRL
+            writer.write(code, ln)
+        for b in corrections:
+            writer.write(b, 1)
+        i += 1
+    if last_new < len(cur) - 1:
+        eobrun += 1
+        bitbuf.extend(
+            abs(cur[j]) & 1 for j in range(last_new + 1, len(cur)) if prev[j]
+        )
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eobrun(writer, ac_tab, eobrun, bitbuf)
+    return eobrun
 
 
 def encode_jpeg(
@@ -496,14 +850,20 @@ def encode_jpeg(
     quality: int = 90,
     subsample: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Minimal baseline JPEG writer (tests + fixture generation).
+    """Minimal JPEG writer (tests + fixture generation).
 
     ``subsample``: '444' (no chroma subsampling) or '420' (2x2 luma
     sampling — exercises the decoder's upsampling path).  Grayscale
     input (channels=1) ignores ``subsample``.  ``restart_interval`` > 0
     emits DRI + RSTn markers every that many MCUs (exercises the
-    decoder's restart path)."""
+    decoder's restart path).  ``progressive=True`` emits SOF2 with the
+    standard Annex G scan script — interleaved DC at Al=1 plus a DC
+    refinement scan, then per-component AC 1..63 at Al=1 plus an AC
+    refinement scan — which reconstructs every coefficient exactly, so
+    a progressive encoding decodes bit-identically to the sequential
+    encoding of the same pixels."""
     if channels not in (1, 3):
         raise JpegError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
@@ -555,6 +915,7 @@ def encode_jpeg(
     qts_zz = [np.array([qt[ZIGZAG[k]] for k in range(64)]) for qt in qts]
     dc_tab = _build_encode_table(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_tab = _build_encode_table(_ENC_AC_BITS, _ENC_AC_VALS)
+    qcoefs = _fdct_quant(padded, qts_zz, qsel)
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -570,8 +931,8 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for i, (h, v) in enumerate(samp):
         sof += bytes([i + 1, (h << 4) | v, qsel[i]])
-    segment(0xC0, sof)
-    # one DC + one AC table, shared by every component
+    segment(0xC2 if progressive else 0xC0, sof)
+    # one DC + one AC table, shared by every component and scan
     segment(
         0xC4,
         bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS
@@ -579,37 +940,83 @@ def encode_jpeg(
     )
     if restart_interval:
         segment(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([channels])
-    for i in range(channels):
-        sos += bytes([i + 1, 0x00])
-    sos += b"\x00\x3f\x00"
-    segment(0xDA, sos)
 
-    writer = _BitWriter()
-    pred = [0] * channels
-    n_mcu = mcux * mcuy
-    rst = 0
-    for mcu in range(n_mcu):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            out.extend(writer.flush())
-            out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
-            rst += 1
-            writer = _BitWriter()
-            pred = [0] * channels
-        my, mx = divmod(mcu, mcux)
-        for ci, (p, (h, v)) in enumerate(zip(padded, samp)):
-            for by in range(v):
-                for bx in range(h):
-                    y0 = (my * v + by) * 8
-                    x0 = (mx * h + bx) * 8
-                    pred[ci] = _encode_block(
-                        writer,
-                        p[y0 : y0 + 8, x0 : x0 + 8],
-                        qts_zz[qsel[ci]],
-                        pred[ci],
-                        dc_tab,
-                        ac_tab,
+    def emit_scan(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> None:
+        """SOS header + entropy data for one scan, with restart markers
+        every ``restart_interval`` units (MCUs when interleaved, blocks
+        when single-component — the same grids the decoder walks)."""
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, sos)
+        if len(scan_comps) > 1:
+            units, sb_w = mcux * mcuy, 0
+        else:
+            h, v = samp[scan_comps[0]]
+            cw = -(-width * h // hmax)
+            ch = -(-height * v // vmax)
+            sb_w = -(-cw // 8)
+            units = sb_w * -(-ch // 8)
+        writer = _BitWriter()
+        pred = [0] * channels
+        eobrun = 0
+        bitbuf: list[int] = []
+        rst = 0
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                eobrun = _flush_eobrun(writer, ac_tab, eobrun, bitbuf)
+                out.extend(writer.flush())
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                writer = _BitWriter()
+                pred = [0] * channels
+            if len(scan_comps) > 1:
+                my, mx = divmod(u, mcux)
+                blocks = []
+                for ci in scan_comps:
+                    h, v = samp[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            blocks.append(
+                                (ci, qcoefs[ci][my * v + by, mx * h + bx])
+                            )
+            else:
+                ci = scan_comps[0]
+                by, bx = divmod(u, sb_w)
+                blocks = [(ci, qcoefs[ci][by, bx])]
+            for ci, zz in blocks:
+                if ss == 0 and se == 63:  # sequential full band
+                    pred[ci] = _write_block_seq(writer, zz, pred[ci], dc_tab, ac_tab)
+                elif ss == 0 and ah == 0:  # progressive DC first
+                    val = int(zz[0]) >> al  # DC: plain arithmetic shift
+                    diff = val - pred[ci]
+                    pred[ci] = val
+                    s = _mag(diff)
+                    code, ln = dc_tab[s]
+                    writer.write(code, ln)
+                    writer.write(_ext(diff, s), s)
+                elif ss == 0:  # progressive DC refinement
+                    writer.write((int(zz[0]) >> al) & 1, 1)
+                elif ah == 0:  # progressive AC first
+                    eobrun = _write_block_ac_first(
+                        writer, zz, ss, se, al, eobrun, ac_tab
                     )
-    out.extend(writer.flush())
+                else:  # progressive AC refinement
+                    eobrun = _write_block_ac_refine(
+                        writer, zz, ss, se, al, eobrun, bitbuf, ac_tab
+                    )
+        _flush_eobrun(writer, ac_tab, eobrun, bitbuf)
+        out.extend(writer.flush())
+
+    if progressive:
+        emit_scan(list(range(channels)), 0, 0, 0, 1)  # DC first, one bit short
+        emit_scan(list(range(channels)), 0, 0, 1, 0)  # DC refinement
+        for ci in range(channels):
+            emit_scan([ci], 1, 63, 0, 1)  # AC first at Al=1
+        for ci in range(channels):
+            emit_scan([ci], 1, 63, 1, 0)  # AC refinement to full precision
+    else:
+        emit_scan(list(range(channels)), 0, 63, 0, 0)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

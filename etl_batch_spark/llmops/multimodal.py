@@ -9,10 +9,11 @@ and the Python stage is a narrow map (no shuffle).
 
 Codec status: PNG decodes FOR REAL via the pure-stdlib codec in
 :mod:`etl_batch_spark.llmops.png` (zlib inflate + scanline unfilter),
-and baseline JPEG via :mod:`etl_batch_spark.llmops.jpeg` (huffman +
-8x8 DCT) — ``decode_image(..., fake=False)`` dispatches on the payload
-signature and raises ``NotImplementedError`` only for formats that
-genuinely need external libraries (WebP/progressive JPEG/audio/video).
+and JPEG — baseline AND progressive (SOF0/SOF1/SOF2 Huffman DCT) —
+via :mod:`etl_batch_spark.llmops.jpeg`.  ``decode_image(...,
+fake=False)`` dispatches on the payload signature and raises
+``NotImplementedError`` only for formats that genuinely need external
+libraries (WebP/audio/video).
 ``fake=True`` keeps the deterministic md5-derived stub, which remains
 the oracle twin for the mm* registry queries (their fixture payloads
 are text, not images).
@@ -93,7 +94,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 
 def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """Real decode for payloads the in-repo codecs handle (PNG and
-    baseline JPEG), dispatched on the payload signature.  The 8-dim
+    sequential/progressive JPEG), dispatched on the payload signature.  The 8-dim
     feature is per-channel mean then per-channel std of the pixel
     array in [0,1], zero-padded — deterministic, resolution-independent,
     and cheap enough to compute inline with the decode pass.  Imports
@@ -106,9 +107,9 @@ def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
         width, height, channels, px = _decode_jpeg(payload)
     else:
         raise NotImplementedError(
-            "only PNG and baseline JPEG decode without external codec "
-            "libraries (WebP/audio/video need PIL/libvips/ffmpeg); run "
-            "with fake=True to exercise the pipeline plumbing on other "
+            "only PNG and JPEG decode without external codec libraries "
+            "(WebP/audio/video need PIL/libvips/ffmpeg); run with "
+            "fake=True to exercise the pipeline plumbing on other "
             "payloads"
         )
     arr = (
@@ -137,11 +138,13 @@ def decode_image(
 ) -> DataFrame:
     """Decode payloads to (id, width, height, n_pixels, feature).
 
-    ``fake=False`` decodes PNG payloads for real (pure-stdlib codec,
-    :mod:`etl_batch_spark.llmops.png`) and raises NotImplementedError
-    for formats needing external libraries; ``fake=True`` runs the
-    deterministic stub so the Spark-side plumbing (Arrow batches,
-    schema, partition streaming) is exercised on any payload.
+    ``fake=False`` decodes PNG and JPEG (sequential + progressive)
+    payloads for real (pure-stdlib codecs,
+    :mod:`etl_batch_spark.llmops.png` / ``.jpeg``) and raises
+    NotImplementedError for formats needing external libraries;
+    ``fake=True`` runs the deterministic stub so the Spark-side
+    plumbing (Arrow batches, schema, partition streaming) is exercised
+    on any payload.
 
     ``errors="raise"`` (default) aborts the job on the first bad
     payload — right for curated inputs where corruption means a

@@ -122,11 +122,16 @@ class TestCodec:
     def test_rejects_out_of_scope_variants(self):
         want = _rand_pixels(8, 8, 1, seed=1)
         data = encode_jpeg(8, 8, 1, want.tobytes())
-        progressive = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-        with pytest.raises(JpegError, match="progressive"):
-            decode_jpeg(progressive)
+        arithmetic = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
+        with pytest.raises(JpegError, match="arithmetic"):
+            decode_jpeg(arithmetic)
         with pytest.raises(JpegError, match="SOI"):
             decode_jpeg(b"GIF89a" + data)
+        # SOF2 with a full-band sequential scan header violates the
+        # Annex G scan protocol (a progressive DC scan must have Se=0)
+        mislabeled = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(JpegError, match="Se=0"):
+            decode_jpeg(mislabeled)
 
     def test_rejects_corruption_loudly(self):
         want = _rand_pixels(16, 16, 3, seed=2)
@@ -157,6 +162,117 @@ class TestCodec:
             decode_jpeg(stripped)
 
 
+class TestProgressive:
+    """SOF2 spectral-selection + successive-approximation decoding.
+
+    The strongest property available without an external codec: the
+    progressive scan script reconstructs every quantized coefficient
+    EXACTLY (point-transformed first scans + one-bit refinement scans),
+    so a progressive encoding must decode to pixels BIT-IDENTICAL to
+    the sequential encoding of the same input at the same quality."""
+
+    @pytest.mark.parametrize(
+        "w,h,ch,sub,ri",
+        [
+            (17, 24, 1, "444", 0),   # grayscale, partial edge blocks
+            (17, 24, 3, "444", 0),   # color, no subsampling
+            (33, 32, 3, "420", 0),   # 2x2 subsampling: luma sb-grid != padded grid
+            (9, 9, 3, "444", 2),     # restart markers inside every scan
+            (33, 18, 3, "420", 3),   # subsampling + restarts
+            (1, 1, 1, "444", 0),     # single pixel
+            (8, 16, 1, "444", 1),    # restart interval of one block
+        ],
+    )
+    def test_progressive_matches_sequential_bitwise(self, w, h, ch, sub, ri):
+        want = _rand_pixels(w, h, ch, seed=w * 131 + h * 7 + ch)
+        kw = dict(quality=90, subsample=sub, restart_interval=ri)
+        seq = _decode_arr(encode_jpeg(w, h, ch, want.tobytes(), **kw))
+        pro = _decode_arr(
+            encode_jpeg(w, h, ch, want.tobytes(), progressive=True, **kw)
+        )
+        assert np.array_equal(seq, pro)
+
+    @pytest.mark.parametrize("channels", [1, 3])
+    def test_progressive_roundtrip_q100(self, channels):
+        want = _rand_pixels(19, 13, channels, seed=channels + 40)
+        data = encode_jpeg(
+            19, 13, channels, want.tobytes(), quality=100, progressive=True
+        )
+        assert _max_err(data, want) <= 3
+
+    def test_truncated_scan_script_decodes_coarsely(self):
+        """A progressive stream cut after the DC scans (EOI re-appended)
+        is a legal coarse image: the DC average survives, the AC detail
+        is zero.  This is the progressive format's core affordance and
+        exercises the scans-complete-at-EOI path."""
+        want = np.full((16, 16, 3), [90, 160, 40], np.uint8)
+        data = encode_jpeg(16, 16, 3, want.tobytes(), quality=100,
+                           progressive=True)
+        # SOS offsets: scan 3 starts the per-component AC scans
+        sos = [i for i in range(len(data) - 1)
+               if data[i] == 0xFF and data[i + 1] == 0xDA]
+        assert len(sos) == 8  # 2 DC scans + 3 AC first + 3 AC refine
+        coarse = _decode_arr(data[: sos[2]] + b"\xff\xd9")
+        # flat color is pure DC: even the DC-only prefix is near-exact
+        assert int(np.abs(coarse.astype(int) - want.astype(int)).max()) <= 2
+
+    def test_ac_scan_before_dc_rejected(self):
+        data = encode_jpeg(8, 8, 1, _rand_pixels(8, 8, 1).tobytes(),
+                           progressive=True)
+        sos = [i for i in range(len(data) - 1)
+               if data[i] == 0xFF and data[i + 1] == 0xDA]
+        # drop both DC scans so the AC-first scan arrives first
+        headless = data[: sos[0]] + data[sos[2] :]
+        with pytest.raises(JpegError, match="before its DC scan"):
+            decode_jpeg(headless)
+
+    def test_sequential_multi_scan_non_interleaved(self):
+        """SOF0 files may also split components across scans (T.81
+        allows any partition); hand-assembled like the baseline
+        known-answer test: three one-component full-band scans, DC-only
+        blocks, quant all ones.  Y DC=16 -> 130; Cb/Cr DC=0 -> 128 ->
+        every output pixel exactly (130, 130, 130)."""
+
+        def seg(marker, payload):
+            return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+        dht = seg(
+            0xC4,
+            bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS
+            + bytes([0x10]) + bytes(_ENC_AC_BITS) + _ENC_AC_VALS,
+        )
+        sof = seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 8, 3)
+            + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+        )
+        # Y: DC cat5 (0101) + 10000, EOB (00000000), 1-padded
+        y_scan = seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00") + bytes(
+            [0x58, 0x00, 0x7F]
+        )
+        # Cb/Cr: DC cat0 (0000), EOB (00000000), 1-padded -> 00 0F
+        c_scan = lambda cid: seg(  # noqa: E731
+            0xDA, bytes([1, cid, 0x00]) + b"\x00\x3f\x00"
+        ) + bytes([0x00, 0x0F])
+        data = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([1] * 64))
+            + sof + dht
+            + y_scan + c_scan(2) + c_scan(3)
+            + b"\xff\xd9"
+        )
+        w, h, ch, px = decode_jpeg(data)
+        assert (w, h, ch) == (8, 8, 3)
+        assert px == bytes([130, 130, 130] * 64)
+
+    def test_scanless_stream_rejected(self):
+        want = _rand_pixels(8, 8, 3, seed=7)
+        data = encode_jpeg(8, 8, 3, want.tobytes(), progressive=True)
+        sos = data.index(b"\xff\xda")
+        with pytest.raises(JpegError, match="no scan before EOI"):
+            decode_jpeg(data[:sos] + b"\xff\xd9")
+
+
 class TestEncoderValidation:
     def test_rejects_bad_inputs(self):
         with pytest.raises(JpegError, match="channel count"):
@@ -178,16 +294,19 @@ class TestDecodeImageReal:
 
         payloads = {}
         rows = []
-        for doc_id, (w, h, ch, sub) in enumerate(
-            [(16, 9, 3, "444"), (7, 7, 1, "444"), (12, 10, 3, "420")]
+        for doc_id, (w, h, ch, sub, prog) in enumerate(
+            [(16, 9, 3, "444", False), (7, 7, 1, "444", False),
+             (12, 10, 3, "420", False), (11, 6, 3, "444", True)]
         ):
             px = _rand_pixels(w, h, ch, seed=doc_id).tobytes()
-            data = encode_jpeg(w, h, ch, px, quality=95, subsample=sub if ch == 3 else "444")
+            data = encode_jpeg(w, h, ch, px, quality=95,
+                               subsample=sub if ch == 3 else "444",
+                               progressive=prog)
             rows.append((doc_id, bytearray(data)))
             payloads[doc_id] = (w, h, ch, data)
         df = spark.createDataFrame(rows, "doc_id long, payload binary")
         got = {r["doc_id"]: r for r in decode_image(df, fake=False).collect()}
-        assert len(got) == 3
+        assert len(got) == 4
         for doc_id, (w, h, ch, data) in payloads.items():
             r = got[doc_id]
             assert (r["width"], r["height"]) == (w, h)
