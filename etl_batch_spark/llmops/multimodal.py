@@ -9,11 +9,13 @@ and the Python stage is a narrow map (no shuffle).
 
 Codec status: PNG decodes FOR REAL via the pure-stdlib codec in
 :mod:`etl_batch_spark.llmops.png` (zlib inflate + scanline unfilter),
-and JPEG — baseline AND progressive (SOF0/SOF1/SOF2 Huffman DCT) —
-via :mod:`etl_batch_spark.llmops.jpeg`.  ``decode_image(...,
-fake=False)`` dispatches on the payload signature and raises
-``NotImplementedError`` only for formats that genuinely need external
-libraries (WebP/audio/video).
+JPEG — baseline AND progressive (SOF0/SOF1/SOF2 Huffman DCT) — via
+:mod:`etl_batch_spark.llmops.jpeg`, and RIFF/WAVE PCM audio via
+:mod:`etl_batch_spark.llmops.wav` (``decode_audio``).
+``decode_image(..., fake=False)`` / ``decode_audio(..., fake=False)``
+dispatch on the payload signature and raise ``NotImplementedError``
+only for formats that genuinely need external libraries
+(WebP / compressed audio / video).
 ``fake=True`` keeps the deterministic md5-derived stub, which remains
 the oracle twin for the mm* registry queries (their fixture payloads
 are text, not images).
@@ -33,6 +35,9 @@ from etl_batch_spark.llmops.jpeg import SIGNATURE as _JPEG_SIGNATURE
 from etl_batch_spark.llmops.jpeg import decode_jpeg as _decode_jpeg
 from etl_batch_spark.llmops.png import _SIGNATURE as _PNG_SIGNATURE
 from etl_batch_spark.llmops.png import decode_png as _decode_png
+from etl_batch_spark.llmops.wav import SIGNATURE as _WAV_SIGNATURE
+from etl_batch_spark.llmops.wav import decode_wav as _decode_wav
+from etl_batch_spark.llmops.wav import to_float as _wav_to_float
 
 MEDIA_META = T.StructType(
     [
@@ -199,6 +204,127 @@ def decode_image(
             yield pd.DataFrame(out)
 
     schema = DECODED_QUARANTINE_SCHEMA if errors == "quarantine" else DECODED_SCHEMA
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+DECODED_AUDIO_QUARANTINE_SCHEMA = T.StructType(
+    list(DECODED_AUDIO_SCHEMA) + [T.StructField("error", T.StringType())]
+)
+
+
+def _real_decode_audio(payload: bytes) -> tuple[int, int, int, float, list[float]]:
+    """Real decode for RIFF/WAVE PCM payloads (pure-stdlib codec,
+    :mod:`etl_batch_spark.llmops.wav`).  The 8-dim feature is
+    per-channel RMS then per-channel mean of the [-1, 1)-normalized
+    samples, zero-padded — the audio twin of _real_decode's pixel
+    stats: deterministic, duration-independent, computed inline."""
+    payload = bytes(payload)
+    if not payload.startswith(_WAV_SIGNATURE):
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes without external codec libraries "
+            "(MP3/AAC/Opus/FLAC need ffmpeg); run with fake=True to "
+            "exercise the pipeline plumbing on other payloads"
+        )
+    rate, channels, bits, samples = _decode_wav(payload)
+    f = _wav_to_float(samples, bits)
+    if f.shape[0]:
+        feat = list(np.sqrt((f * f).mean(axis=0))) + list(f.mean(axis=0))
+    else:
+        feat = []
+    feat = (feat + [0.0] * 8)[:8]
+    return (
+        rate,
+        channels,
+        samples.shape[0],
+        samples.shape[0] / rate,
+        [round(float(v), 6) for v in feat],
+    )
+
+
+def _fake_decode_audio(payload: bytes) -> tuple[int, int, int, float, list[float]]:
+    """Deterministic md5 stand-in, mirroring _fake_decode: plumbing
+    tests run on arbitrary payloads without a decodable container."""
+    digest = hashlib.md5(bytes(payload)).digest()
+    rate = 8000 + 100 * (digest[0] % 160)
+    channels = 1 + digest[1] % 2
+    n_frames = 1 + int.from_bytes(digest[2:5], "big") % 100_000
+    feature = [round(b / 255.0, 6) for b in digest[5:13]]
+    return rate, channels, n_frames, n_frames / rate, feature
+
+
+def decode_audio(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+    errors: str = "raise",
+) -> DataFrame:
+    """Decode audio payloads to (id, sample_rate, channels, n_frames,
+    duration_s, feature) — the audio twin of :func:`decode_image`, with
+    the same Arrow-batched narrow-map shape (payloads stream per
+    partition, nothing shuffles, the driver never sees a payload) and
+    the same ``errors="raise"|"quarantine"`` policy.  ``fake=False``
+    decodes RIFF/WAVE integer-PCM / IEEE-float payloads for real and
+    raises NotImplementedError for compressed codecs; ``fake=True``
+    runs the deterministic stub."""
+    if errors not in ("raise", "quarantine"):
+        raise ValueError(f"errors must be 'raise' or 'quarantine', got {errors!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        decode = _fake_decode_audio if fake else _real_decode_audio
+        for pdf in batches:
+            rows = []
+            errs: list = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    if errors == "raise":
+                        raise ValueError(
+                            f"NULL {payload_col!r} — decode_audio needs a "
+                            "payload; filter or quarantine missing rows"
+                        )
+                    rows.append((None, None, None, None, None))
+                    errs.append("NullPayload: payload is NULL")
+                    continue
+                if errors == "raise":
+                    rows.append(decode(p))
+                else:
+                    try:
+                        rows.append(decode(p))
+                        errs.append(None)
+                    except Exception as exc:  # noqa: BLE001 — quarantined, not hidden
+                        rows.append((None, None, None, None, None))
+                        errs.append(f"{type(exc).__name__}: {exc}")
+            out = {
+                "doc_id": pdf[id_col].values,
+                "sample_rate": [r[0] for r in rows],
+                "channels": [r[1] for r in rows],
+                "n_frames": [r[2] for r in rows],
+                "duration_s": [r[3] for r in rows],
+                "feature": [r[4] for r in rows],
+            }
+            if errors == "quarantine":
+                out["error"] = errs
+            yield pd.DataFrame(out)
+
+    schema = (
+        DECODED_AUDIO_QUARANTINE_SCHEMA
+        if errors == "quarantine"
+        else DECODED_AUDIO_SCHEMA
+    )
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
