@@ -10,8 +10,9 @@ and the Python stage is a narrow map (no shuffle).
 Codec status: PNG decodes FOR REAL via the pure-stdlib codec in
 :mod:`etl_batch_spark.llmops.png` (zlib inflate + scanline unfilter),
 JPEG — baseline AND progressive (SOF0/SOF1/SOF2 Huffman DCT) — via
-:mod:`etl_batch_spark.llmops.jpeg`, and RIFF/WAVE PCM audio via
-:mod:`etl_batch_spark.llmops.wav` (``decode_audio``).
+:mod:`etl_batch_spark.llmops.jpeg`, GIF (LZW, palettes, interlace;
+first frame) via :mod:`etl_batch_spark.llmops.gif`, and RIFF/WAVE PCM
+audio via :mod:`etl_batch_spark.llmops.wav` (``decode_audio``).
 ``decode_image(..., fake=False)`` / ``decode_audio(..., fake=False)``
 dispatch on the payload signature and raise ``NotImplementedError``
 only for formats that genuinely need external libraries
@@ -31,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_batch_spark.llmops.gif import SIGNATURES as _GIF_SIGNATURES
+from etl_batch_spark.llmops.gif import decode_gif as _decode_gif
 from etl_batch_spark.llmops.jpeg import SIGNATURE as _JPEG_SIGNATURE
 from etl_batch_spark.llmops.jpeg import decode_jpeg as _decode_jpeg
 from etl_batch_spark.llmops.png import _SIGNATURE as _PNG_SIGNATURE
@@ -98,8 +101,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real decode for payloads the in-repo codecs handle (PNG and
-    sequential/progressive JPEG), dispatched on the payload signature.  The 8-dim
+    """Real decode for payloads the in-repo codecs handle (PNG,
+    sequential/progressive JPEG, first-frame GIF), dispatched on the
+    payload signature.  The 8-dim
     feature is per-channel mean then per-channel std of the pixel
     array in [0,1], zero-padded — deterministic, resolution-independent,
     and cheap enough to compute inline with the decode pass.  Imports
@@ -110,11 +114,13 @@ def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
         width, height, channels, px = _decode_png(payload)
     elif payload.startswith(_JPEG_SIGNATURE):
         width, height, channels, px = _decode_jpeg(payload)
+    elif payload.startswith(_GIF_SIGNATURES):
+        width, height, channels, px, _n_frames = _decode_gif(payload)
     else:
         raise NotImplementedError(
-            "only PNG and JPEG decode without external codec libraries "
-            "(WebP/audio/video need PIL/libvips/ffmpeg); run with "
-            "fake=True to exercise the pipeline plumbing on other "
+            "only PNG, JPEG and GIF decode without external codec "
+            "libraries (WebP/audio/video need PIL/libvips/ffmpeg); run "
+            "with fake=True to exercise the pipeline plumbing on other "
             "payloads"
         )
     arr = (
