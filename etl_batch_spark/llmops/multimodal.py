@@ -11,8 +11,11 @@ Codec status: PNG decodes FOR REAL via the pure-stdlib codec in
 :mod:`etl_batch_spark.llmops.png` (zlib inflate + scanline unfilter),
 JPEG — baseline AND progressive (SOF0/SOF1/SOF2 Huffman DCT) — via
 :mod:`etl_batch_spark.llmops.jpeg`, GIF (LZW, palettes, interlace;
-first frame) via :mod:`etl_batch_spark.llmops.gif`, and RIFF/WAVE PCM
-audio via :mod:`etl_batch_spark.llmops.wav` (``decode_audio``).
+first frame) via :mod:`etl_batch_spark.llmops.gif`, RIFF/WAVE PCM
+audio via :mod:`etl_batch_spark.llmops.wav` (``decode_audio``), and
+MJPEG-AVI video via :mod:`etl_batch_spark.llmops.avi`
+(``sample_video_frames``: container parse -> fps sampling -> JPEG
+decode of only the sampled frames).
 ``decode_image(..., fake=False)`` / ``decode_audio(..., fake=False)``
 dispatch on the payload signature and raise ``NotImplementedError``
 only for formats that genuinely need external libraries
@@ -375,6 +378,72 @@ def frame_sample_plan(
         .withColumn("frame_ts", F.round(F.col("frame_idx") / fps, 3))
         .select(id_col, "frame_idx", "frame_ts")
     )
+
+
+SAMPLED_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fps: float = 1.0,
+) -> DataFrame:
+    """REAL video frame sampling: parse each payload as an MJPEG AVI
+    (:mod:`etl_batch_spark.llmops.avi`), pick frame indices at ``fps``
+    using :func:`frame_sample_plan`'s timestamp grid, and JPEG-decode
+    ONLY the sampled frames (a 1 fps sample of a 30 fps clip pays for
+    1/30th of the decodes — the container hands back raw payloads, the
+    sampler chooses what to decode).  Same Arrow-batched narrow-map
+    shape as decode_image/decode_audio; out-of-scope codecs raise
+    AviError/JpegError up through the task (wrap upstream or filter by
+    container signature for crawl-shaped inputs)."""
+    from etl_batch_spark.llmops.avi import decode_avi_mjpeg
+    from etl_batch_spark.llmops.jpeg import decode_jpeg
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "frame_idx", "frame_ts", "width", "height", "feature")}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                _w, _h, src_fps, frames = decode_avi_mjpeg(bytes(p))
+                duration = len(frames) / src_fps
+                n_samples = max(1, int(duration * fps))
+                for k in range(n_samples):
+                    ts = k / fps
+                    idx = min(int(round(ts * src_fps)), len(frames) - 1)
+                    fw, fh, ch, px = decode_jpeg(frames[idx])
+                    arr = (
+                        np.frombuffer(px, np.uint8)
+                        .reshape(fh * fw, ch)
+                        .astype(np.float64)
+                        / 255.0
+                    )
+                    feat = list(arr.mean(axis=0)) + list(arr.std(axis=0))
+                    feat = [round(float(v), 6) for v in (feat + [0.0] * 8)[:8]]
+                    out["doc_id"].append(i)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts"].append(round(ts, 3))
+                    out["width"].append(fw)
+                    out["height"].append(fh)
+                    out["feature"].append(feat)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int32", "frame_ts": "float64"}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, SAMPLED_FRAMES_SCHEMA)
 
 
 WINDOW_ENERGY_SCHEMA = T.StructType(
