@@ -367,6 +367,95 @@ def resize_plan(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("target_width", T.IntegerType()),
+        T.StructField("target_height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _bilinear_resize(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Vectorized bilinear resample of an (h, w, c) uint8 array to
+    (th, tw, c) — pixel-center aligned, clamped at the edges."""
+    h, w = arr.shape[:2]
+    if (tw, th) == (w, h):
+        return arr
+    ys = np.clip((np.arange(th) + 0.5) * (h / th) - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(tw) + 0.5) * (w / tw) - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def resize_image(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_side: int = 224,
+) -> DataFrame:
+    """REAL codec-side resize: decode each payload (PNG/JPEG/GIF via
+    the same signature dispatch as :func:`decode_image`), bilinear-
+    resample to the EXACT dims :func:`resize_plan` computes for the
+    same inputs (scale = round(least(1, max_side/longest), 6), targets
+    ceil'd from the rounded scale and clamped), and re-encode as PNG —
+    binary in, binary out, the CLIP-preprocessing shape.  Same
+    Arrow-batched narrow map as the other decode stages; images already
+    within ``max_side`` pass through resized-by-identity (re-encoded,
+    so downstream sees one uniform container)."""
+    from etl_batch_spark.llmops.png import encode_png
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "target_width": [], "target_height": [],
+                   "payload": []}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                if p.startswith(_PNG_SIGNATURE):
+                    w, h, ch, px = _decode_png(p)
+                elif p.startswith(_JPEG_SIGNATURE):
+                    w, h, ch, px = _decode_jpeg(p)
+                elif p.startswith(_GIF_SIGNATURES):
+                    w, h, ch, px, _nf = _decode_gif(p)
+                else:
+                    raise NotImplementedError(
+                        "only PNG, JPEG and GIF decode without external "
+                        "codec libraries"
+                    )
+                # the resize_plan contract, replicated bit-for-bit:
+                # round the scale to 6dp FIRST, then ceil, then clamp
+                scale = round(min(1.0, max_side / float(max(w, h))), 6)
+                tw = min(max_side, int(-(-w * scale // 1)))
+                th = min(max_side, int(-(-h * scale // 1)))
+                arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+                resized = _bilinear_resize(arr, tw, th)
+                out["doc_id"].append(i)
+                out["target_width"].append(tw)
+                out["target_height"].append(th)
+                out["payload"].append(
+                    bytearray(encode_png(tw, th, ch, resized.tobytes()))
+                )
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "target_width": "int32",
+                 "target_height": "int32"}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, *, id_col: str = "doc_id", fps: float = 1.0, duration_col: str = "duration_s"
 ) -> DataFrame:
