@@ -7,15 +7,14 @@ Arrow-batched ``mapInPandas`` transforms — the right shape for 100 TB:
 payloads never pass through the driver, batches stream per partition,
 and the Python stage is a narrow map (no shuffle).
 
-Codec status: PNG decodes FOR REAL via the pure-stdlib codec in
-:mod:`etl_batch_spark.llmops.png` (zlib inflate + scanline unfilter),
-JPEG — baseline AND progressive (SOF0/SOF1/SOF2 Huffman DCT) — via
-:mod:`etl_batch_spark.llmops.jpeg`, GIF (LZW, palettes, interlace;
-first frame) via :mod:`etl_batch_spark.llmops.gif`, RIFF/WAVE PCM
-audio via :mod:`etl_batch_spark.llmops.wav` (``decode_audio``), and
-MJPEG-AVI video via :mod:`etl_batch_spark.llmops.avi`
-(``sample_video_frames``: container parse -> fps sampling -> JPEG
-decode of only the sampled frames).
+Codec status — every format here decodes FOR REAL via pure-stdlib
+codecs: PNG (:mod:`..png`: zlib inflate + scanline unfilter), JPEG
+baseline AND progressive (:mod:`..jpeg`: SOF0/SOF1/SOF2 Huffman DCT),
+GIF first frames (:mod:`..gif`: LZW, palettes, interlace), BMP
+(:mod:`..bmp`) and PGM/PPM (:mod:`..pnm`) for images; RIFF/WAVE PCM
+audio (:mod:`..wav`, ``decode_audio``); MJPEG-AVI video
+(:mod:`..avi`, ``sample_video_frames``: container parse -> fps
+sampling -> JPEG decode of only the sampled frames).
 ``decode_image(..., fake=False)`` / ``decode_audio(..., fake=False)``
 dispatch on the payload signature and raise ``NotImplementedError``
 only for formats that genuinely need external libraries
@@ -35,12 +34,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_batch_spark.llmops.bmp import SIGNATURE as _BMP_SIGNATURE
+from etl_batch_spark.llmops.bmp import decode_bmp as _decode_bmp
 from etl_batch_spark.llmops.gif import SIGNATURES as _GIF_SIGNATURES
 from etl_batch_spark.llmops.gif import decode_gif as _decode_gif
 from etl_batch_spark.llmops.jpeg import SIGNATURE as _JPEG_SIGNATURE
 from etl_batch_spark.llmops.jpeg import decode_jpeg as _decode_jpeg
 from etl_batch_spark.llmops.png import _SIGNATURE as _PNG_SIGNATURE
 from etl_batch_spark.llmops.png import decode_png as _decode_png
+from etl_batch_spark.llmops.pnm import SIGNATURES as _PNM_SIGNATURES
+from etl_batch_spark.llmops.pnm import decode_pnm as _decode_pnm
 from etl_batch_spark.llmops.wav import SIGNATURE as _WAV_SIGNATURE
 from etl_batch_spark.llmops.wav import decode_wav as _decode_wav
 from etl_batch_spark.llmops.wav import to_float as _wav_to_float
@@ -103,29 +106,38 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Signature-dispatched decode across every in-repo image codec:
+    PNG, sequential/progressive JPEG, first-frame GIF, uncompressed
+    BMP, and binary/ASCII PGM/PPM.  One place to add the next format —
+    decode_image and resize_image both consume this."""
+    payload = bytes(payload)
+    if payload.startswith(_PNG_SIGNATURE):
+        return _decode_png(payload)
+    if payload.startswith(_JPEG_SIGNATURE):
+        return _decode_jpeg(payload)
+    if payload.startswith(_GIF_SIGNATURES):
+        return _decode_gif(payload)[:4]
+    if payload.startswith(_BMP_SIGNATURE):
+        return _decode_bmp(payload)
+    if payload.startswith(_PNM_SIGNATURES):
+        return _decode_pnm(payload)
+    raise NotImplementedError(
+        "only PNG, JPEG, GIF, BMP and PGM/PPM decode without external "
+        "codec libraries (WebP/audio/video need PIL/libvips/ffmpeg); "
+        "run with fake=True to exercise the pipeline plumbing on other "
+        "payloads"
+    )
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real decode for payloads the in-repo codecs handle (PNG,
-    sequential/progressive JPEG, first-frame GIF), dispatched on the
-    payload signature.  The 8-dim
+    """Real decode via :func:`_decode_any_image`.  The 8-dim
     feature is per-channel mean then per-channel std of the pixel
     array in [0,1], zero-padded — deterministic, resolution-independent,
     and cheap enough to compute inline with the decode pass.  Imports
     live at module level — this function runs once PER ROW in the
     hottest loop of the module."""
-    payload = bytes(payload)
-    if payload.startswith(_PNG_SIGNATURE):
-        width, height, channels, px = _decode_png(payload)
-    elif payload.startswith(_JPEG_SIGNATURE):
-        width, height, channels, px = _decode_jpeg(payload)
-    elif payload.startswith(_GIF_SIGNATURES):
-        width, height, channels, px, _n_frames = _decode_gif(payload)
-    else:
-        raise NotImplementedError(
-            "only PNG, JPEG and GIF decode without external codec "
-            "libraries (WebP/audio/video need PIL/libvips/ffmpeg); run "
-            "with fake=True to exercise the pipeline plumbing on other "
-            "payloads"
-        )
+    width, height, channels, px = _decode_any_image(payload)
     arr = (
         np.frombuffer(px, np.uint8)
         .reshape(height * width, channels)
@@ -152,10 +164,10 @@ def decode_image(
 ) -> DataFrame:
     """Decode payloads to (id, width, height, n_pixels, feature).
 
-    ``fake=False`` decodes PNG and JPEG (sequential + progressive)
-    payloads for real (pure-stdlib codecs,
-    :mod:`etl_batch_spark.llmops.png` / ``.jpeg``) and raises
-    NotImplementedError for formats needing external libraries;
+    ``fake=False`` decodes PNG / JPEG (sequential + progressive) /
+    GIF / BMP / PGM+PPM payloads for real (pure-stdlib codecs; see
+    :func:`_decode_any_image`) and raises NotImplementedError for
+    formats needing external libraries;
     ``fake=True`` runs the deterministic stub so the Spark-side
     plumbing (Arrow batches, schema, partition streaming) is exercised
     on any payload.
@@ -423,18 +435,7 @@ def resize_image(
             out = {"doc_id": [], "target_width": [], "target_height": [],
                    "payload": []}
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                p = bytes(p)
-                if p.startswith(_PNG_SIGNATURE):
-                    w, h, ch, px = _decode_png(p)
-                elif p.startswith(_JPEG_SIGNATURE):
-                    w, h, ch, px = _decode_jpeg(p)
-                elif p.startswith(_GIF_SIGNATURES):
-                    w, h, ch, px, _nf = _decode_gif(p)
-                else:
-                    raise NotImplementedError(
-                        "only PNG, JPEG and GIF decode without external "
-                        "codec libraries"
-                    )
+                w, h, ch, px = _decode_any_image(bytes(p))
                 # the resize_plan contract, replicated bit-for-bit:
                 # round the scale to 6dp FIRST, then ceil, then clamp
                 scale = round(min(1.0, max_side / float(max(w, h))), 6)
