@@ -35,7 +35,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s1 AS (
       SELECT user_id, MIN(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY 1
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
     ),
     s2 AS (
       SELECT e.user_id, MIN(e.ts) AS t2
@@ -61,7 +61,12 @@ def ev01_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one hash exchange on user_id serves all three stages (the old
     # stage-join form carried 6 scans / 13 exchanges).  NULL chaining
     # matches the join form: ts > NULL is never true, so a user without
-    # stage k has NULL for every later stage.
+    # stage k has NULL for every later stage.  Domain exclusion, stated
+    # on BOTH sides: a TIME funnel is defined over timed events, so a
+    # user whose every 'view' has a NULL ts never enters step 1 (the
+    # window form's count(t1) drops them naturally; the oracle says
+    # `ts IS NOT NULL` explicitly — the m14 stress corpus caught the
+    # asymmetry the old stage-join oracle hid).
     e = _events(spark, sf_dir)
     w = W.partitionBy("user_id")
     t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
@@ -611,7 +616,7 @@ def ev11_time_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s1 AS (
       SELECT user_id, MIN(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY 1
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
     ),
     s2 AS (
       SELECT e.user_id, MIN(e.ts) AS t2
