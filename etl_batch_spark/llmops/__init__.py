@@ -11,11 +11,15 @@ these over the fixture tables.
   winnowing fingerprints, PII/URL redaction
 - ``sampling``   — reproducible hash / stratified training-mix sampling
 - ``multimodal`` — opaque binary columns with typed metadata and
-  Arrow-batched decode/transform plumbing
+  Arrow-batched decode/transform plumbing (real pure-stdlib codecs:
+  png/jpeg/gif/bmp/pnm images, wav audio, mjpeg-avi video)
+- ``mediainfo``  — header-only media triage (container/dims/duration
+  probe in front of every decode stage)
 """
 
 from etl_batch_spark.llmops import (  # noqa: F401
     dedup,
+    mediainfo,
     multimodal,
     sampling,
     similarity,
