@@ -913,3 +913,52 @@ def test_streaming_upsert_null_event_type_stays_in_live_view(spark, tmp_path):
     )
     got = {r["user_id"]: r["event_type"] for r in live().collect()}
     assert got == {1: None}  # NULL kept, tombstone hidden
+
+
+def test_streaming_multimodal_decode_matches_batch(spark, tmp_path):
+    """The decode stages are narrow Arrow maps, so they lift unchanged
+    onto a file stream: decode_image + probe_media_df over a streaming
+    source must emit exactly the rows their batch twins produce."""
+    import numpy as np
+
+    from etl_batch_spark.llmops.jpeg import encode_jpeg
+    from etl_batch_spark.llmops.mediainfo import probe_media_df
+    from etl_batch_spark.llmops.multimodal import decode_image
+    from etl_batch_spark.llmops.png import encode_png
+
+    rng = np.random.default_rng(33)
+    rows = []
+    for doc_id in range(6):
+        w, h = 8 + doc_id, 6 + doc_id
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+        data = (encode_png(w, h, 3, px) if doc_id % 2
+                else encode_jpeg(w, h, 3, px, quality=95))
+        rows.append((doc_id, bytearray(data)))
+    batch = spark.createDataFrame(rows, "doc_id long, payload binary")
+    # two micro-batch files so the stream takes more than one trigger
+    batch.filter("doc_id < 3").write.parquet(str(tmp_path / "pay"))
+    batch.filter("doc_id >= 3").write.mode("append").parquet(str(tmp_path / "pay"))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "pay"))
+    )
+    run_stream_to_memory(
+        decode_image(stream, fake=False), query_name="mm_decode",
+        output_mode="append",
+    )
+    run_stream_to_memory(
+        probe_media_df(stream), query_name="mm_probe", output_mode="append",
+    )
+
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM mm_decode").collect()}
+    want = {r["doc_id"]: r for r in decode_image(batch, fake=False).collect()}
+    assert set(got) == set(want) == set(range(6))
+    for i in want:
+        assert (got[i]["width"], got[i]["height"]) == (want[i]["width"], want[i]["height"])
+        assert list(got[i]["feature"]) == list(want[i]["feature"])
+
+    probes = {r["doc_id"]: r for r in spark.sql("SELECT * FROM mm_probe").collect()}
+    assert {probes[i]["container"] for i in range(6)} == {"png", "jpeg"}
+    assert all(probes[i]["width"] == want[i]["width"] for i in range(6))
