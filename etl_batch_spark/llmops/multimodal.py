@@ -482,12 +482,18 @@ SAMPLED_FRAMES_SCHEMA = T.StructType(
 )
 
 
+SAMPLED_FRAMES_QUARANTINE_SCHEMA = T.StructType(
+    list(SAMPLED_FRAMES_SCHEMA) + [T.StructField("error", T.StringType())]
+)
+
+
 def sample_video_frames(
     df: DataFrame,
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     fps: float = 1.0,
+    errors: str = "raise",
 ) -> DataFrame:
     """REAL video frame sampling: parse each payload as an MJPEG AVI
     (:mod:`etl_batch_spark.llmops.avi`), pick frame indices at ``fps``
@@ -495,45 +501,82 @@ def sample_video_frames(
     ONLY the sampled frames (a 1 fps sample of a 30 fps clip pays for
     1/30th of the decodes — the container hands back raw payloads, the
     sampler chooses what to decode).  Same Arrow-batched narrow-map
-    shape as decode_image/decode_audio; out-of-scope codecs raise
-    AviError/JpegError up through the task (wrap upstream or filter by
-    container signature for crawl-shaped inputs)."""
+    shape and the same ``errors="raise"|"quarantine"`` policy as
+    decode_image/decode_audio: quarantined payloads (out-of-scope
+    codec, corrupt container, broken frame, NULL payload) survive as
+    ONE row with NULL frame fields and the message in ``error``."""
+    if errors not in ("raise", "quarantine"):
+        raise ValueError(f"errors must be 'raise' or 'quarantine', got {errors!r}")
     from etl_batch_spark.llmops.avi import decode_avi_mjpeg
     from etl_batch_spark.llmops.jpeg import decode_jpeg
+
+    def sample_one(p: bytes) -> list[tuple]:
+        _w, _h, src_fps, frames = decode_avi_mjpeg(p)
+        duration = len(frames) / src_fps
+        rows = []
+        for k in range(max(1, int(duration * fps))):
+            ts = k / fps
+            idx = min(int(round(ts * src_fps)), len(frames) - 1)
+            fw, fh, ch, px = decode_jpeg(frames[idx])
+            arr = (
+                np.frombuffer(px, np.uint8)
+                .reshape(fh * fw, ch)
+                .astype(np.float64)
+                / 255.0
+            )
+            feat = list(arr.mean(axis=0)) + list(arr.std(axis=0))
+            feat = [round(float(v), 6) for v in (feat + [0.0] * 8)[:8]]
+            rows.append((idx, round(ts, 3), fw, fh, feat))
+        return rows
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        cols = ("doc_id", "frame_idx", "frame_ts", "width", "height", "feature")
         for pdf in batches:
-            out = {k: [] for k in
-                   ("doc_id", "frame_idx", "frame_ts", "width", "height", "feature")}
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
-                _w, _h, src_fps, frames = decode_avi_mjpeg(bytes(p))
-                duration = len(frames) / src_fps
-                n_samples = max(1, int(duration * fps))
-                for k in range(n_samples):
-                    ts = k / fps
-                    idx = min(int(round(ts * src_fps)), len(frames) - 1)
-                    fw, fh, ch, px = decode_jpeg(frames[idx])
-                    arr = (
-                        np.frombuffer(px, np.uint8)
-                        .reshape(fh * fw, ch)
-                        .astype(np.float64)
-                        / 255.0
-                    )
-                    feat = list(arr.mean(axis=0)) + list(arr.std(axis=0))
-                    feat = [round(float(v), 6) for v in (feat + [0.0] * 8)[:8]]
-                    out["doc_id"].append(i)
-                    out["frame_idx"].append(idx)
-                    out["frame_ts"].append(round(ts, 3))
-                    out["width"].append(fw)
-                    out["height"].append(fh)
-                    out["feature"].append(feat)
-            yield pd.DataFrame(out).astype(
-                {"doc_id": "int64", "frame_idx": "int32", "frame_ts": "float64"}
-            )
+            out = {k: [] for k in cols}
+            errs: list = []
 
-    return df.select(id_col, payload_col).mapInPandas(run, SAMPLED_FRAMES_SCHEMA)
+            def emit(i, row, err=None):
+                for c, v in zip(cols, (i, *row)):
+                    out[c].append(v)
+                errs.append(err)
+
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    if errors == "raise":
+                        raise ValueError(
+                            f"NULL {payload_col!r} — sample_video_frames needs "
+                            "a payload; filter or quarantine missing rows"
+                        )
+                    emit(i, (None,) * 5, "NullPayload: payload is NULL")
+                    continue
+                if errors == "raise":
+                    for row in sample_one(bytes(p)):
+                        emit(i, row)
+                else:
+                    try:
+                        rows = sample_one(bytes(p))
+                    except Exception as exc:  # noqa: BLE001 — quarantined, not hidden
+                        emit(i, (None,) * 5, f"{type(exc).__name__}: {exc}")
+                    else:
+                        for row in rows:
+                            emit(i, row)
+            pdf_out = pd.DataFrame(out)
+            if errors == "quarantine":
+                pdf_out["error"] = errs
+            else:
+                pdf_out = pdf_out.astype(
+                    {"doc_id": "int64", "frame_idx": "int32", "frame_ts": "float64"}
+                )
+            yield pdf_out
+
+    schema = (
+        SAMPLED_FRAMES_QUARANTINE_SCHEMA
+        if errors == "quarantine"
+        else SAMPLED_FRAMES_SCHEMA
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 WINDOW_ENERGY_SCHEMA = T.StructType(

@@ -144,3 +144,44 @@ class TestContainerProperty:
     def test_garbage_never_decodes_silently(self, blob):
         with pytest.raises(AviError):
             decode_avi_mjpeg(blob)
+
+
+class TestSampleVideoFramesQuarantine:
+    def test_bad_payloads_survive_as_error_rows(self, spark):
+        from etl_batch_spark.llmops.multimodal import sample_video_frames
+
+        frames = _jpeg_frames(8, seed=20)
+        good = encode_avi_mjpeg(16, 12, 4.0, frames)
+        h264 = encode_avi_mjpeg(16, 12, 4.0, frames, handler=b"H264")
+        # valid container, one frame's JPEG payload corrupted: break the
+        # EOI byte (APPn bytes are skipped by the codec, markers are not)
+        broken = bytearray(good)
+        fi = good.index(frames[0][:16])
+        broken[fi + len(frames[0]) - 1] ^= 0xFF
+        rows = [
+            (1, bytearray(good)),
+            (2, bytearray(h264)),
+            (3, bytearray(broken)),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = sample_video_frames(df, fps=1.0, errors="quarantine").collect()
+        by_id = {}
+        for r in got:
+            by_id.setdefault(r["doc_id"], []).append(r)
+        assert len(by_id[1]) == 2 and all(r["error"] is None for r in by_id[1])
+        assert len(by_id[2]) == 1 and "AviError" in by_id[2][0]["error"]
+        assert by_id[2][0]["frame_idx"] is None
+        assert len(by_id[3]) == 1 and "JpegError" in by_id[3][0]["error"]
+        assert len(by_id[4]) == 1 and "NullPayload" in by_id[4][0]["error"]
+
+    def test_raise_mode_unchanged(self, spark):
+        from etl_batch_spark.llmops.multimodal import sample_video_frames
+
+        frames = _jpeg_frames(8, seed=21)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_avi_mjpeg(16, 12, 4.0, frames)))],
+            "doc_id long, payload binary",
+        )
+        rows = sample_video_frames(df, fps=1.0).collect()
+        assert len(rows) == 2 and "error" not in rows[0].asDict()
