@@ -84,6 +84,10 @@ def infer_sf(sf_dir: str) -> float:
 
 def main() -> None:
     spark = get_spark("bench")
+    # the driver tail-captures the last 2,000 chars of output; JVM WARN
+    # spam (e.g. the allowlisted bounded-window WindowExec notices)
+    # must never be what fills that tail after the JSON line
+    spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).collect()
     bench_queries = {name: q for name, q in QUERIES.items() if q.bench}
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -389,6 +390,16 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _round6_half_up(v: float) -> float:
+    """Mirror Spark ``F.round(x, 6)`` exactly: HALF_UP over the double's
+    shortest decimal form (``BigDecimal.valueOf`` uses
+    ``Double.toString``, which is what Python ``repr`` produces).
+    Python's builtin ``round()`` is half-EVEN, so exact 6dp ties — e.g.
+    224/28672 = 0.0078125 — would round to a different scale than the
+    :func:`resize_plan` SQL and flip a target dimension."""
+    return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
 def _bilinear_resize(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
     """Vectorized bilinear resample of an (h, w, c) uint8 array to
     (th, tw, c) — pixel-center aligned, clamped at the edges."""
@@ -438,7 +449,7 @@ def resize_image(
                 w, h, ch, px = _decode_any_image(bytes(p))
                 # the resize_plan contract, replicated bit-for-bit:
                 # round the scale to 6dp FIRST, then ceil, then clamp
-                scale = round(min(1.0, max_side / float(max(w, h))), 6)
+                scale = _round6_half_up(min(1.0, max_side / float(max(w, h))))
                 tw = min(max_side, int(-(-w * scale // 1)))
                 th = min(max_side, int(-(-h * scale // 1)))
                 arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
@@ -473,7 +484,7 @@ def frame_sample_plan(
 SAMPLED_FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("src_frame_idx", T.IntegerType()),
         T.StructField("frame_ts", T.DoubleType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
@@ -504,9 +515,17 @@ def sample_video_frames(
     shape and the same ``errors="raise"|"quarantine"`` policy as
     decode_image/decode_audio: quarantined payloads (out-of-scope
     codec, corrupt container, broken frame, NULL payload) survive as
-    ONE row with NULL frame fields and the message in ``error``."""
+    ONE row with NULL frame fields and the message in ``error``.
+
+    Column contract vs :func:`frame_sample_plan`: the plan's
+    ``frame_idx`` is the SAMPLE ordinal (0,1,2,...); the codec side
+    emits ``src_frame_idx``, the SOURCE frame index actually decoded
+    (e.g. 0,4,8 for a 1 fps sample of 4 fps video).  ``frame_ts`` is
+    identical on both sides and is the join key between them."""
     if errors not in ("raise", "quarantine"):
         raise ValueError(f"errors must be 'raise' or 'quarantine', got {errors!r}")
+    if not fps > 0:
+        raise ValueError(f"fps must be > 0, got {fps!r}")
     from etl_batch_spark.llmops.avi import decode_avi_mjpeg
     from etl_batch_spark.llmops.jpeg import decode_jpeg
 
@@ -532,7 +551,7 @@ def sample_video_frames(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        cols = ("doc_id", "frame_idx", "frame_ts", "width", "height", "feature")
+        cols = ("doc_id", "src_frame_idx", "frame_ts", "width", "height", "feature")
         for pdf in batches:
             out = {k: [] for k in cols}
             errs: list = []
@@ -567,7 +586,8 @@ def sample_video_frames(
                 pdf_out["error"] = errs
             else:
                 pdf_out = pdf_out.astype(
-                    {"doc_id": "int64", "frame_idx": "int32", "frame_ts": "float64"}
+                    {"doc_id": "int64", "src_frame_idx": "int32",
+                     "frame_ts": "float64"}
                 )
             yield pdf_out
 

@@ -105,14 +105,14 @@ class TestSampleVideoFrames:
         )
         rows = sorted(
             sample_video_frames(df, fps=1.0).collect(),
-            key=lambda r: r["frame_idx"],
+            key=lambda r: r["src_frame_idx"],
         )
-        assert [r["frame_idx"] for r in rows] == [0, 4, 8]
+        assert [r["src_frame_idx"] for r in rows] == [0, 4, 8]
         assert [r["frame_ts"] for r in rows] == [0.0, 1.0, 2.0]
         for r in rows:
             assert (r["width"], r["height"]) == (16, 12)
             # feature matches an independent local decode of that frame
-            fw, fh, ch, px = decode_jpeg(frames[r["frame_idx"]])
+            fw, fh, ch, px = decode_jpeg(frames[r["src_frame_idx"]])
             arr = np.frombuffer(px, np.uint8).reshape(fh * fw, ch).astype(np.float64) / 255.0
             want = list(arr.mean(axis=0)) + list(arr.std(axis=0))
             want = [round(float(v), 6) for v in (want + [0.0] * 8)[:8]]
@@ -126,7 +126,7 @@ class TestSampleVideoFrames:
             [(1, bytearray(data))], "doc_id long, payload binary"
         )
         rows = sample_video_frames(df, fps=1.0).collect()
-        assert len(rows) == 1 and rows[0]["frame_idx"] == 0
+        assert len(rows) == 1 and rows[0]["src_frame_idx"] == 0
 
 
 class TestContainerProperty:
@@ -171,7 +171,7 @@ class TestSampleVideoFramesQuarantine:
             by_id.setdefault(r["doc_id"], []).append(r)
         assert len(by_id[1]) == 2 and all(r["error"] is None for r in by_id[1])
         assert len(by_id[2]) == 1 and "AviError" in by_id[2][0]["error"]
-        assert by_id[2][0]["frame_idx"] is None
+        assert by_id[2][0]["src_frame_idx"] is None
         assert len(by_id[3]) == 1 and "JpegError" in by_id[3][0]["error"]
         assert len(by_id[4]) == 1 and "NullPayload" in by_id[4][0]["error"]
 

@@ -336,6 +336,28 @@ class TestMultimodal:
         assert by_doc[2] == [0.0]  # short clip → at least one frame
         assert by_doc[1][:3] == [0.0, 0.5, 1.0]
 
+    def test_round6_half_up_matches_spark_round(self, spark):
+        """The codec-side scale must match resize_plan's F.round(x, 6)
+        on exact 6dp ties: Spark rounds HALF_UP over the double's
+        shortest decimal form, Python's builtin round() is half-even
+        (224/28672 = 0.0078125 is such a tie and would flip a target
+        dim)."""
+        ties = [0.0078125, 224 / 28672, 0.0000005, 0.1234565, 0.9999995,
+                224 / 293, 1.0, 1 / 3]
+        df = spark.createDataFrame([(v,) for v in ties], "v double")
+        got = [r["r"] for r in df.select(F.round("v", 6).alias("r")).collect()]
+        assert got == [multimodal._round6_half_up(v) for v in ties]
+        # the builtin would NOT have matched on the tie:
+        assert round(0.0078125, 6) != multimodal._round6_half_up(0.0078125)
+
+    def test_sample_video_frames_rejects_bad_fps(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"RIFF"))], "doc_id long, payload binary"
+        )
+        for bad in (0.0, -1.0):
+            with pytest.raises(ValueError, match="fps"):
+                multimodal.sample_video_frames(df, fps=bad)
+
 
 class TestConnectedComponents:
     @staticmethod

@@ -71,9 +71,15 @@ def main() -> int:
             regressions.append(name)
         print(f"{name}: {counts['parquet']} parquet, {counts['rdd']} rdd{flag}")
 
-    if write and not args:
-        json.dump(out, open(BUDGET_PATH, "w"), indent=1, sort_keys=True)
-        print(f"\nwrote {len(out)} budgets to {BUDGET_PATH}")
+    if write:
+        # full run replaces the file; a named subset merges into it so
+        # `--write <query>` updates just that budget (never silently
+        # drops the rest, never no-ops)
+        merged = {**old, **out} if args else out
+        json.dump(merged, open(BUDGET_PATH, "w"), indent=1, sort_keys=True)
+        verb = "merged" if args else "wrote"
+        print(f"\n{verb} {len(out)} budgets into {BUDGET_PATH} "
+              f"({len(merged)} total)")
     elif regressions:
         print(f"\n{len(regressions)} regressions: {regressions}")
         return 1
