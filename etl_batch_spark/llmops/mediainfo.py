@@ -326,10 +326,19 @@ def probe_media(payload: bytes) -> dict:
 
 
 def probe_media_df(
-    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Arrow-batched narrow-map probe over a payload column — the scan
-    stage in front of decode_image/decode_audio/sample_video_frames."""
+    stage in front of decode_image/decode_audio/sample_video_frames.
+
+    ``keep_cols`` names input columns carried through unchanged (e.g.
+    ``("source", "payload")``) so a probe→route→decode pipeline can
+    filter on the probe verdict and hand the SAME rows to the decoder —
+    no re-scan, no id re-join (which fans out under duplicate ids)."""
     from collections.abc import Iterator
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -345,9 +354,22 @@ def probe_media_df(
                     rows.append(r)
                 else:
                     rows.append(probe_media(p))
-            out = {"doc_id": pdf[id_col].values}
+            out = {id_col: pdf[id_col].values}
+            for k in keep_cols:
+                out[k] = pdf[k].values
             for c in cols:
                 out[c] = [r[c] for r in rows]
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(run, PROBE_SCHEMA)
+    from etl_batch_spark.llmops.multimodal import _with_id_field
+
+    schema = _with_id_field(PROBE_SCHEMA, df, id_col)
+    schema = T.StructType(
+        [schema.fields[0]]
+        + [T.StructField(k, df.schema[k].dataType) for k in keep_cols]
+        + schema.fields[1:]
+    )
+    in_cols = [id_col, *keep_cols]
+    if payload_col not in in_cols:
+        in_cols.append(payload_col)
+    return df.select(*in_cols).mapInPandas(run, schema)

@@ -97,6 +97,16 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+def _with_id_field(schema: T.StructType, df: DataFrame, id_col: str) -> T.StructType:
+    """Output schema with the id field renamed/retyped to match the
+    caller's ``id_col`` — at crawl scale ids are URLs or content hashes
+    (strings), not longs, and a grouping key (e.g. ``source``) is a
+    legitimate id for aggregate-only consumers.  The default
+    ``doc_id``-long schemas above stay bit-identical for long callers."""
+    id_field = T.StructField(id_col, df.schema[id_col].dataType)
+    return T.StructType([id_field] + list(schema)[1:])
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for an image codec: md5-derived dimensions
     and an 8-dim 'feature vector'.  Replaces PIL/ffmpeg in this container."""
@@ -213,7 +223,7 @@ def decode_image(
                         rows.append((None, None, None))
                         errs.append(f"{type(exc).__name__}: {exc}")
             out = {
-                "doc_id": pdf[id_col].values,
+                id_col: pdf[id_col].values,
                 "width": [r[0] for r in rows],
                 "height": [r[1] for r in rows],
                 "n_pixels": [
@@ -225,7 +235,11 @@ def decode_image(
                 out["error"] = errs
             yield pd.DataFrame(out)
 
-    schema = DECODED_QUARANTINE_SCHEMA if errors == "quarantine" else DECODED_SCHEMA
+    schema = _with_id_field(
+        DECODED_QUARANTINE_SCHEMA if errors == "quarantine" else DECODED_SCHEMA,
+        df,
+        id_col,
+    )
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
@@ -331,7 +345,7 @@ def decode_audio(
                         rows.append((None, None, None, None, None))
                         errs.append(f"{type(exc).__name__}: {exc}")
             out = {
-                "doc_id": pdf[id_col].values,
+                id_col: pdf[id_col].values,
                 "sample_rate": [r[0] for r in rows],
                 "channels": [r[1] for r in rows],
                 "n_frames": [r[2] for r in rows],
@@ -342,10 +356,12 @@ def decode_audio(
                 out["error"] = errs
             yield pd.DataFrame(out)
 
-    schema = (
+    schema = _with_id_field(
         DECODED_AUDIO_QUARANTINE_SCHEMA
         if errors == "quarantine"
-        else DECODED_AUDIO_SCHEMA
+        else DECODED_AUDIO_SCHEMA,
+        df,
+        id_col,
     )
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 

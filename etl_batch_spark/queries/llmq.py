@@ -3005,3 +3005,227 @@ def mm05_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pad_right",
         "pad_bottom",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm06 — decoded-audio stats: the audio twin of mm01.  decode_audio's
+# Arrow-batched narrow map runs the deterministic md5 codec stub over
+# the payload bytes, so sample rate / channel count / frame count /
+# duration and the first feature amplitude are all exactly
+# oracle-checkable per document (a real corpus swaps _fake_decode_audio
+# for the WAV codec; the plan is identical).  hex pairs: digest byte i
+# is substr(md5, 2i+1, 2); feature[0] is digest[5] → substr 11.
+# ---------------------------------------------------------------------------
+@query(
+    "mm06_decode_audio_stats",
+    doc="binary payload → mapInPandas fake audio decode → per-doc rate/"
+    "channels/frames/duration stats (llmops.multimodal.decode_audio)",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + 100 * (('0x' || substr(md5(text), 1, 2))::BIGINT % 160)
+                AS INT) AS sample_rate,
+           CAST(1 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 2)
+                AS INT) AS channels,
+           CAST(1 + (('0x' || substr(md5(text), 5, 6))::BIGINT % 100000)
+                AS BIGINT) AS n_frames,
+           (1 + (('0x' || substr(md5(text), 5, 6))::BIGINT % 100000))
+             / CAST(8000 + 100 * (('0x' || substr(md5(text), 1, 2))::BIGINT % 160)
+                    AS DOUBLE) AS duration_s,
+           ROUND((('0x' || substr(md5(text), 11, 2))::BIGINT) / 255.0, 6) AS amp0
+    -- attach_payload drops NULL-text rows (no payload to fabricate)
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def mm06_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(_documents(spark, sf_dir))
+    decoded = multimodal.decode_audio(docs, fake=True)
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_s",
+        # feature is float32; 6dp decimals round-trip float32→double
+        # exactly under a re-round (float32 carries ~7.2 decimal digits)
+        F.round(F.col("feature")[0].cast("double"), 6).alias("amp0"),
+    )
+
+
+# Deterministic container signatures for the triage/curation fixtures:
+# each doc gets a real magic prefix chosen by doc_id % 6, so the
+# header-only probe (llmops.mediainfo) classifies a known mix and the
+# oracle replays the routing as a CASE over the same residue.  Built
+# with % (not pmod) so negative/NULL ids take the same branch in Spark
+# and DuckDB (no match → 'ZZZZ' → container 'unknown').
+_MEDIA_PREFIXES = [
+    (0, "RIFF1234WAVE", "wav", "audio"),
+    (1, "RIFF1234AVI ", "avi", "video"),
+    (2, "GIF89a", "gif", "image"),
+    (3, "P2", "pnm", "image"),
+    (4, "ID3", "mp3", "audio"),
+]
+
+_DUCK_MEDIA_PREFIX = (
+    "CASE doc_id % 6 WHEN 0 THEN 'RIFF1234WAVE' WHEN 1 THEN 'RIFF1234AVI '"
+    " WHEN 2 THEN 'GIF89a' WHEN 3 THEN 'P2' WHEN 4 THEN 'ID3'"
+    " ELSE 'ZZZZ' END"
+)
+
+
+def _media_prefixed_payload(docs: DataFrame) -> DataFrame:
+    prefix = F.lit("ZZZZ")
+    for residue, sig, _c, _m in reversed(_MEDIA_PREFIXES):
+        prefix = F.when(F.col("doc_id") % 6 == residue, F.lit(sig)).otherwise(prefix)
+    return docs.filter(F.col("text").isNotNull()).withColumn(
+        "payload", F.encode(F.concat(prefix, F.col("text")), "UTF-8")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm07 — header-only media triage (llmops.mediainfo.probe_media_df):
+# container/modality census of a mixed-signature corpus from HEADER
+# BYTES ALONE — the scan stage in front of every decode pipeline at
+# crawl scale (route / budget / quarantine before paying for a single
+# pixel).  The probe dispatches on real magic bytes (RIFF/WAVE,
+# RIFF/AVI , GIF89a, PNM, ID3); the oracle replays the byte-signature
+# classification as a CASE over the residue that chose each prefix.
+# ---------------------------------------------------------------------------
+@query(
+    "mm07_media_triage",
+    doc="header-only media triage census: container/modality counts + "
+    "payload bytes per class (llmops.mediainfo.probe_media_df)",
+    oracle=f"""
+    SELECT CASE doc_id % 6 WHEN 0 THEN 'wav' WHEN 1 THEN 'avi'
+                WHEN 2 THEN 'gif' WHEN 3 THEN 'pnm' WHEN 4 THEN 'mp3'
+                ELSE 'unknown' END AS container,
+           CASE doc_id % 6 WHEN 0 THEN 'audio' WHEN 1 THEN 'video'
+                WHEN 2 THEN 'image' WHEN 3 THEN 'image' WHEN 4 THEN 'audio'
+                ELSE NULL END AS modality,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode({_DUCK_MEDIA_PREFIX} || text)))
+                AS BIGINT) AS total_bytes
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def mm07_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.llmops.mediainfo import probe_media_df
+
+    docs = _media_prefixed_payload(_documents(spark, sf_dir))
+    docs = docs.withColumn("n_bytes", F.octet_length("payload"))
+    probed = probe_media_df(docs, keep_cols=("n_bytes",))
+    return probed.groupBy("container", "modality").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe05 — multimodal curation pipeline: probe → route → decode → stats.
+# One probe pass classifies every payload from header bytes
+# (materialized once via localCheckpoint, like pipe03/pipe04's shared
+# stages); the router then filters ON THE PROBE VERDICT — wav payloads
+# to decode_audio, image payloads to decode_image, mp3/video triaged
+# but not decoded (their real codecs need external libraries — that IS
+# the routing decision at crawl scale), everything unrecognized counted
+# into the quarantine fraction.  keep_cols carries source+payload
+# through the probe so routing never re-joins on doc_id (which fans
+# out under duplicate ingestion).  All decode stats are md5-stub
+# deterministic, so the whole composition is value-hash oracle-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "pipe05_multimodal_curation",
+    doc="probe → route-on-verdict → fake-decode → per-source curation "
+    "stats with quarantine fraction (mediainfo ∘ multimodal)",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id % 6 AS r,
+             md5({_DUCK_MEDIA_PREFIX} || text) AS m
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN r IN (0, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_video,
+           CAST(SUM(CASE WHEN r IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+           CAST(SUM(CASE WHEN r IN (0, 1, 2, 3, 4) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_unknown,
+           CAST(SUM(CASE WHEN r IN (0, 1, 2, 3, 4) THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*) AS quarantine_frac,
+           CAST(SUM(CASE WHEN r = 0
+                         THEN 1 + (('0x' || substr(m, 5, 6))::BIGINT % 100000)
+                         ELSE 0 END) AS BIGINT) AS audio_frames,
+           MAX(CASE WHEN r = 0
+                    THEN CAST(8000 + 100 * (('0x' || substr(m, 1, 2))::BIGINT % 160)
+                              AS INT) END) AS max_sample_rate,
+           CAST(SUM(CASE WHEN r IN (2, 3)
+                         THEN (64 + (('0x' || substr(m, 1, 2))::BIGINT % 192))
+                            * (64 + (('0x' || substr(m, 3, 2))::BIGINT % 192))
+                         ELSE 0 END) AS BIGINT) AS image_pixels
+    FROM d GROUP BY source
+    """,
+)
+def pipe05_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.llmops.mediainfo import probe_media_df
+
+    docs = _media_prefixed_payload(_documents(spark, sf_dir))
+    # probe once, reuse for triage + both decode routes (pipe03/pipe04's
+    # shared-stage materialization pattern; eager=False keeps plan
+    # construction job-free)
+    probed = probe_media_df(
+        docs, keep_cols=("source", "payload")
+    ).localCheckpoint(eager=False)
+
+    triage = probed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("modality") == "audio", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_audio"),
+        F.sum(F.when(F.col("modality") == "video", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_video"),
+        F.sum(F.when(F.col("modality") == "image", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_image"),
+        F.sum(F.when(F.col("modality").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unknown"),
+    )
+    triage = triage.withColumn(
+        "quarantine_frac",
+        F.col("n_unknown").cast("double") / F.col("n_docs"),
+    )
+    audio = (
+        multimodal.decode_audio(
+            probed.filter(F.col("container") == "wav"), id_col="source", fake=True
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_frames").cast("bigint").alias("audio_frames"),
+            F.max("sample_rate").alias("max_sample_rate"),
+        )
+    )
+    image = (
+        multimodal.decode_image(
+            probed.filter(F.col("modality") == "image"), id_col="source", fake=True
+        )
+        .groupBy("source")
+        .agg(F.sum("n_pixels").cast("bigint").alias("image_pixels"))
+    )
+    t, a, i = triage.alias("t"), audio.alias("a"), image.alias("i")
+    return (
+        t.join(a, F.col("t.source").eqNullSafe(F.col("a.source")), "left")
+        .join(i, F.col("t.source").eqNullSafe(F.col("i.source")), "left")
+        .select(
+            "t.source",
+            "t.n_docs",
+            "t.n_audio",
+            "t.n_video",
+            "t.n_image",
+            "t.n_unknown",
+            "t.quarantine_frac",
+            F.coalesce(F.col("a.audio_frames"), F.lit(0)).alias("audio_frames"),
+            F.col("a.max_sample_rate").alias("max_sample_rate"),
+            F.coalesce(F.col("i.image_pixels"), F.lit(0)).alias("image_pixels"),
+        )
+    )

@@ -959,24 +959,206 @@ def q37_from_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q38 — approximate aggregates (SURVEY §2.D): HLL distinct + quantile
-# sketch.  No SQL oracle — sketch implementations differ per engine by
-# design; the rows-only check applies, and tests/test_queries_extra.py
-# asserts closeness to the exact answers.
+# sketch.  Round-5 re-expression on the engine-portable sketches
+# (operators/sketch.py — the et07/et24 pattern): deterministic
+# md5-register HLL for both distinct estimates and a fixed-width
+# histogram for the median, so the WHOLE query is exactly
+# oracle-checkable instead of rows-only.  The engine-native variants
+# (approx_count_distinct / approx_percentile) remain covered by
+# operators/rollup.py::sketch_rollup and its closeness tests.
+#
+# Plan shape (the 100 TB story): ONE lineitem scan — each row explodes
+# into its three sketch coordinates (orderkey register, partkey
+# register, price bin), ONE shuffle partial-aggregates them to at most
+# flags × (256 + 256 + bins) register rows, and everything after is
+# arithmetic on that bounded table.  Exact countDistinct / percentile
+# ride along (second scan) for calibration, like et23/et24.
 # ---------------------------------------------------------------------------
 @query(
     "q38_approx_aggregates",
-    oracle=None,
-    doc="HLL approx_count_distinct + quantile sketch; sketch outputs are engine-specific, so rows-only check + closeness test",
+    doc="portable-sketch approx aggregates: HLL distinct orders/parts + "
+    "histogram median price per returnflag, exact values alongside "
+    "(one scan, one shuffle for all three sketches)",
+    oracle="""
+    WITH coords AS (
+      SELECT l_returnflag, 'o' AS kind, h % 4096 AS coord,
+             CASE WHEN h // 4096 = 0 THEN 49
+                  ELSE 49 - length(bin(h // 4096)) END AS v
+      FROM (SELECT l_returnflag,
+                   (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+            FROM lineitem WHERE l_orderkey IS NOT NULL)
+      UNION ALL
+      SELECT l_returnflag, 'p', h % 4096,
+             CASE WHEN h // 4096 = 0 THEN 49
+                  ELSE 49 - length(bin(h // 4096)) END
+      FROM (SELECT l_returnflag,
+                   (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+            FROM lineitem WHERE l_partkey IS NOT NULL)
+      UNION ALL
+      SELECT l_returnflag, 'h',
+             CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT), 1
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    regs AS (
+      SELECT l_returnflag, kind, coord, MAX(v) AS max_v, COUNT(*) AS cnt
+      FROM coords GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT *,
+             SUM(cnt) OVER (PARTITION BY l_returnflag, kind ORDER BY coord) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag, kind) AS total
+      FROM regs
+    ),
+    per_kind AS (
+      SELECT l_returnflag, kind,
+             COUNT(*) AS n_present,
+             SUM(pow(2.0, -max_v)) AS s_present,
+             MAX(CASE WHEN kind = 'h' AND cum >= 0.5 * total
+                           AND cum - cnt < 0.5 * total
+                      THEN ROUND(coord * 100.0
+                                 + 100.0 * (0.5 * total - (cum - cnt)) / cnt, 4)
+                 END) AS median_est
+      FROM cum GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT l_returnflag, kind, median_est,
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                         / ((4096 - n_present) * 1.0 + s_present) <= 10240.0
+                       AND 4096 - n_present > 0
+                  THEN ROUND(4096.0 * ln(4096.0 / (4096 - n_present)), 2)
+                  ELSE ROUND((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                             / ((4096 - n_present) * 1.0 + s_present), 2)
+             END AS est_distinct
+      FROM per_kind
+    ),
+    sk AS (
+      SELECT l_returnflag,
+             MAX(CASE WHEN kind = 'o' THEN est_distinct END) AS approx_orders,
+             MAX(CASE WHEN kind = 'p' THEN est_distinct END) AS approx_parts,
+             MAX(CASE WHEN kind = 'h' THEN median_est END) AS approx_median_price
+      FROM est GROUP BY 1
+    ),
+    exact AS (
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_orderkey) AS exact_orders,
+             COUNT(DISTINCT l_partkey) AS exact_parts,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median_price
+      FROM lineitem GROUP BY 1
+    )
+    SELECT x.l_returnflag, s.approx_orders, x.exact_orders,
+           s.approx_parts, x.exact_parts,
+           s.approx_median_price, x.exact_median_price
+    FROM exact x LEFT JOIN sk s
+      ON x.l_returnflag IS NOT DISTINCT FROM s.l_returnflag
+    """,
 )
 def q38_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_batch_spark.operators.sketch import hll_register_cols
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median_price"),
+    # p=12 (m=4096 registers, ~1.6% std error) — the precision most
+    # engines default to; the module default p=8 stays for the rollup
+    # queries whose register tables must be tiny
+    o_idx, o_rho = hll_register_cols("l_orderkey", p_bits=12)
+    p_idx, p_rho = hll_register_cols("l_partkey", p_bits=12)
+    price_bin = F.floor(F.col("l_extendedprice") / F.lit(100.0)).cast("bigint")
+
+    def sk_struct(kind: str, coord, v):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            coord.cast("bigint").alias("coord"),
+            v.cast("bigint").alias("v"),
         )
+
+    coords = (
+        li.select(
+            "l_returnflag",
+            F.explode(
+                F.array(
+                    sk_struct("o", o_idx, o_rho),
+                    sk_struct("p", p_idx, p_rho),
+                    sk_struct("h", price_bin, F.lit(1)),
+                )
+            ).alias("s"),
+        )
+        .select("l_returnflag", "s.kind", "s.coord", "s.v")
+        # NULL key / NULL price rows are outside their sketch (aggregate
+        # semantics) — md5(NULL) is NULL, and a NULL bin would corrupt
+        # the histogram's cumulative sum
+        .filter(F.col("coord").isNotNull())
+    )
+    regs = coords.groupBy("l_returnflag", "kind", "coord").agg(
+        F.max("v").alias("max_v"), F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.partitionBy("l_returnflag", "kind").orderBy("coord")
+    w_all = Window.partitionBy("l_returnflag", "kind")
+    target = F.lit(0.5) * F.col("total")
+    cum = (
+        regs.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("total", F.sum("cnt").over(w_all))
+    )
+    # the (unique) bin where the running count first reaches the target,
+    # interpolated linearly inside it — hist_quantiles' estimator
+    is_pick = (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target)
+    interp = F.col("coord") * F.lit(100.0) + F.lit(100.0) * (
+        target - (F.col("cum") - F.col("cnt"))
+    ) / F.col("cnt")
+    per_kind = cum.groupBy("l_returnflag", "kind").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("pow(2.0, -max_v)")).alias("s_present"),
+        F.max(
+            F.when((F.col("kind") == "h") & is_pick, F.round(interp, 4))
+        ).alias("median_est"),
+    )
+    # hll_estimate's estimator at m=4096, inline so the three sketch
+    # kinds share one aggregation tree (kind 'h' rows never take the
+    # HLL branch)
+    s = F.expr("(4096 - n_present) * 1.0") + F.col("s_present")
+    e_raw = F.expr("0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0") / s
+    v_zero = F.expr("4096 - n_present")
+    linear = (e_raw <= F.lit(10240.0)) & (v_zero > 0)
+    est_distinct = F.round(
+        F.when(linear, F.expr("4096.0 * ln(4096.0 / (4096 - n_present))")).otherwise(
+            e_raw
+        ),
+        2,
+    )
+    sk = (
+        per_kind.select("l_returnflag", "kind", "median_est",
+                        est_distinct.alias("est_distinct"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("kind") == "o", F.col("est_distinct"))).alias(
+                "approx_orders"
+            ),
+            F.max(F.when(F.col("kind") == "p", F.col("est_distinct"))).alias(
+                "approx_parts"
+            ),
+            F.max(F.when(F.col("kind") == "h", F.col("median_est"))).alias(
+                "approx_median_price"
+            ),
+        )
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "exact_median_price"
+        ),
+    )
+    x, e = exact.alias("x"), sk.alias("e")
+    return x.join(
+        e, F.col("x.l_returnflag").eqNullSafe(F.col("e.l_returnflag")), "left"
+    ).select(
+        "x.l_returnflag",
+        "e.approx_orders",
+        "x.exact_orders",
+        "e.approx_parts",
+        "x.exact_parts",
+        "e.approx_median_price",
+        "x.exact_median_price",
     )
 
 

@@ -25,10 +25,10 @@ from __future__ import annotations
 # Queries with no SQL-expressible oracle whose single rows-only driver
 # slot is deliberate (the driver records a weaker rows-count check; the
 # judge sees which).  Anything else in the window must carry an oracle —
-# tests/test_rotation.py enforces this.
-ROWS_ONLY_OK: frozenset[str] = frozenset({
-    "q38_approx_aggregates",  # approx_count_distinct/approx_percentile: no exact SQL twin
-})
+# tests/test_rotation.py enforces this.  Empty since round 5: q38 was
+# re-expressed on the portable sketches (the et07 pattern) and now has
+# a real value-hash oracle.
+ROWS_ONLY_OK: frozenset[str] = frozenset()
 
 # Round 3 window (rotated from CORRECTNESS_r02.json, 50/50 green): the 7
 # displaced round-2 names (q02/q03/q11/q13/q18/q19/q21) + the next 43
