@@ -30,106 +30,41 @@ from __future__ import annotations
 # a real value-hash oracle.
 ROWS_ONLY_OK: frozenset[str] = frozenset()
 
-# Round 3 window (rotated from CORRECTNESS_r02.json, 50/50 green): the 7
-# displaced round-2 names (q02/q03/q11/q13/q18/q19/q21) + the next 43
-# never-checked queries in registry priority order.
+# Round 5 window (rotated from CORRECTNESS_r04.json, 50/50 green):
+# the 19 never-checked names (closing the driver backlog — after this
+# window every registry query has a driver row), q38 on its brand-new
+# portable-sketch oracle, the three round-5 additions (mm06/mm07/
+# pipe05), then 27 re-verification slots for the oldest r1-green rows —
+# ev01/ev12 first (their funnel NULL-ts domain fix changed outputs),
+# then the r1 rows most exposed to the round-3/4 plan rewrites
+# (eventsq single-pass funnels, et01's SCD2 9→2-scan rewrite, dedup.py
+# candidate generation, decimal-accumulation aggregates).
 DRIVER_WINDOW: list[str] = [
-    "q39_decimal_exact",
-    "q01_pricing_summary",
-    "q09_multiway_join_revenue",
-    "q35_shipping_priority",
-    "ev06_interpolate_at_clicks",
-    "q95_salted_skew_join",
-    "ev14_linear_attribution",
-    "et07_sketch_rollup",
-    "q79_string_surface",
-    "q80_null_safe_join",
-    "q81_posexplode_words",
-    "q82_not_in_null_semantics",
-    "q83_variant_props",
-    "q84_udtf_split_fields",
-    "q86_aggregate_surface",
-    "q87_lateral_topn",
-    "q88_union_evolving_schema",
-    "q89_recursive_cte",
-    "q90_xml_roundtrip",
-    "q91_running_distinct",
-    "q92_period_over_period",
-    "q94_rolling_median",
-    "q96_pandas_udaf_geomean",
-    "q98_grouped_regression",
-    "q99_merged_order_spans",
-    "q100_window_rank_surface",
-    "et23_portable_hll",
-    "et24_histogram_quantiles",
-    "et26_psi_drift",
-    "et27_cusum_changepoints",
-    "et28_audience_bitmap_ops",
-    "ev13_last_touch_attribution",
-    "ev16_ab_test_zscore",
-    "ev17_markov_attribution",
-    "dd13_lsh_dedup_recall",
-    "ss13_multitable_ann",
-    "ss14_hard_negatives",
-    "ss12_ann_recall",
-    "tx03_token_count",
-    "tx05_winnow_fingerprints",
-    "tx06_redact_pii",
-    "tx04_quality_score",
-    "tx07_repetition_stats",
-    "tx08_token_entropy",
-    "tx09_decontaminate",
-    "tx10_sequence_packing",
-    "sm03_temperature_mix",
-    "pipe01_training_mix",
-    "sm04_quality_weighted_sample",
-    "dd09_containment",
-]
-
-# ROUND 4 PREP (written during round 3): once CORRECTNESS_r03.json
-# lands, run `python tools/rotate.py CORRECTNESS_r03.json --write`
-# (--prepend any round-4 changed-output queries).  The remaining 63
-# never-checked names (q79–q100 relational tail, q95/q96/q98, tx03–tx14,
-# tx18/tx20, sm03–sm10, dd08–dd10/dd13, ss06/ss09/ss12–ss14, mm03/mm04,
-# et23/et24/et26–et28, ev13/ev14/ev16/ev17, pipe01/03/04) fit in rounds
-# 4–5.  tests/test_rotation.py pins the invariants.
-
-# Driver-green in CORRECTNESS_r01.json (rows+schema+hash all true, or
-# rows-only by design with no change since).  Deprioritized to the back
-# of the registry so the driver window reaches unchecked queries first.
-DRIVER_GREEN: list[str] = [
-    "dd01_dedup_exact",
-    "dd02_fingerprint",
-    "dd03_ngram_jaccard",
-    "dd04_minhash_lsh",
-    "dd05_simhash",
-    "dd06_embedding_neardup",
-    "dd07_neardup_clusters",
-    "dd11_hot_span_scrub",
-    "dd12_semantic_dedup",
-    "et01_scd2_merge",
-    "et02_profile_columns",
-    "et03_fk_audit",
-    "et04_rollup_cascade",
-    "et05_hierarchy_levels",
-    "et06_table_checksum",
-    "et08_snapshot_diff",
-    "et09_expectations",
-    "et10_apply_changelog",
-    "et11_fuzzy_match",
-    "et12_fifo_allocation",
-    "et13_incremental_agg",
-    "et14_mad_outliers",
-    "et15_triangle_count",
-    "et16_lttb_downsample",
-    "et17_skew_profile",
-    "et18_sequence_gaps",
-    "et19_benford_audit",
-    "et20_point_in_time_join",
-    "et21_bitmap_distinct",
-    "et22_ewma_smoothing",
-    "et25_count_min_freq",
+    "dd08_incremental_dedup",
+    "dd10_winnow_pairs",
+    "mm03_window_energy",
+    "mm04_phash_neardup",
+    "sm05_fixed_quota_sample",
+    "sm06_training_shards",
+    "sm07_weighted_topk_sample",
+    "sm08_train_val_test_split",
+    "sm09_cluster_safe_split",
+    "sm10_calibrated_quality",
+    "ss06_array_lambda_surface",
+    "ss09_centroid_confusion",
+    "tx12_batch_inference",
+    "tx13_regexp_surface",
+    "tx14_bm25_search",
+    "tx18_nextfit_packing",
+    "tx20_feature_hashing",
+    "pipe03_curation_report",
+    "pipe04_pretraining_mix",
+    "q38_approx_aggregates",
+    "mm06_decode_audio_stats",
+    "mm07_media_triage",
+    "pipe05_multimodal_curation",
     "ev01_funnel",
+    "ev12_windowed_funnel",
     "ev02_retention_cohorts",
     "ev03_active_users",
     "ev04_top_paths",
@@ -139,12 +74,75 @@ DRIVER_GREEN: list[str] = [
     "ev09_ohlc_bars",
     "ev10_markov_transitions",
     "ev11_time_since_purchase",
-    "ev12_windowed_funnel",
-    "ev15_peak_concurrency",
-    "mm01_decode_resize",
+    "dd03_ngram_jaccard",
+    "dd04_minhash_lsh",
+    "dd07_neardup_clusters",
+    "et01_scd2_merge",
+    "et04_rollup_cascade",
+    "et06_table_checksum",
+    "et10_apply_changelog",
+    "et11_fuzzy_match",
+    "et12_fifo_allocation",
+    "et13_incremental_agg",
+    "et20_point_in_time_join",
     "mm02_frame_sample",
+    "sm01_hash_sample",
+    "sm02_stratified_sample",
+    "ss01_cosine_topk",
+    "ss02_lsh_bucketed_ann",
+]
+
+# ROUND 6 PREP (written during round 5): once CORRECTNESS_r05.json
+# lands, run `python tools/rotate.py CORRECTNESS_r05.json --write`
+# (--prepend any round-6 changed-output queries).  With the backlog
+# closed, round 6's window is pure re-verification: the 17 remaining
+# r1-green rows never re-checked since (dd01/dd02/dd05/dd06, et02/et03/
+# et05/et08/et09/et14/et15/et18/et19/et21, ss03, tx01/tx02) plus the
+# oldest r2 rows.  tests/test_rotation.py pins the invariants.
+
+# Driver-green in a previous round's run (rows+schema+hash all true,
+# with no output change since).  Deprioritized to the back of the
+# registry so the driver window reaches unchecked queries first.
+DRIVER_GREEN: list[str] = [
+    "dd01_dedup_exact",
+    "dd02_fingerprint",
+    "dd05_simhash",
+    "dd06_embedding_neardup",
+    "dd09_containment",
+    "dd11_hot_span_scrub",
+    "dd12_semantic_dedup",
+    "dd13_lsh_dedup_recall",
+    "et02_profile_columns",
+    "et03_fk_audit",
+    "et05_hierarchy_levels",
+    "et07_sketch_rollup",
+    "et08_snapshot_diff",
+    "et09_expectations",
+    "et14_mad_outliers",
+    "et15_triangle_count",
+    "et16_lttb_downsample",
+    "et17_skew_profile",
+    "et18_sequence_gaps",
+    "et19_benford_audit",
+    "et21_bitmap_distinct",
+    "et22_ewma_smoothing",
+    "et23_portable_hll",
+    "et24_histogram_quantiles",
+    "et25_count_min_freq",
+    "et26_psi_drift",
+    "et27_cusum_changepoints",
+    "et28_audience_bitmap_ops",
+    "ev06_interpolate_at_clicks",
+    "ev13_last_touch_attribution",
+    "ev14_linear_attribution",
+    "ev15_peak_concurrency",
+    "ev16_ab_test_zscore",
+    "ev17_markov_attribution",
+    "mm01_decode_resize",
     "mm05_patch_grid",
+    "pipe01_training_mix",
     "pipe02_rag_corpus",
+    "q01_pricing_summary",
     "q02_point_lookup",
     "q03_min_default",
     "q04_next_run_id",
@@ -152,6 +150,8 @@ DRIVER_GREEN: list[str] = [
     "q06_latest_order_per_customer",
     "q07_exists_semi_join",
     "q08_not_exists_anti_join",
+    "q09_multiway_join_revenue",
+    "q100_window_rank_surface",
     "q10_decode_status_matrix",
     "q11_prefix_match",
     "q12_topk_orders",
@@ -175,9 +175,10 @@ DRIVER_GREEN: list[str] = [
     "q32_atoi_priority",
     "q33_datediff_hms",
     "q34_check_date_codes",
+    "q35_shipping_priority",
     "q36_forecast_revenue",
     "q37_from_json_map",
-    "q38_approx_aggregates",
+    "q39_decimal_exact",
     "q40_grouping_sets",
     "q41_lag_lead",
     "q42_small_qty_revenue",
@@ -217,14 +218,30 @@ DRIVER_GREEN: list[str] = [
     "q76_calendar_breakdown",
     "q77_topk_per_group",
     "q78_bloom_semi_filter",
+    "q79_string_surface",
+    "q80_null_safe_join",
+    "q81_posexplode_words",
+    "q82_not_in_null_semantics",
+    "q83_variant_props",
+    "q84_udtf_split_fields",
     "q85_null_ordering",
+    "q86_aggregate_surface",
+    "q87_lateral_topn",
+    "q88_union_evolving_schema",
+    "q89_recursive_cte",
+    "q90_xml_roundtrip",
+    "q91_running_distinct",
+    "q92_period_over_period",
     "q93_try_function_surface",
+    "q94_rolling_median",
+    "q95_salted_skew_join",
+    "q96_pandas_udaf_geomean",
     "q97_skyline_pareto",
-    "sm01_hash_sample",
-    "sm02_stratified_sample",
+    "q98_grouped_regression",
+    "q99_merged_order_spans",
+    "sm03_temperature_mix",
+    "sm04_quality_weighted_sample",
     "sm11_shuffle_order",
-    "ss01_cosine_topk",
-    "ss02_lsh_bucketed_ann",
     "ss03_ivf_ann",
     "ss04_kmeans_clusters",
     "ss05_doc_pagerank",
@@ -232,8 +249,19 @@ DRIVER_GREEN: list[str] = [
     "ss08_label_centroids",
     "ss10_pq_ann",
     "ss11_random_projection",
+    "ss12_ann_recall",
+    "ss13_multitable_ann",
+    "ss14_hard_negatives",
     "tx01_text_stats",
     "tx02_langid",
+    "tx03_token_count",
+    "tx04_quality_score",
+    "tx05_winnow_fingerprints",
+    "tx06_redact_pii",
+    "tx07_repetition_stats",
+    "tx08_token_entropy",
+    "tx09_decontaminate",
+    "tx10_sequence_packing",
     "tx15_rag_chunks",
     "tx16_inverted_postings",
     "tx17_bigram_lm_score",

@@ -189,3 +189,34 @@ class TestSparkTransform:
         assert got[2]["container"] == "wav" and got[2]["duration_s"] == pytest.approx(0.1)
         assert got[3]["container"] == "unknown"
         assert got[4]["container"] == "unknown" and "NullPayload" in got[4]["error"]
+
+    def test_probe_media_df_string_id_and_keep_cols(self, spark):
+        """probe→route composition: a string id column (crawl-scale ids
+        are URLs/hashes) plus keep_cols carrying source and the payload
+        itself through, so routing filters feed the decoder directly."""
+        from etl_batch_spark.llmops.png import encode_png
+
+        png = bytearray(encode_png(5, 4, 3, _img(5, 4).tobytes()))
+        rows = [("u://a", "web", png), ("u://b", "books", bytearray(b"nope"))]
+        df = spark.createDataFrame(rows, "url string, source string, payload binary")
+        probed = probe_media_df(df, id_col="url", keep_cols=("source", "payload"))
+        assert [f.name for f in probed.schema.fields[:3]] == ["url", "source", "payload"]
+        assert probed.schema["url"].dataType.simpleString() == "string"
+        got = {r["url"]: r for r in probed.collect()}
+        assert got["u://a"]["container"] == "png" and got["u://a"]["source"] == "web"
+        assert bytes(got["u://b"]["payload"]) == b"nope"
+        # the routed subset decodes without a re-join
+        from etl_batch_spark.llmops.multimodal import decode_image
+
+        routed = probed.filter(probed.container == "png")
+        out = decode_image(routed, id_col="url").collect()
+        assert len(out) == 1 and out[0]["url"] == "u://a" and out[0]["width"] == 5
+
+    def test_decode_audio_string_id(self, spark):
+        from etl_batch_spark.llmops.multimodal import decode_audio
+
+        df = spark.createDataFrame(
+            [("s1", bytearray(b"payload-bytes"))], "source string, payload binary"
+        )
+        out = decode_audio(df, id_col="source", fake=True).collect()
+        assert out[0]["source"] == "s1" and out[0]["sample_rate"] >= 8000
