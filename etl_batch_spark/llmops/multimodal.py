@@ -567,7 +567,7 @@ def sample_video_frames(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        cols = ("doc_id", "src_frame_idx", "frame_ts", "width", "height", "feature")
+        cols = (id_col, "src_frame_idx", "frame_ts", "width", "height", "feature")
         for pdf in batches:
             out = {k: [] for k in cols}
             errs: list = []
@@ -602,15 +602,16 @@ def sample_video_frames(
                 pdf_out["error"] = errs
             else:
                 pdf_out = pdf_out.astype(
-                    {"doc_id": "int64", "src_frame_idx": "int32",
-                     "frame_ts": "float64"}
+                    {"src_frame_idx": "int32", "frame_ts": "float64"}
                 )
             yield pdf_out
 
-    schema = (
+    schema = _with_id_field(
         SAMPLED_FRAMES_QUARANTINE_SCHEMA
         if errors == "quarantine"
-        else SAMPLED_FRAMES_SCHEMA
+        else SAMPLED_FRAMES_SCHEMA,
+        df,
+        id_col,
     )
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
@@ -661,10 +662,12 @@ def window_energy(
                         round(float(seg.mean()) / 255.0 + 1e-9, 6)
                     )
             yield pd.DataFrame(
-                {"doc_id": ids, "widx": widxs, "energy": energies}
-            ).astype({"doc_id": "int64", "widx": "int32", "energy": "float64"})
+                {id_col: ids, "widx": widxs, "energy": energies}
+            ).astype({"widx": "int32", "energy": "float64"})
 
-    return df.select(id_col, payload_col).mapInPandas(run, WINDOW_ENERGY_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        run, _with_id_field(WINDOW_ENERGY_SCHEMA, df, id_col)
+    )
 
 
 def payload_digest_arrow(
@@ -686,7 +689,7 @@ def payload_digest_arrow(
 
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("md5_hex", T.StringType()),
             T.StructField("n_bytes", T.LongType()),
         ]

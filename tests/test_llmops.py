@@ -350,6 +350,19 @@ class TestMultimodal:
         # the builtin would NOT have matched on the tie:
         assert round(0.0078125, 6) != multimodal._round6_half_up(0.0078125)
 
+    def test_payload_transforms_accept_string_ids(self, spark):
+        """Every payload transform keys by the caller's id column —
+        crawl-scale ids are URLs/hashes, not longs (round-5
+        generalization; the doc_id-long default schemas are unchanged)."""
+        df = spark.createDataFrame(
+            [("u://x", bytearray(b"some payload bytes"))],
+            "url string, payload binary",
+        )
+        we = multimodal.window_energy(df, id_col="url").collect()
+        assert we and we[0]["url"] == "u://x" and we[0]["widx"] == 0
+        dig = multimodal.payload_digest_arrow(df, id_col="url").collect()
+        assert dig[0]["url"] == "u://x" and dig[0]["n_bytes"] == 18
+
     def test_sample_video_frames_rejects_bad_fps(self, spark):
         df = spark.createDataFrame(
             [(1, bytearray(b"RIFF"))], "doc_id long, payload binary"
