@@ -1171,9 +1171,10 @@ def et20_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # et21 — EXACT distinct counting via mergeable bitmaps (the
 # ClickHouse/Roaring pattern): user ids pack into 64-bit words
-# (bucket = id div 63, bit = id mod 63 — 63 bits per word, because a
-# signed-BIGINT engine like DuckDB overflows on 1 << 63); per (day,
-# bucket) the words
+# (bit = pmod(id, 63), bucket = (id − bit)/63 — 63 bits per word,
+# because a signed-BIGINT engine like DuckDB overflows on 1 << 63;
+# the pmod/floor form keeps the packing a bijection for negative ids
+# too); per (day, bucket) the words
 # BIT_OR together — an associative, mergeable partial like et04's
 # sums — and popcounts roll up to exact daily uniques.  Contrast with
 # et07's HLL (approximate, fixed-size): bitmaps are exact with state
@@ -1184,9 +1185,14 @@ def et20_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "et21_bitmap_distinct",
     oracle="""
     WITH words AS (
+      -- bit = non-negative mod, bucket = (id - bit) // 63: the
+      -- subtraction makes the division exact, so DuckDB's TRUNCATING
+      -- integer `//` equals floor and the packing is total over ALL
+      -- bigints (DuckDB % keeps the dividend's sign; a negative shift
+      -- is an error here and silent garbage in Java)
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             user_id // 63 AS bucket,
-             BIT_OR(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+             (user_id - (((user_id % 63) + 63) % 63)) // 63 AS bucket,
+             BIT_OR(1::BIGINT << CAST(((user_id % 63) + 63) % 63 AS INT)) AS word
       FROM events GROUP BY 1, 2
     ),
     bitmap AS (
@@ -1205,13 +1211,16 @@ def et20_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def et21_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").alias("day")
-    # integer `div`, matching et28 (double division truncates instead of
-    # flooring for negative ids and loses exactness past 2^53)
+    # bit = pmod(id, 63) ∈ [0, 62] and bucket = (id − bit) div 63 (an
+    # exact division, so truncation == floor): the packing is total
+    # over ALL bigints — Spark's `%`/`div` keep the dividend's sign,
+    # and shiftleft by a negative count is silent garbage in Java
+    # (caught by the i91 negative-id corpus, round 5)
     words = e.groupBy(
-        day, F.expr("user_id div 63").alias("bucket")
+        day, F.expr("(user_id - pmod(user_id, 63)) div 63").alias("bucket")
     ).agg(
         F.bit_or(
-            F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))")
+            F.expr("shiftleft(1L, CAST(pmod(user_id, 63) AS INT))")
         ).alias("word")
     )
     bitmap = words.groupBy("day").agg(
@@ -1660,8 +1669,11 @@ def et27_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bitmaps per audience pair",
     oracle="""
     WITH words AS MATERIALIZED (
-      SELECT event_type AS seg, user_id // 63 AS bucket,
-             BIT_OR(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+      -- bit = non-negative mod, bucket = (id - bit) // 63 (exact, so
+      -- truncation == floor): total over ALL bigints
+      SELECT event_type AS seg,
+             (user_id - (((user_id % 63) + 63) % 63)) // 63 AS bucket,
+             BIT_OR(1::BIGINT << CAST(((user_id % 63) + 63) % 63 AS INT)) AS word
       FROM events GROUP BY 1, 2
     ),
     sizes AS (
@@ -1685,16 +1697,16 @@ def et27_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def et28_audience_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    # Integer `div`, not double `/` + cast: double division truncates
-    # instead of flooring for negative ids and loses exactness past 2^53.
-    # Both `div` and the shiftleft(user_id % 63) assume NON-NEGATIVE ids
-    # (the events fixture guarantees this; negative ids would also split
-    # truncate-vs-floor against DuckDB's `//`).
+    # bit = pmod(id, 63), bucket = (id − bit) div 63 — exact division,
+    # so truncation == floor and the packing is total over ALL bigints
+    # (negative ids made DuckDB's `<<` error and Java's wrap silently;
+    # caught by the i91 negative-id corpus, round 5).  Integer `div`,
+    # not double `/`: doubles lose exactness past 2^53.
     words = e.groupBy(
         F.col("event_type").alias("seg"),
-        F.expr("user_id div 63").alias("bucket"),
+        F.expr("(user_id - pmod(user_id, 63)) div 63").alias("bucket"),
     ).agg(
-        F.bit_or(F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))")).alias("word")
+        F.bit_or(F.expr("shiftleft(1L, CAST(pmod(user_id, 63) AS INT))")).alias("word")
     )
     sizes = words.groupBy("seg").agg(
         F.sum(F.bit_count("word")).cast("bigint").alias("n")

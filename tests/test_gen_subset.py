@@ -158,3 +158,39 @@ class TestGenSubset:
         assert diff == 0
         # untouched money columns stay non-negative
         assert _one(con, f"SELECT count(*) FILTER (o_totalprice < 0) FROM '{out}/orders.parquet'") == 0
+
+    def test_negids_flip_consistently_across_tables(self, tmp_path):
+        """--negids draws per VALUE within its shared value space, so
+        every occurrence of an id flips together and joins survive."""
+        from gen_subset import main
+
+        out = str(tmp_path / "negids")
+        main(["--seed", "6", "--keep", "100", "--negids", "40",
+              "--src", SRC, "--out", out])
+        con = duckdb.connect()
+        n_neg = _one(con, f"SELECT count(*) FILTER (c_custkey < 0) FROM '{out}/customer.parquet'")
+        n_all = _one(con, f"SELECT count(*) FROM '{out}/customer.parquet'")
+        assert 0 < n_neg < n_all
+        # referential consistency: every order still joins its customer
+        dangling = _one(con, f"""
+            SELECT count(*) FROM '{out}/orders.parquet' o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM '{out}/customer.parquet')
+        """)
+        assert dangling == 0
+        # doc_id and vec_id share one value space
+        dv = _one(con, f"""
+            SELECT count(*) FROM '{out}/documents.parquet' d
+            JOIN '{out}/embeddings.parquet' e ON d.doc_id = e.vec_id
+        """)
+        n_docs = _one(con, f"SELECT count(*) FROM '{out}/documents.parquet'")
+        assert dv == n_docs
+        # magnitudes preserved (a flip never invents or collides an id)
+        diff = _one(con, f"""
+            SELECT count(*) FROM (
+              SELECT ABS(c_custkey) v FROM '{out}/customer.parquet'
+              EXCEPT ALL
+              SELECT c_custkey FROM '{SRC}/customer.parquet')
+        """)
+        assert diff == 0
+        # value columns untouched
+        assert _one(con, f"SELECT count(*) FILTER (value < 0) FROM '{out}/events.parquet'") == 0

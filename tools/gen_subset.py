@@ -86,6 +86,28 @@ NEG_COLUMNS = {
     "events": ["value"],
 }
 
+# table -> {column: value-space name} for --negids: sign-flip a
+# hash-drawn subset of ID VALUES.  Draws are keyed on the value plus
+# its shared value space (custkey 17 flips together in customer AND
+# orders, doc_id/vec_id share one space), so joins stay consistent.
+# Fixtures ship strictly positive ids; real ingestion promises no such
+# thing.  Probes the % -vs- pmod family, residue routing
+# (CASE id % k), md5-of-negative-id strings, and MIN/MAX keeper picks.
+ID_COLUMNS = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "docid"},
+}
+
 # table -> {column: coarsening SQL over that column} for --ties: each
 # expression collapses many distinct values onto one so ORDER BY peers
 # actually tie.  Types are preserved (a coarsened ts is still a ts).
@@ -168,6 +190,14 @@ def main(argv: "list[str] | None" = None) -> int:
              "division, negative ROUND halves and sign-sensitive guards",
     )
     ap.add_argument(
+        "--negids", type=int, default=0,
+        help="percent of ID VALUES sign-flipped, drawn per value within "
+             "its shared value space so every occurrence flips together "
+             "and joins stay consistent — negative-id ingestion: probes "
+             "% -vs- pmod, residue routing, hash-of-id strings and "
+             "MIN/MAX keeper picks",
+    )
+    ap.add_argument(
         "--hot", type=int, default=0,
         help="skew factor: replicate one deterministic hot entity per "
              "fact table HOT-1 extra times with FRESH primary keys — "
@@ -182,7 +212,7 @@ def main(argv: "list[str] | None" = None) -> int:
     out = args.out or f"/root/repo/.benchdata/subset/s{args.seed}"
     if not 0 <= args.keep <= 100:
         raise SystemExit(f"--keep must be in [0, 100], got {args.keep}")
-    for name in ("nulls", "ties", "unicode", "dup", "neg"):
+    for name in ("nulls", "ties", "unicode", "dup", "neg", "negids"):
         v = getattr(args, name)
         if not 0 <= v <= 100:
             raise SystemExit(f"--{name} must be in [0, 100], got {v}")
@@ -206,15 +236,26 @@ def main(argv: "list[str] | None" = None) -> int:
     for t, pk in PRIMARY_KEYS.items():
         key = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
         proj = "*"
-        if args.nulls or args.ties or args.unicode or args.neg:
+        if args.nulls or args.ties or args.unicode or args.neg or args.negids:
             described = con.execute(
                 f"DESCRIBE SELECT * FROM '{args.src}/{t}.parquet'"
             ).fetchall()
             exprs = []
             for c, dtype, *_ in described:
                 e = c
-                # composition order: coarsen first, then unicode swap,
-                # then NULL (a NULL draw always wins)
+                # composition order: id flips first (ids are disjoint
+                # from the value columns below), coarsen, unicode swap,
+                # then NULL (a NULL draw always wins).  The keep/dup
+                # draws hash the SOURCE pk columns, so id flips never
+                # change which rows a seed keeps.
+                if args.negids and c in ID_COLUMNS.get(t, {}):
+                    space = ID_COLUMNS[t][c]
+                    e = (
+                        f"CASE WHEN hash(CAST({c} AS VARCHAR) "
+                        f"|| '~negid.{space}#{args.seed}') % 100 "
+                        f"< {args.negids} THEN CAST(-({c}) AS {dtype}) "
+                        f"ELSE {e} END"
+                    )
                 if args.ties and c in TIE_COLUMNS.get(t, {}):
                     coarse = TIE_COLUMNS[t][c]
                     e = (
