@@ -26,6 +26,17 @@ cannot exercise:
 * ``--keep 0``  — every fact table empty (constant dims stay): every
   aggregate/join/window empty-input path must agree on zero rows with
   the right schema instead of erroring.
+* ``--negids N`` — sign-flips N% of ID VALUES, drawn per value within
+  a shared value space so every occurrence flips together and joins
+  stay consistent: probes %-vs-pmod, residue routing, shift-by-residue
+  packings, md5-of-id strings and MIN/MAX keeper picks (round 5:
+  found et21/et28 shifting by a negative bit count).
+* ``--bigids N`` — offsets N% of ID VALUES by 2^54 + 1 (same
+  value-space draw as --negids, joins stay consistent): past 2^53 a
+  bigint id no longer round-trips through a double, so any id path
+  that silently detours through DOUBLE (division-based bucketing, avg
+  of ids, a float cast in either engine) or truncates into an INT
+  diverges here and nowhere else.
 
 Sampling is per-row on a hash of (primary key, seed), so it is
 deterministic, seed-varied, and REFERENTIALLY RAGGED on purpose:
@@ -198,6 +209,12 @@ def main(argv: "list[str] | None" = None) -> int:
              "MIN/MAX keeper picks",
     )
     ap.add_argument(
+        "--bigids", type=int, default=0,
+        help="percent of ID VALUES offset by 2^54 + 1 (same value-space "
+             "draw as --negids): ids past double precision probe any id "
+             "path that silently detours through DOUBLE or INT",
+    )
+    ap.add_argument(
         "--hot", type=int, default=0,
         help="skew factor: replicate one deterministic hot entity per "
              "fact table HOT-1 extra times with FRESH primary keys — "
@@ -212,7 +229,7 @@ def main(argv: "list[str] | None" = None) -> int:
     out = args.out or f"/root/repo/.benchdata/subset/s{args.seed}"
     if not 0 <= args.keep <= 100:
         raise SystemExit(f"--keep must be in [0, 100], got {args.keep}")
-    for name in ("nulls", "ties", "unicode", "dup", "neg", "negids"):
+    for name in ("nulls", "ties", "unicode", "dup", "neg", "negids", "bigids"):
         v = getattr(args, name)
         if not 0 <= v <= 100:
             raise SystemExit(f"--{name} must be in [0, 100], got {v}")
@@ -236,7 +253,8 @@ def main(argv: "list[str] | None" = None) -> int:
     for t, pk in PRIMARY_KEYS.items():
         key = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
         proj = "*"
-        if args.nulls or args.ties or args.unicode or args.neg or args.negids:
+        if (args.nulls or args.ties or args.unicode or args.neg
+                or args.negids or args.bigids):
             described = con.execute(
                 f"DESCRIBE SELECT * FROM '{args.src}/{t}.parquet'"
             ).fetchall()
@@ -255,6 +273,18 @@ def main(argv: "list[str] | None" = None) -> int:
                         f"|| '~negid.{space}#{args.seed}') % 100 "
                         f"< {args.negids} THEN CAST(-({c}) AS {dtype}) "
                         f"ELSE {e} END"
+                    )
+                if args.bigids and c in ID_COLUMNS.get(t, {}):
+                    # 2^54 + 1: odd (residues shift) and past the last
+                    # double-exact integer.  Draw on the ORIGINAL value
+                    # (same space salt), so it composes with --negids:
+                    # a flipped id offsets iff its original would.
+                    space = ID_COLUMNS[t][c]
+                    e = (
+                        f"CASE WHEN hash(CAST({c} AS VARCHAR) "
+                        f"|| '~bigid.{space}#{args.seed}') % 100 "
+                        f"< {args.bigids} THEN CAST(({e}) + 18014398509481985 "
+                        f"AS {dtype}) ELSE {e} END"
                     )
                 if args.ties and c in TIE_COLUMNS.get(t, {}):
                     coarse = TIE_COLUMNS[t][c]
