@@ -37,6 +37,10 @@ cannot exercise:
   that silently detours through DOUBLE (division-based bucketing, avg
   of ids, a float cast in either engine) or truncates into an INT
   diverges here and nowhere else.
+* ``--oldts N`` — shifts N% of timestamp/date rows back by 4000 weeks
+  (~76.6 years, landing pre-1970): negative unix time probes
+  floor-vs-truncate in epoch bucketing, date_trunc on pre-epoch
+  values, and any window/session arithmetic anchored at 1970.
 
 Sampling is per-row on a hash of (primary key, seed), so it is
 deterministic, seed-varied, and REFERENTIALLY RAGGED on purpose:
@@ -117,6 +121,14 @@ ID_COLUMNS = {
     "events": {"event_id": "eventid", "user_id": "userid"},
     "documents": {"doc_id": "docid"},
     "embeddings": {"vec_id": "docid"},
+}
+
+# table -> timestamp/date columns shifted by --oldts (per-row pk draw,
+# like --nulls/--ties: a row's whole date context moves together)
+TS_COLUMNS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
 }
 
 # table -> {column: coarsening SQL over that column} for --ties: each
@@ -215,6 +227,12 @@ def main(argv: "list[str] | None" = None) -> int:
              "path that silently detours through DOUBLE or INT",
     )
     ap.add_argument(
+        "--oldts", type=int, default=0,
+        help="percent of rows whose TS_COLUMNS entries shift back 4000 "
+             "weeks (pre-1970): negative unix time probes epoch "
+             "bucketing, date_trunc and 1970-anchored windows",
+    )
+    ap.add_argument(
         "--hot", type=int, default=0,
         help="skew factor: replicate one deterministic hot entity per "
              "fact table HOT-1 extra times with FRESH primary keys — "
@@ -229,7 +247,8 @@ def main(argv: "list[str] | None" = None) -> int:
     out = args.out or f"/root/repo/.benchdata/subset/s{args.seed}"
     if not 0 <= args.keep <= 100:
         raise SystemExit(f"--keep must be in [0, 100], got {args.keep}")
-    for name in ("nulls", "ties", "unicode", "dup", "neg", "negids", "bigids"):
+    for name in ("nulls", "ties", "unicode", "dup", "neg", "negids",
+                 "bigids", "oldts"):
         v = getattr(args, name)
         if not 0 <= v <= 100:
             raise SystemExit(f"--{name} must be in [0, 100], got {v}")
@@ -254,7 +273,7 @@ def main(argv: "list[str] | None" = None) -> int:
         key = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
         proj = "*"
         if (args.nulls or args.ties or args.unicode or args.neg
-                or args.negids or args.bigids):
+                or args.negids or args.bigids or args.oldts):
             described = con.execute(
                 f"DESCRIBE SELECT * FROM '{args.src}/{t}.parquet'"
             ).fetchall()
@@ -266,6 +285,13 @@ def main(argv: "list[str] | None" = None) -> int:
                 # then NULL (a NULL draw always wins).  The keep/dup
                 # draws hash the SOURCE pk columns, so id flips never
                 # change which rows a seed keeps.
+                if args.oldts and c in TS_COLUMNS.get(t, []):
+                    e = (
+                        f"CASE WHEN hash({key} || '|{c}~oldts#{args.seed}') "
+                        f"% 100 < {args.oldts} "
+                        f"THEN CAST({e} - INTERVAL 4000 WEEK AS {dtype}) "
+                        f"ELSE {e} END"
+                    )
                 if args.negids and c in ID_COLUMNS.get(t, {}):
                     space = ID_COLUMNS[t][c]
                     e = (
