@@ -341,6 +341,14 @@ def probe_media_df(
     no re-scan, no id re-join (which fans out under duplicate ids)."""
     from collections.abc import Iterator
 
+    probe_fields = {f.name for f in PROBE_SCHEMA.fields} - {"doc_id"}
+    clash = sorted(probe_fields & set(keep_cols) | ({id_col} & probe_fields))
+    if clash:
+        raise ValueError(
+            f"keep_cols/id_col collide with probe output fields: {clash} — "
+            "rename the input column(s) before probing"
+        )
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 

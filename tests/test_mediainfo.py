@@ -212,6 +212,14 @@ class TestSparkTransform:
         out = decode_image(routed, id_col="url").collect()
         assert len(out) == 1 and out[0]["url"] == "u://a" and out[0]["width"] == 5
 
+    def test_probe_media_df_rejects_colliding_keep_cols(self, spark):
+        df = spark.createDataFrame(
+            [(1, "png", bytearray(b"x"))],
+            "doc_id long, container string, payload binary",
+        )
+        with pytest.raises(ValueError, match="collide"):
+            probe_media_df(df, keep_cols=("container",))
+
     def test_decode_audio_string_id(self, spark):
         from etl_batch_spark.llmops.multimodal import decode_audio
 
