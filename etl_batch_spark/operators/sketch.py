@@ -47,10 +47,23 @@ def hll_register_cols(key_col: str, p_bits: int = P_BITS) -> "tuple[Column, Colu
     ``p_bits`` trades register count for accuracy: the low ``p_bits``
     of the 60-bit hash pick the register, the remaining ``60 - p_bits``
     give ``rho = (61 - p_bits) - bitlength(w)`` — std error
-    1.04/sqrt(2^p_bits) (6.5% at the default p=8, 1.6% at p=12)."""
+    1.04/sqrt(2^p_bits) (6.5% at the default p=8, 1.6% at p=12).
+
+    NOTE: both returned Columns embed the md5 hash — Spark does not CSE
+    across Column objects, so consuming BOTH in one projection hashes
+    every key twice.  :func:`hll_partials` avoids that by hashing into
+    a named column first (:func:`hll_register_cols_from_hash`); do the
+    same in any new hot path."""
+    h = H60.format(expr=f"cast({key_col} as string)")
+    return hll_register_cols_from_hash(h, p_bits)
+
+
+def hll_register_cols_from_hash(h: str, p_bits: int = P_BITS) -> "tuple[Column, Column]":
+    """(idx, rho) derived from an ALREADY-HASHED 60-bit expression or
+    column name ``h`` — the single-hash form (hash once into a named
+    column, then derive both coordinates from it)."""
     m = 1 << p_bits
     base = 61 - p_bits
-    h = H60.format(expr=f"cast({key_col} as string)")
     idx = F.expr(f"pmod({h}, {m})").cast("int")
     w = f"(({h}) div {m})"
     rho = F.expr(
@@ -65,11 +78,17 @@ def hll_partials(
     """(bucket, idx, max_rho): the mergeable register table.  NULL keys
     are ignored (COUNT DISTINCT semantics) — md5(NULL) is NULL, and a
     phantom idx=NULL register would inflate n_present in the estimator
-    while contributing nothing to the register sum."""
-    idx, rho = hll_register_cols(key_col)
+    while contributing nothing to the register sum.
+
+    The key hashes ONCE into a named column; idx and rho derive from
+    it (embedding the hash in both expressions would md5 every key
+    twice — Spark does not CSE across Column objects)."""
+    h = H60.format(expr=f"cast({key_col} as string)")
+    idx, rho = hll_register_cols_from_hash("h60")
     return (
         df.filter(F.col(key_col).isNotNull())
-        .select(bucket.alias(bucket_name), idx.alias("idx"), rho.alias("rho"))
+        .select(bucket.alias(bucket_name), F.expr(h).alias("h60"))
+        .select(bucket_name, idx.alias("idx"), rho.alias("rho"))
         .groupBy(bucket_name, "idx")
         .agg(F.max("rho").alias("max_rho"))
     )
