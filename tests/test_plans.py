@@ -425,6 +425,29 @@ def test_decode_image_both_modes_are_narrow_maps(spark):
             assert node not in plan, (kw, node)
 
 
+def test_q38_hashes_each_key_once(spark, sf_dir):
+    """q38's sketch projection must md5 each key ONCE (hash into a
+    named column, derive idx+rho from it).  Spark does not CSE across
+    Column objects, so embedding the hash in both coordinate
+    expressions doubles the dominant projection cost (measured ~2× at
+    sf0.1, round 5) — exactly 2 md5 calls (orderkey, partkey) may
+    appear in the plan."""
+    df = QUERIES["q38_approx_aggregates"].build(spark, sf_dir)
+    detail = plans.formatted_plan(df)
+    assert detail.count("md5") == 2, detail.count("md5")
+
+
+def test_hll_partials_hashes_each_key_once(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_batch_spark.catalog import load_table
+    from etl_batch_spark.operators.sketch import hll_partials
+
+    e = load_table(spark, sf_dir, "events")
+    day = hll_partials(e, key_col="user_id", bucket=F.date_trunc("DAY", F.col("ts")))
+    assert plans.formatted_plan(day).count("md5") == 1
+
+
 def test_scan_count_budgets(spark, sf_dir):
     """Registry-wide pin of the scan-replay audit: Spark replays a
     shared lazy subplan once PER CONSUMER, so a pipeline feeding one
