@@ -8,7 +8,14 @@ query module.
 from etl_batch_spark.queries.registry import QUERIES, Query, query  # noqa: F401
 
 # import for registration side effects
-from etl_batch_spark.queries import etlq, eventsq, llmq, relational, scalarq  # noqa: E402,F401
+from etl_batch_spark.queries import (  # noqa: E402,F401
+    etlq,
+    eventsq,
+    llmq,
+    relational,
+    scalarq,
+    streamq,
+)
 
 # Reorder the registry so the external driver's bounded per-round
 # verification window (first 50 entries) lands on not-yet-verified and

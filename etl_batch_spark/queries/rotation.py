@@ -33,12 +33,14 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # Round 5 window (rotated from CORRECTNESS_r04.json, 50/50 green):
 # the 19 never-checked names (closing the driver backlog — after this
 # window every registry query has a driver row), q38 on its brand-new
-# portable-sketch oracle, the three round-5 additions (mm06/mm07/
-# pipe05), then 27 re-verification slots for the oldest r1-green rows —
+# portable-sketch oracle, the five round-5 additions (mm06/mm07/
+# pipe05 + the first driver-verifiable STREAMING entries st01/st02),
+# then 25 re-verification slots for the oldest r1-green rows —
 # ev01/ev12 first (their funnel NULL-ts domain fix changed outputs),
 # then the r1 rows most exposed to the round-3/4 plan rewrites
 # (eventsq single-pass funnels, et01's SCD2 9→2-scan rewrite, dedup.py
-# candidate generation, decimal-accumulation aggregates).
+# candidate generation, decimal-accumulation aggregates).  ss01/ss02
+# ceded their re-verify slots to st01/st02 and lead round 6's refill.
 DRIVER_WINDOW: list[str] = [
     "dd08_incremental_dedup",
     "dd10_winnow_pairs",
@@ -88,8 +90,8 @@ DRIVER_WINDOW: list[str] = [
     "mm02_frame_sample",
     "sm01_hash_sample",
     "sm02_stratified_sample",
-    "ss01_cosine_topk",
-    "ss02_lsh_bucketed_ann",
+    "st01_streaming_window_counts",
+    "st02_streaming_dedup",
 ]
 
 # ROUND 6 PREP (written during round 5): once CORRECTNESS_r05.json
