@@ -124,6 +124,15 @@ def main() -> None:
     # compact — aggregate spread stats inline, per-query spread in a
     # local artifact — and hard-assert the budget so it cannot regress.
     spread_vals = sorted(spread.values())
+    cal = calibration(spark, SF_DIR)
+    # Cross-round comparability, mechanically: `calibrated_total` is
+    # the headline total divided by the host-speed ratio this run's
+    # cpu probe shows against the probe recorded in BENCH_r05.json
+    # (cpu=0.101) — so calibrated totals compare directly across
+    # rounds without hand-computing probe ratios.  SCALE.md
+    # ("Cross-round bench comparability") documents the formula and
+    # why cpu is the chosen axis.
+    ref_cpu = 0.101
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -134,7 +143,9 @@ def main() -> None:
         "spread_total": round(sum(spread_vals), 3),
         "spread_max": spread_vals[-1] if spread_vals else 0.0,
         "spread_p50": spread_vals[len(spread_vals) // 2] if spread_vals else 0.0,
-        "calibration": calibration(spark, SF_DIR),
+        "calibration": cal,
+        "calibrated_total": round(sum(timings.values()) / (cal["cpu"] / ref_cpu), 3),
+        "ref_cpu": ref_cpu,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")

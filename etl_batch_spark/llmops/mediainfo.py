@@ -303,7 +303,18 @@ def probe_media(payload: bytes) -> dict:
         elif kind == b"WEBP":
             container, parser = "webp", _probe_webp
             out.update(modality="image", mime="image/webp")
-    elif len(d) >= 12 and d[4:8] == b"ftyp":
+    elif (
+        len(d) >= 12
+        and d[4:8] == b"ftyp"
+        # 'ftyp' at offset 4 alone is not enough: the preceding 4 bytes
+        # must be a plausible big-endian box size (the ftyp box is
+        # 8-byte header + brand/version/compatible-brands — ≥16, tiny
+        # in practice).  Without this, any payload whose TEXT happens
+        # to contain 'ftyp' at offset 4 (e.g. behind a 2-byte magic
+        # like PNM's 'P2') would be misclassified as mp4.
+        and 16 <= struct.unpack(">I", d[:4])[0] <= (1 << 20)
+        and struct.unpack(">I", d[:4])[0] % 4 == 0
+    ):
         container, parser = "mp4", _probe_mp4
         out.update(modality="video", mime="video/mp4")
     elif len(d) >= 2 and d[0] == 0xFF and (d[1] & 0xE0) == 0xE0 and d[:3] != b"\xff\xd8\xff":
@@ -347,6 +358,14 @@ def probe_media_df(
         raise ValueError(
             f"keep_cols/id_col collide with probe output fields: {clash} — "
             "rename the input column(s) before probing"
+        )
+    # id_col is always carried through; repeating it in keep_cols (or
+    # repeating any name) would emit a duplicate output field, which
+    # dies later as an opaque Arrow schema error — fail loudly here.
+    if id_col in keep_cols or len(set(keep_cols)) != len(keep_cols):
+        raise ValueError(
+            f"keep_cols must be unique and must not repeat id_col "
+            f"({id_col!r}): got {tuple(keep_cols)!r}"
         )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821

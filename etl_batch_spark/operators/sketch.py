@@ -36,9 +36,7 @@ from pyspark.sql import functions as F
 from etl_batch_spark.llmops.dedup import H60
 
 P_BITS = 8
-M = 1 << P_BITS  # 256 registers
-# linear-counting threshold 2.5·m and the m=256 bias constant
-_ALPHA = "0.7213 / (1.0 + 1.079 / 256.0)"
+M = 1 << P_BITS  # 256 registers at the default precision
 
 
 def hll_register_cols(key_col: str, p_bits: int = P_BITS) -> "tuple[Column, Column]":
@@ -103,17 +101,42 @@ def hll_merge(partials: DataFrame, bucket: Column, bucket_name: str = "bucket") 
     )
 
 
-def hll_estimate(partials: DataFrame, bucket_name: str = "bucket") -> DataFrame:
-    """(bucket, est_distinct, est_branch) from a register table."""
+def _hll_alpha(m: int) -> str:
+    """Standard HLL bias constant as an exact SQL expression (Flajolet
+    et al. 2007 §4): fixed values below m=128, the asymptotic formula
+    at and above.  A string so both engines fold it identically."""
+    if m <= 16:
+        return "0.673"
+    if m <= 32:
+        return "0.697"
+    if m <= 64:
+        return "0.709"
+    return f"0.7213 / (1.0 + 1.079 / {m}.0)"
+
+
+def hll_estimate(
+    partials: DataFrame, bucket_name: str = "bucket", p_bits: int = P_BITS
+) -> DataFrame:
+    """(bucket, est_distinct, est_branch) from a register table.
+
+    ``p_bits`` MUST match the precision the partials were built with
+    (:func:`hll_register_cols` / ``hll_register_cols_from_hash``) —
+    the register count m = 2^p_bits enters the bias constant, the
+    linear-counting threshold, and the absent-register term, so a
+    mismatch skews every estimate silently.  Partials cannot carry m
+    themselves (they are plain (bucket, idx, max_rho) rows), hence the
+    explicit parameter."""
+    m = 1 << p_bits
+    alpha = _hll_alpha(m)
     agg = partials.groupBy(bucket_name).agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(F.expr("pow(2.0, -max_rho)")).alias("s_present"),
     )
-    s = F.expr(f"({M} - n_present) * 1.0") + F.col("s_present")
-    e_raw = F.expr(f"{_ALPHA} * {M}.0 * {M}.0") / s
-    v = F.expr(f"{M} - n_present")
-    linear = (e_raw <= F.lit(2.5 * M)) & (v > 0)
-    est = F.when(linear, F.expr(f"{M}.0 * ln({M}.0 / ({M} - n_present))")).otherwise(
+    s = F.expr(f"({m} - n_present) * 1.0") + F.col("s_present")
+    e_raw = F.expr(f"{alpha} * {m}.0 * {m}.0") / s
+    v = F.expr(f"{m} - n_present")
+    linear = (e_raw <= F.lit(2.5 * m)) & (v > 0)
+    est = F.when(linear, F.expr(f"{m}.0 * ln({m}.0 / ({m} - n_present))")).otherwise(
         e_raw
     )
     return agg.select(

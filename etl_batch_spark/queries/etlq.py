@@ -1213,8 +1213,10 @@ def et21_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.date_trunc("day", "ts").alias("day")
     # bit = pmod(id, 63) ∈ [0, 62] and bucket = (id − bit) div 63 (an
     # exact division, so truncation == floor): the packing is total
-    # over ALL bigints — Spark's `%`/`div` keep the dividend's sign,
-    # and shiftleft by a negative count is silent garbage in Java
+    # over all bigints EXCEPT the 62 values adjacent to Long.MIN_VALUE
+    # (there `id − bit` underflows: Spark wraps silently, DuckDB
+    # errors).  Spark's `%`/`div` keep the dividend's sign, and
+    # shiftleft by a negative count is silent garbage in Java
     # (caught by the i91 negative-id corpus, round 5)
     words = e.groupBy(
         day, F.expr("(user_id - pmod(user_id, 63)) div 63").alias("bucket")

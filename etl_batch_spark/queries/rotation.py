@@ -30,120 +30,128 @@ from __future__ import annotations
 # a real value-hash oracle.
 ROWS_ONLY_OK: frozenset[str] = frozenset()
 
-# Round 5 window (rotated from CORRECTNESS_r04.json, 50/50 green):
-# the 19 never-checked names (closing the driver backlog — after this
-# window every registry query has a driver row), q38 on its brand-new
-# portable-sketch oracle, the five round-5 additions (mm06/mm07/
-# pipe05 + the first driver-verifiable STREAMING entries st01/st02),
-# then 25 re-verification slots for the oldest r1-green rows —
-# ev01/ev12 first (their funnel NULL-ts domain fix changed outputs),
-# then the r1 rows most exposed to the round-3/4 plan rewrites
-# (eventsq single-pass funnels, et01's SCD2 9→2-scan rewrite, dedup.py
-# candidate generation, decimal-accumulation aggregates).  ss01/ss02
-# ceded their re-verify slots to st01/st02 and lead round 6's refill.
+# Round 6 window (rotated from CORRECTNESS_r05.json, 50/50 green —
+# every registry query is driver-green at its latest check; this and
+# all future windows are pure re-verification plus round additions):
+# the 19 rows whose latest check is still round 1 lead (ss01/ss02
+# first — they ceded their round-5 slots to st01/st02; et21 next,
+# its bitmap packing changed output-bearing code in the round-5
+# negids fix), then 31 of the 47 round-2-stale rows, non-q modules
+# most exposed to the round-3/4/5 plan rewrites (dedup/similarity/
+# sketch/multimodal/pipelines) before core q rows.  Round-6 query
+# additions displace the window tail as they land (re-run
+# tools/rotate.py with them prepended); the 16 r2 rows left over
+# lead round 7's refill.
 DRIVER_WINDOW: list[str] = [
-    "dd08_incremental_dedup",
-    "dd10_winnow_pairs",
-    "mm03_window_energy",
-    "mm04_phash_neardup",
-    "sm05_fixed_quota_sample",
-    "sm06_training_shards",
-    "sm07_weighted_topk_sample",
-    "sm08_train_val_test_split",
-    "sm09_cluster_safe_split",
-    "sm10_calibrated_quality",
-    "ss06_array_lambda_surface",
-    "ss09_centroid_confusion",
-    "tx12_batch_inference",
-    "tx13_regexp_surface",
-    "tx14_bm25_search",
-    "tx18_nextfit_packing",
-    "tx20_feature_hashing",
-    "pipe03_curation_report",
-    "pipe04_pretraining_mix",
-    "q38_approx_aggregates",
-    "mm06_decode_audio_stats",
-    "mm07_media_triage",
-    "pipe05_multimodal_curation",
-    "ev01_funnel",
-    "ev12_windowed_funnel",
-    "ev02_retention_cohorts",
-    "ev03_active_users",
-    "ev04_top_paths",
-    "ev05_asof_operator",
-    "ev07_session_window_builtin",
-    "ev08_time_weighted_avg",
-    "ev09_ohlc_bars",
-    "ev10_markov_transitions",
-    "ev11_time_since_purchase",
-    "dd03_ngram_jaccard",
-    "dd04_minhash_lsh",
-    "dd07_neardup_clusters",
-    "et01_scd2_merge",
-    "et04_rollup_cascade",
-    "et06_table_checksum",
-    "et10_apply_changelog",
-    "et11_fuzzy_match",
-    "et12_fifo_allocation",
-    "et13_incremental_agg",
-    "et20_point_in_time_join",
-    "mm02_frame_sample",
-    "sm01_hash_sample",
-    "sm02_stratified_sample",
-    "st01_streaming_window_counts",
-    "st02_streaming_dedup",
+    "ss01_cosine_topk",
+    "ss02_lsh_bucketed_ann",
+    "et21_bitmap_distinct",
+    "et02_profile_columns",
+    "et03_fk_audit",
+    "et05_hierarchy_levels",
+    "et08_snapshot_diff",
+    "et09_expectations",
+    "et14_mad_outliers",
+    "et15_triangle_count",
+    "et18_sequence_gaps",
+    "et19_benford_audit",
+    "dd01_dedup_exact",
+    "dd02_fingerprint",
+    "dd05_simhash",
+    "dd06_embedding_neardup",
+    "ss03_ivf_ann",
+    "tx01_text_stats",
+    "tx02_langid",
+    "dd11_hot_span_scrub",
+    "dd12_semantic_dedup",
+    "et16_lttb_downsample",
+    "et17_skew_profile",
+    "et22_ewma_smoothing",
+    "et25_count_min_freq",
+    "ev15_peak_concurrency",
+    "mm01_decode_resize",
+    "mm05_patch_grid",
+    "pipe02_rag_corpus",
+    "sm11_shuffle_order",
+    "ss04_kmeans_clusters",
+    "ss05_doc_pagerank",
+    "ss07_mmr_topk",
+    "ss08_label_centroids",
+    "ss10_pq_ann",
+    "ss11_random_projection",
+    "tx15_rag_chunks",
+    "tx16_inverted_postings",
+    "tx17_bigram_lm_score",
+    "tx19_vocab_heavy_hitters",
+    "q12_topk_orders",
+    "q15_window_running",
+    "q16_rollup",
+    "q22_asof_join",
+    "q23_range_join_bands",
+    "q26_percentiles",
+    "q27_sessionize",
+    "q85_null_ordering",
+    "q93_try_function_surface",
+    "q97_skyline_pareto",
 ]
 
-# ROUND 6 PREP (written during round 5): once CORRECTNESS_r05.json
-# lands, run `python tools/rotate.py CORRECTNESS_r05.json --write`
-# (--prepend any round-6 changed-output queries).  With the backlog
-# closed, round 6's window is pure re-verification: the 17 remaining
-# r1-green rows never re-checked since (dd01/dd02/dd05/dd06, et02/et03/
-# et05/et08/et09/et14/et15/et18/et19/et21, ss03, tx01/tx02) plus the
-# oldest r2 rows.  tests/test_rotation.py pins the invariants.
+# ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
+# `python tools/rotate.py CORRECTNESS_r06.json --write --prepend
+# <round-7 changed-output queries>`.  The refill priority is the 16
+# r2-stale rows that did not fit in round 6's window (q04/q05/q06/q07/
+# q08/q10/q14/q17/q20/q24/q25/q30/q31/q32/q33/q34), then the oldest
+# r3 rows.  tests/test_rotation.py pins the invariants.
 
 # Driver-green in a previous round's run (rows+schema+hash all true,
 # with no output change since).  Deprioritized to the back of the
 # registry so the driver window reaches unchecked queries first.
 DRIVER_GREEN: list[str] = [
-    "dd01_dedup_exact",
-    "dd02_fingerprint",
-    "dd05_simhash",
-    "dd06_embedding_neardup",
+    "dd03_ngram_jaccard",
+    "dd04_minhash_lsh",
+    "dd07_neardup_clusters",
+    "dd08_incremental_dedup",
     "dd09_containment",
-    "dd11_hot_span_scrub",
-    "dd12_semantic_dedup",
+    "dd10_winnow_pairs",
     "dd13_lsh_dedup_recall",
-    "et02_profile_columns",
-    "et03_fk_audit",
-    "et05_hierarchy_levels",
+    "et01_scd2_merge",
+    "et04_rollup_cascade",
+    "et06_table_checksum",
     "et07_sketch_rollup",
-    "et08_snapshot_diff",
-    "et09_expectations",
-    "et14_mad_outliers",
-    "et15_triangle_count",
-    "et16_lttb_downsample",
-    "et17_skew_profile",
-    "et18_sequence_gaps",
-    "et19_benford_audit",
-    "et21_bitmap_distinct",
-    "et22_ewma_smoothing",
+    "et10_apply_changelog",
+    "et11_fuzzy_match",
+    "et12_fifo_allocation",
+    "et13_incremental_agg",
+    "et20_point_in_time_join",
     "et23_portable_hll",
     "et24_histogram_quantiles",
-    "et25_count_min_freq",
     "et26_psi_drift",
     "et27_cusum_changepoints",
     "et28_audience_bitmap_ops",
+    "ev01_funnel",
+    "ev02_retention_cohorts",
+    "ev03_active_users",
+    "ev04_top_paths",
+    "ev05_asof_operator",
     "ev06_interpolate_at_clicks",
+    "ev07_session_window_builtin",
+    "ev08_time_weighted_avg",
+    "ev09_ohlc_bars",
+    "ev10_markov_transitions",
+    "ev11_time_since_purchase",
+    "ev12_windowed_funnel",
     "ev13_last_touch_attribution",
     "ev14_linear_attribution",
-    "ev15_peak_concurrency",
     "ev16_ab_test_zscore",
     "ev17_markov_attribution",
-    "mm01_decode_resize",
-    "mm05_patch_grid",
+    "mm02_frame_sample",
+    "mm03_window_energy",
+    "mm04_phash_neardup",
+    "mm06_decode_audio_stats",
+    "mm07_media_triage",
     "pipe01_training_mix",
-    "pipe02_rag_corpus",
+    "pipe03_curation_report",
+    "pipe04_pretraining_mix",
+    "pipe05_multimodal_curation",
     "q01_pricing_summary",
     "q02_point_lookup",
     "q03_min_default",
@@ -156,22 +164,15 @@ DRIVER_GREEN: list[str] = [
     "q100_window_rank_surface",
     "q10_decode_status_matrix",
     "q11_prefix_match",
-    "q12_topk_orders",
     "q13_union_all_branches",
     "q14_string_agg_ordered",
-    "q15_window_running",
-    "q16_rollup",
     "q17_cube",
     "q18_intersect",
     "q19_except",
     "q20_json_props",
     "q21_explode_words",
-    "q22_asof_join",
-    "q23_range_join_bands",
     "q24_full_outer_join",
     "q25_pivot_linestatus",
-    "q26_percentiles",
-    "q27_sessionize",
     "q30_field_counter",
     "q31_nth_field",
     "q32_atoi_priority",
@@ -180,6 +181,7 @@ DRIVER_GREEN: list[str] = [
     "q35_shipping_priority",
     "q36_forecast_revenue",
     "q37_from_json_map",
+    "q38_approx_aggregates",
     "q39_decimal_exact",
     "q40_grouping_sets",
     "q41_lag_lead",
@@ -226,7 +228,6 @@ DRIVER_GREEN: list[str] = [
     "q82_not_in_null_semantics",
     "q83_variant_props",
     "q84_udtf_split_fields",
-    "q85_null_ordering",
     "q86_aggregate_surface",
     "q87_lateral_topn",
     "q88_union_evolving_schema",
@@ -234,28 +235,28 @@ DRIVER_GREEN: list[str] = [
     "q90_xml_roundtrip",
     "q91_running_distinct",
     "q92_period_over_period",
-    "q93_try_function_surface",
     "q94_rolling_median",
     "q95_salted_skew_join",
     "q96_pandas_udaf_geomean",
-    "q97_skyline_pareto",
     "q98_grouped_regression",
     "q99_merged_order_spans",
+    "sm01_hash_sample",
+    "sm02_stratified_sample",
     "sm03_temperature_mix",
     "sm04_quality_weighted_sample",
-    "sm11_shuffle_order",
-    "ss03_ivf_ann",
-    "ss04_kmeans_clusters",
-    "ss05_doc_pagerank",
-    "ss07_mmr_topk",
-    "ss08_label_centroids",
-    "ss10_pq_ann",
-    "ss11_random_projection",
+    "sm05_fixed_quota_sample",
+    "sm06_training_shards",
+    "sm07_weighted_topk_sample",
+    "sm08_train_val_test_split",
+    "sm09_cluster_safe_split",
+    "sm10_calibrated_quality",
+    "ss06_array_lambda_surface",
+    "ss09_centroid_confusion",
     "ss12_ann_recall",
     "ss13_multitable_ann",
     "ss14_hard_negatives",
-    "tx01_text_stats",
-    "tx02_langid",
+    "st01_streaming_window_counts",
+    "st02_streaming_dedup",
     "tx03_token_count",
     "tx04_quality_score",
     "tx05_winnow_fingerprints",
@@ -264,10 +265,11 @@ DRIVER_GREEN: list[str] = [
     "tx08_token_entropy",
     "tx09_decontaminate",
     "tx10_sequence_packing",
-    "tx15_rag_chunks",
-    "tx16_inverted_postings",
-    "tx17_bigram_lm_score",
-    "tx19_vocab_heavy_hitters",
+    "tx12_batch_inference",
+    "tx13_regexp_surface",
+    "tx14_bm25_search",
+    "tx18_nextfit_packing",
+    "tx20_feature_hashing",
 ]
 
 

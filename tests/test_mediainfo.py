@@ -149,6 +149,18 @@ class TestForeignHeaders:
 
 
 class TestRobustness:
+    def test_ftyp_in_text_is_not_mp4(self):
+        """'ftyp' at offset 4 alone must not classify as mp4: behind a
+        short magic like PNM's 'P2', those bytes come from DOCUMENT
+        TEXT (the mm07/pipe05 fixture shape), and the leading 4 bytes
+        are printable ASCII — an implausibly huge big-endian box size.
+        A real ftyp box (plausible size field) still classifies."""
+        r = probe_media(b"P2xxftypisomrest of the document text")
+        assert r["container"] == "pnm"
+        assert probe_media(b"ZZZZftypisom....")["container"] == "unknown"
+        real = struct.pack(">I", 16) + b"ftypisom" + bytes(4)
+        assert probe_media(real)["container"] == "mp4"
+
     def test_unknown_and_garbage_never_raise(self):
         assert probe_media(b"")["container"] == "unknown"
         assert probe_media(b"hello world")["container"] == "unknown"
@@ -219,6 +231,13 @@ class TestSparkTransform:
         )
         with pytest.raises(ValueError, match="collide"):
             probe_media_df(df, keep_cols=("container",))
+        # id_col repeated in keep_cols (or any duplicate) would emit a
+        # duplicate output field and die later as an opaque Arrow
+        # schema error — must fail loudly up front instead
+        with pytest.raises(ValueError, match="unique"):
+            probe_media_df(df, keep_cols=("doc_id",))
+        with pytest.raises(ValueError, match="unique"):
+            probe_media_df(df, keep_cols=("payload", "payload"))
 
     def test_decode_audio_string_id(self, spark):
         from etl_batch_spark.llmops.multimodal import decode_audio

@@ -1036,6 +1036,32 @@ class TestPortableHll:
         e_all = hll_estimate(merged).collect()[0]["est_distinct"]
         assert abs(e_all - 2000) / 2000 < 0.2
 
+    def test_estimate_p_bits_matches_register_precision(self, spark):
+        """hll_estimate must take the SAME p_bits the registers were
+        built with: m enters the bias constant, the linear-counting
+        threshold, and the absent-register term.  At p=12 over 2000
+        distinct keys the std error is ~1.6% — a mismatched m=256
+        estimator over p=12 registers lands nowhere near that."""
+        from pyspark.sql import functions as F
+
+        from etl_batch_spark.llmops.dedup import H60
+        from etl_batch_spark.operators.sketch import (
+            hll_estimate,
+            hll_register_cols_from_hash,
+        )
+
+        h = H60.format(expr="cast(id as string)")
+        idx, rho = hll_register_cols_from_hash("h60", p_bits=12)
+        parts = (
+            spark.range(2000)
+            .select(F.lit(0).alias("bucket"), F.expr(h).alias("h60"))
+            .select("bucket", idx.alias("idx"), rho.alias("rho"))
+            .groupBy("bucket", "idx")
+            .agg(F.max("rho").alias("max_rho"))
+        )
+        est = hll_estimate(parts, p_bits=12).collect()[0]["est_distinct"]
+        assert abs(est - 2000) / 2000 < 0.05, est
+
     def test_null_keys_ignored(self, spark):
         """COUNT DISTINCT semantics: NULL keys contribute no register —
         a phantom idx=NULL row would inflate n_present and null the
