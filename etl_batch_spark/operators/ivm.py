@@ -82,10 +82,22 @@ def apply_feed(
             F.min(value_col).alias("d_min"),
             F.max(value_col).alias("d_max"),
         )
+        # rename the delta's key columns before the full outer join:
+        # dataset[col] disambiguation breaks when partials and the feed
+        # derive from the SAME scan (Spark flags the coalesce select as
+        # an ambiguous self-join — caught by the e0 empty corpus, where
+        # an empty feed takes this path with shared lineage); renamed
+        # columns are unambiguous whatever the lineage
+        for k in keys:
+            ins = ins.withColumnRenamed(k, f"_d_{k}")
+        cond = reduce(
+            lambda a, b: a & b,
+            [partials[k].eqNullSafe(F.col(f"_d_{k}")) for k in keys],
+        )
         return (
-            partials.join(ins, _nullsafe_cond(partials, ins, keys), "full_outer")
+            partials.join(ins, cond, "full_outer")
             .select(
-                *[F.coalesce(partials[k], ins[k]).alias(k) for k in keys],
+                *[F.coalesce(F.col(k), F.col(f"_d_{k}")).alias(k) for k in keys],
                 (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
                 # null-aware add WITHOUT a typed zero literal: a 0.0
                 # coalesce would coerce an integer/decimal sum to double

@@ -1744,3 +1744,198 @@ def et28_audience_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") - F.col("n_and")).alias("n_a_only"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# et29 — incremental view maintenance end-to-end (operators/ivm.py):
+# a stored daily partials table absorbs a change feed carrying BOTH
+# late inserts and retractions, and the result is bit-identical to a
+# from-scratch rebuild of the post-change snapshot — hash equality IS
+# the IVM-consistency proof.  n/sum fold incrementally; deletes make
+# min/max non-subtractable, so apply_feed recomputes exactly the
+# TOUCHED (bucket, key) groups from the snapshot and keeps every
+# untouched group's stored row (the standard IVM treatment; at 100 TB
+# the recompute prunes to the touched time partitions).  The feed
+# split derives deterministically from event_id: %10==3 rows are the
+# late arrivals, %17==5 rows of the original load are retracted.
+# NULL-event_id rows fall out of BOTH sides' mod predicates (three-
+# valued logic) — stated here so the symmetry is a contract, not luck.
+# ---------------------------------------------------------------------------
+@query(
+    "et29_ivm_apply_feed",
+    doc="incremental view maintenance: daily partials + insert/delete change "
+    "feed == full rebuild (operators.ivm.apply_feed; touched-group min/max "
+    "recompute, untouched groups never re-read)",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events
+    WHERE (event_id % 10 = 3)
+       OR (event_id % 10 <> 3 AND event_id % 17 <> 5)
+    GROUP BY 1, 2
+    """,
+)
+def et29_ivm_apply_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.operators.ivm import apply_feed
+    from etl_batch_spark.operators.rollup import rollup_cascade
+
+    e = load_table(spark, sf_dir, "events")
+    is_late = F.col("event_id") % 10 == 3
+    is_retracted = F.col("event_id") % 17 == 5
+    base = e.filter(~is_late)  # the original load (NULL ids drop on both sides)
+    partials = rollup_cascade(
+        base, ts_col="ts", key_cols=("event_type",), value_col="value", levels=("day",)
+    )["day"]
+    feed = (
+        e.filter(is_late)
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            base.filter(is_retracted).withColumn("_change_type", F.lit("delete"))
+        )
+    )
+    post = e.filter(is_late | (~is_late & ~is_retracted))
+    out = apply_feed(
+        partials, feed, ts_col="ts", key_cols=["event_type"],
+        value_col="value", level="day", raw=post,
+    )
+    return out.select(
+        "bucket",
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round("sum_v", 2).alias("sum_value"),
+        F.round("min_v", 2).alias("min_value"),
+        F.round("max_v", 2).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# et30 — transaction-log time travel (sources/txlog.py): three real
+# commits (overwrite, append, correcting overwrite) against a scratch
+# TxTable, then read(version=1) — the PRE-correction snapshot, resolved
+# purely from the log (never a filesystem listing).  The oracle
+# reconstructs what v1 contained in SQL.  The result is materialized
+# (localCheckpoint) before the scratch dir is removed, so the returned
+# plan never re-reads deleted files.  At 100 TB the log is KBs of
+# metadata per commit; time travel costs one log replay + a pruned
+# file read.
+# ---------------------------------------------------------------------------
+@query(
+    "et30_time_travel",
+    doc="lakehouse time travel: read(version=1) after a later correcting "
+    "overwrite (sources.txlog.TxTable; snapshot resolved from the commit "
+    "log alone)",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS segment
+    FROM customer
+    WHERE c_custkey % 3 IN (0, 1)
+    """,
+)
+def et30_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="et30_txtable_")
+    try:
+        t = TxTable(spark, tmp)
+        t.overwrite(c.filter(F.col("c_custkey") % 3 == 0))   # v0: initial load
+        t.append(c.filter(F.col("c_custkey") % 3 == 1))      # v1: increment
+        t.overwrite(c.filter(F.col("c_custkey") % 2 == 0))   # v2: correction
+        return t.read(version=1).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et31 — merge upsert through the table-swap IO path (operators/
+# merge.py): a scratch parquet target absorbs one MERGE of
+# latest-order-per-customer updates with all four verbs exercised —
+# update (existing keys), insert (keys shifted past the dimension's
+# range), delete (mod-50 flag), carry (customers with no orders).  The
+# oracle replays the same MERGE as a latest-wins fold in SQL.  The
+# delete-flag and insert-shift predicates are disjoint by construction
+# (%100==7 ⇒ %50==7 ≠ 3).  At fact scale the partitioned variant
+# (merge_upsert_partitioned) rewrites only touched partitions; this
+# entry drives the whole-table swap on a dimension-sized target, which
+# is the honest plan for dims.
+# ---------------------------------------------------------------------------
+@query(
+    "et31_merge_upsert",
+    doc="MERGE upsert via atomic table swap: update/insert/delete/carry in "
+    "one pass (operators.merge.merge_upsert over a scratch parquet target)",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ),
+    upd AS (
+      SELECT CASE WHEN o_custkey % 100 = 7
+                  THEN o_custkey + 10000000 ELSE o_custkey END AS c_custkey,
+             o_totalprice AS acctbal,
+             'UPDATED' AS segment,
+             (o_custkey % 50 = 3) AS is_del
+      FROM latest WHERE rn = 1
+    ),
+    merged AS (
+      SELECT t.c_custkey, t.c_acctbal AS acctbal, t.c_mktsegment AS segment
+      FROM customer t
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = t.c_custkey)
+      UNION ALL
+      SELECT c_custkey, acctbal, segment FROM upd WHERE NOT is_del
+    )
+    SELECT c_custkey, ROUND(acctbal, 2) AS acctbal, segment
+    FROM merged
+    """,
+)
+def et31_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.operators.merge import merge_upsert
+
+    tmp = tempfile.mkdtemp(prefix="et31_merge_")
+    target_path = os.path.join(tmp, "target")
+    try:
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        c.write.parquet(target_path)
+        o = load_table(spark, sf_dir, "orders")
+        latest = o.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+            ),
+        ).filter(F.col("rn") == 1)
+        updates = latest.select(
+            F.when(F.col("o_custkey") % 100 == 7, F.col("o_custkey") + 10000000)
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            F.col("o_totalprice").alias("acctbal"),
+            F.lit("UPDATED").alias("segment"),
+            (F.col("o_custkey") % 50 == 3).alias("is_del"),
+        )
+        merge_upsert(spark, target_path, updates, ["c_custkey"], delete_col="is_del")
+        merged = spark.read.parquet(target_path).select(
+            "c_custkey", F.round("acctbal", 2).alias("acctbal"), "segment"
+        )
+        return merged.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -38,11 +38,17 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # its bitmap packing changed output-bearing code in the round-5
 # negids fix), then 31 of the 47 round-2-stale rows, non-q modules
 # most exposed to the round-3/4/5 plan rewrites (dedup/similarity/
-# sketch/multimodal/pipelines) before core q rows.  Round-6 query
-# additions displace the window tail as they land (re-run
-# tools/rotate.py with them prepended); the 16 r2 rows left over
-# lead round 7's refill.
+# sketch/multimodal/pipelines) before core q rows.  The round-6
+# additions (st03/st04 streaming, et29 IVM, et30 time travel, et31
+# merge upsert — never driver-checked) lead the window; the five q
+# rows they displaced (q26/q27/q85/q93/q97, all r2-green) join the
+# round-7 refill.
 DRIVER_WINDOW: list[str] = [
+    "st03_stream_static_enrich",
+    "st04_streaming_sessions",
+    "et29_ivm_apply_feed",
+    "et30_time_travel",
+    "et31_merge_upsert",
     "ss01_cosine_topk",
     "ss02_lsh_bucketed_ann",
     "et21_bitmap_distinct",
@@ -88,19 +94,15 @@ DRIVER_WINDOW: list[str] = [
     "q16_rollup",
     "q22_asof_join",
     "q23_range_join_bands",
-    "q26_percentiles",
-    "q27_sessionize",
-    "q85_null_ordering",
-    "q93_try_function_surface",
-    "q97_skyline_pareto",
 ]
 
 # ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
 # `python tools/rotate.py CORRECTNESS_r06.json --write --prepend
-# <round-7 changed-output queries>`.  The refill priority is the 16
+# <round-7 changed-output queries>`.  The refill priority is the 21
 # r2-stale rows that did not fit in round 6's window (q04/q05/q06/q07/
-# q08/q10/q14/q17/q20/q24/q25/q30/q31/q32/q33/q34), then the oldest
-# r3 rows.  tests/test_rotation.py pins the invariants.
+# q08/q10/q14/q17/q20/q24/q25/q26/q27/q30/q31/q32/q33/q34/q85/q93/
+# q97), then the oldest r3 rows.  tests/test_rotation.py pins the
+# invariants.
 
 # Driver-green in a previous round's run (rows+schema+hash all true,
 # with no output change since).  Deprioritized to the back of the
@@ -173,6 +175,8 @@ DRIVER_GREEN: list[str] = [
     "q21_explode_words",
     "q24_full_outer_join",
     "q25_pivot_linestatus",
+    "q26_percentiles",
+    "q27_sessionize",
     "q30_field_counter",
     "q31_nth_field",
     "q32_atoi_priority",
@@ -228,6 +232,7 @@ DRIVER_GREEN: list[str] = [
     "q82_not_in_null_semantics",
     "q83_variant_props",
     "q84_udtf_split_fields",
+    "q85_null_ordering",
     "q86_aggregate_surface",
     "q87_lateral_topn",
     "q88_union_evolving_schema",
@@ -235,9 +240,11 @@ DRIVER_GREEN: list[str] = [
     "q90_xml_roundtrip",
     "q91_running_distinct",
     "q92_period_over_period",
+    "q93_try_function_surface",
     "q94_rolling_median",
     "q95_salted_skew_join",
     "q96_pandas_udaf_geomean",
+    "q97_skyline_pareto",
     "q98_grouped_regression",
     "q99_merged_order_spans",
     "sm01_hash_sample",

@@ -5,9 +5,15 @@ form), but a bounded file source drained with ``availableNow`` into a
 memory sink IS deterministically batch-equivalent when two conditions
 hold, and then the ordinary DuckDB value-hash oracle applies:
 
-1. **update output mode** — every group's final value is emitted even
-   if the watermark never passes it (append mode withholds windows
-   newer than ``max(ts) − delay`` at end-of-stream);
+1. **complete emission at end-of-stream** — every group's final value
+   reaches the sink.  Three routes, one per entry kind: *update* mode
+   for ordinary stateful aggregations (st01) and per-row stateful ops
+   (st02's dedup emits on first sight in append); *complete* mode for
+   session windows (st04 — session aggs reject update, and append
+   would withhold sessions ending within the watermark delay of
+   ``max(ts)``); no mode caveat at all for stateless stream-static
+   joins (st03 — one output row per input row, in the trigger that
+   reads it).
 2. **single-batch source** — each fixture table is one parquet file,
    so ``availableNow`` processes exactly one trigger and the memory
    sink holds one final row per group (across multiple batches, update
@@ -39,11 +45,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_batch_spark.catalog import load_table
 from etl_batch_spark.queries.registry import query
 from etl_batch_spark.streaming.events import (
     dedup_stream,
+    enrich_with_dimension,
     read_events_stream,
     run_stream_to_memory,
+    session_window_aggregate,
     windowed_event_counts,
 )
 
@@ -106,3 +115,84 @@ def st02_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st02_dedup").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+@query(
+    "st03_stream_static_enrich",
+    doc="stream-static broadcast enrichment: the event stream left-joined "
+    "to the bounded customer dimension per micro-batch "
+    "(streaming.events.enrich_with_dimension) — the stream side never "
+    "shuffles; stateless, so append mode is batch-exact with no "
+    "watermark caveats (every input row emits exactly one output row "
+    "in the trigger that reads it)",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id, e.event_type,
+           c.c_mktsegment AS segment,
+           ROUND(c.c_acctbal, 2) AS acctbal
+    -- stateless row-level join: no watermark, so NULL / pre-epoch ts
+    -- rows pass straight through (unlike the stateful st01/st02/st04)
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def st03_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    run_stream_to_memory(
+        enrich_with_dimension(stream, dim, on="user_id", how="left").select(
+            "event_id", "ts", "user_id", "event_type", "segment", "acctbal"
+        ),
+        query_name="st03_enrich",
+        output_mode="append",
+    )
+    return spark.table("st03_enrich")
+
+
+@query(
+    "st04_streaming_sessions",
+    doc="streaming sessionization via the built-in session_window "
+    "(streaming.events.session_window_aggregate) drained with "
+    "availableNow — ev07's streaming twin.  Session aggregations "
+    "reject update mode (a session could emit mid-merge), so this "
+    "drains in COMPLETE mode: the memory sink then holds the full "
+    "final state, which for a single-batch source equals the batch "
+    "result exactly (append would withhold sessions ending within "
+    "the watermark delay of max(ts))",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      -- NULL ts has no session; pre-epoch ts is below Spark's initial
+      -- watermark (0) and born-late: both excluded on both sides
+      FROM events
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 2) AS duration_s
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def st04_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & (F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    )
+    run_stream_to_memory(
+        session_window_aggregate(stream, gap="30 minutes", watermark="2 hours"),
+        query_name="st04_sessions",
+        output_mode="complete",
+    )
+    return spark.table("st04_sessions")

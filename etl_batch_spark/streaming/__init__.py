@@ -6,6 +6,7 @@ from etl_batch_spark.streaming.events import (  # noqa: F401
     purchase_attribution_join_outer,
     read_events_stream,
     run_stream_to_memory,
+    session_window_aggregate,
     sessionize_stateful,
     sliding_event_counts,
     windowed_event_counts,

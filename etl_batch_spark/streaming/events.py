@@ -148,6 +148,32 @@ def dedup_stream(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([id_col])
 
 
+def session_window_aggregate(
+    stream: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization with the BUILT-IN ``session_window``
+    (ev07's batch twin): per-user events closer than ``gap`` merge into
+    one session row carrying start/count/duration.  State is the set of
+    open sessions; the watermark closes (and evicts) a session once no
+    event can extend it, so state is bounded by the active-user count —
+    the plan that holds on an unbounded 100 TB/day stream.  Streaming
+    session aggregations support append and complete output only
+    (update would emit a session mid-merge); append emits each session
+    exactly once when the watermark passes its end."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.unix_micros(F.max("ts")) / 1e6 - F.unix_micros(F.min("ts")) / 1e6, 2
+            ).alias("duration_s"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_s")
+    )
+
+
 def purchase_attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,

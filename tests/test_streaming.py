@@ -231,6 +231,80 @@ def test_idempotent_batch_sink_no_duplicates_on_replay(spark, sf_dir, tmp_path):
     assert again.select("event_id").distinct().count() == n_events
 
 
+def test_session_window_aggregate_complete_matches_batch(spark, sf_dir):
+    """The built-in streaming session_window drained in COMPLETE mode
+    equals the batch session_window aggregation exactly (single-batch
+    source: the memory sink holds the full final state).  Pre-epoch and
+    NULL ts are excluded on both sides — the watermark starts at 0, so
+    a pre-epoch event is born late in the streaming plan only."""
+    from etl_batch_spark.streaming import session_window_aggregate
+
+    domain = F.col("ts").isNotNull() & (
+        F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp")
+    )
+    stream = read_events_stream(spark, sf_dir).filter(domain)
+    run_stream_to_memory(
+        session_window_aggregate(stream, gap="30 minutes", watermark="2 hours"),
+        query_name="sess_complete",
+        output_mode="complete",
+    )
+    got = spark.table("sess_complete")
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(domain)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.unix_micros(F.max("ts")) / 1e6 - F.unix_micros(F.min("ts")) / 1e6, 2
+            ).alias("duration_s"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_s")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_session_window_append_withholds_watermark_tail(spark, sf_dir):
+    """Why st04 drains in complete mode: append emits a session only
+    once the watermark passes its end, so sessions ending within the
+    delay of max(ts) are withheld at end-of-stream — append output is a
+    strict subset of the batch result on this source."""
+    from etl_batch_spark.streaming import session_window_aggregate
+
+    stream = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    run_stream_to_memory(
+        session_window_aggregate(stream, gap="30 minutes", watermark="2 hours"),
+        query_name="sess_append",
+        output_mode="append",
+    )
+    got = spark.table("sess_append")
+    full = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+    )
+    assert got.count() < full.count()  # the tail is withheld
+    # and everything that WAS emitted is correct (subset of batch rows)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.unix_micros(F.max("ts")) / 1e6 - F.unix_micros(F.min("ts")) / 1e6, 2
+            ).alias("duration_s"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_s")
+    )
+    assert got.exceptAll(want).count() == 0
+
+
 def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     from etl_batch_spark.streaming import enrich_with_dimension
 
