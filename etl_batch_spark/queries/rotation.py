@@ -39,13 +39,16 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # negids fix), then 31 of the 47 round-2-stale rows, non-q modules
 # most exposed to the round-3/4/5 plan rewrites (dedup/similarity/
 # sketch/multimodal/pipelines) before core q rows.  The round-6
-# additions (st03/st04 streaming, et29 IVM, et30 time travel, et31
-# merge upsert — never driver-checked) lead the window; the five q
-# rows they displaced (q26/q27/q85/q93/q97, all r2-green) join the
-# round-7 refill.
+# additions (st03-st06 streaming — incl. the first applyInPandasWith-
+# State and stream-stream-join entries under the hash gate — et29 IVM,
+# et30 time travel, et31 merge upsert; never driver-checked) lead the
+# window; the seven q rows they displaced (q22/q23/q26/q27/q85/q93/
+# q97, all r2-green) join the round-7 refill.
 DRIVER_WINDOW: list[str] = [
     "st03_stream_static_enrich",
     "st04_streaming_sessions",
+    "st05_streaming_funnel",
+    "st06_stream_stream_attribution",
     "et29_ivm_apply_feed",
     "et30_time_travel",
     "et31_merge_upsert",
@@ -92,17 +95,15 @@ DRIVER_WINDOW: list[str] = [
     "q12_topk_orders",
     "q15_window_running",
     "q16_rollup",
-    "q22_asof_join",
-    "q23_range_join_bands",
 ]
 
 # ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
 # `python tools/rotate.py CORRECTNESS_r06.json --write --prepend
-# <round-7 changed-output queries>`.  The refill priority is the 21
+# <round-7 changed-output queries>`.  The refill priority is the 23
 # r2-stale rows that did not fit in round 6's window (q04/q05/q06/q07/
-# q08/q10/q14/q17/q20/q24/q25/q26/q27/q30/q31/q32/q33/q34/q85/q93/
-# q97), then the oldest r3 rows.  tests/test_rotation.py pins the
-# invariants.
+# q08/q10/q14/q17/q20/q22/q23/q24/q25/q26/q27/q30/q31/q32/q33/q34/
+# q85/q93/q97), then the oldest r3 rows.  tests/test_rotation.py pins
+# the invariants.
 
 # Driver-green in a previous round's run (rows+schema+hash all true,
 # with no output change since).  Deprioritized to the back of the
@@ -173,6 +174,8 @@ DRIVER_GREEN: list[str] = [
     "q19_except",
     "q20_json_props",
     "q21_explode_words",
+    "q22_asof_join",
+    "q23_range_join_bands",
     "q24_full_outer_join",
     "q25_pivot_linestatus",
     "q26_percentiles",

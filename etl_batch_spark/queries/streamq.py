@@ -50,6 +50,8 @@ from etl_batch_spark.queries.registry import query
 from etl_batch_spark.streaming.events import (
     dedup_stream,
     enrich_with_dimension,
+    funnel_stateful,
+    purchase_attribution_join,
     read_events_stream,
     run_stream_to_memory,
     session_window_aggregate,
@@ -196,3 +198,98 @@ def st04_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return spark.table("st04_sessions")
+
+
+@query(
+    "st05_streaming_funnel",
+    doc="custom stateful operator under the hash gate: the "
+    "applyInPandasWithState conversion funnel "
+    "(streaming.events.funnel_stateful; per-user state is two longs) "
+    "drained with availableNow, then reduced to ev01's three counts — "
+    "the greedy chain-of-first-occurrence fold over one batch equals "
+    "the batch min-chaining exactly.  No watermark is involved "
+    "(NoTimeout state), so unlike st01/st04 there is NO pre-epoch "
+    "exclusion: only NULL ts is out of domain (a timeless event can "
+    "never advance a TIME funnel; also matches ev01's stated domain)",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS step1_view,
+           (SELECT COUNT(*) FROM s2) AS step2_click,
+           (SELECT COUNT(*) FROM s3) AS step3_purchase
+    """,
+)
+def st05_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    run_stream_to_memory(
+        funnel_stateful(stream), query_name="st05_funnel", output_mode="update"
+    )
+    per_user = spark.table("st05_funnel")
+    # count(when(...)) so an EMPTY stream yields 0s like the oracle's
+    # scalar COUNT subqueries (sum over zero rows would be NULL)
+    return per_user.agg(
+        F.count(F.when(F.col("step") >= 1, 1)).alias("step1_view"),
+        F.count(F.when(F.col("step") >= 2, 1)).alias("step2_click"),
+        F.count(F.when(F.col("step") >= 3, 1)).alias("step3_purchase"),
+    )
+
+
+@query(
+    "st06_stream_stream_attribution",
+    doc="stream-stream interval join (streaming.events."
+    "purchase_attribution_join): purchases matched to same-user clicks "
+    "in the preceding hour, both sides watermarked so join state is "
+    "evictable.  Inner-join matches emit within the trigger that sees "
+    "both rows, and the initial watermark is 0 during the single "
+    "availableNow batch, so append output is batch-exact over the "
+    "ts >= epoch domain (pre-epoch rows are born late; NULL ts has no "
+    "watermark position — both excluded on both sides)",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND p.ts IS NOT NULL AND p.ts >= TIMESTAMP '1970-01-01 00:00:00'
+      AND c.ts IS NOT NULL AND c.ts >= TIMESTAMP '1970-01-01 00:00:00'
+    """,
+)
+def st06_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    domain = F.col("ts").isNotNull() & (
+        F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp")
+    )
+    clicks = read_events_stream(spark, sf_dir).filter(
+        domain & (F.col("event_type") == "click")
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        domain & (F.col("event_type") == "purchase")
+    )
+    run_stream_to_memory(
+        purchase_attribution_join(
+            clicks, purchases, attribution_window="1 hour", watermark="2 hours"
+        ),
+        query_name="st06_attribution",
+        output_mode="append",
+    )
+    return spark.table("st06_attribution")

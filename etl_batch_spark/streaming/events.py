@@ -308,7 +308,12 @@ def funnel_stateful(
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        step, step_ts = state.get if state.exists else (0, -1)
+        # the "no step yet" sentinel must sit below ANY event time —
+        # pre-epoch timestamps are NEGATIVE micros, so a -1 sentinel
+        # would silently refuse to start the funnel for a user whose
+        # first view is pre-1970 (caught by the o95 corpus); int64 min
+        # is below every representable event time
+        step, step_ts = state.get if state.exists else (0, -(1 << 63))
         rows: list[tuple[int, str]] = []
         for pdf in batches:
             rows.extend(zip((int(v) for v in pdf["ts_us"]), pdf["event_type"]))
