@@ -11,8 +11,12 @@ speed.  All formats below are parsed from their public specifications:
   (BITMAPINFOHEADER), PGM/PPM header, WebP (VP8 / VP8L / VP8X frame
   headers — dims parse even though FULL decode needs libwebp)
 - audio: RIFF/WAVE fmt+data (exact duration), FLAC STREAMINFO (exact),
-  MP3 first frame header (CBR-estimated duration), Ogg
-  (Opus/Vorbis identification headers — rate only)
+  MP3 first frame header (all MPEG versions/layers via llmops/mp3.py's
+  tables; EXACT duration when a Xing/Info/VBRI tag is present, CBR
+  estimate otherwise), Ogg (Opus/Vorbis identification headers + exact
+  duration from the tail page's granule position); the full frame/page
+  walks with integrity checking live in llmops/mp3.py and llmops/
+  oggv.py — this probe stays O(head)+O(tail)
 - video: AVI main header (dims + exact duration), MP4/MOV box walk
   (mvhd timescale/duration, tkhd track dims)
 
@@ -155,11 +159,14 @@ def _probe_avi(d: bytes) -> dict:
     return out
 
 
-_MP3_BITRATE = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
-_MP3_RATE = {0: 44100, 1: 48000, 2: 32000}
-
-
 def _probe_mp3(d: bytes) -> dict:
+    """First-frame MPEG audio probe, upgraded on the frame codec's
+    tables (llmops/mp3.py): every version (1/2/2.5) and layer (I-III)
+    resolves, and when the first frame carries a Xing/Info/VBRI tag
+    the duration is EXACT (declared frames x samples-per-frame / rate)
+    instead of the CBR estimate — still reading only the head."""
+    from etl_batch_spark.llmops import mp3 as _mp3
+
     pos = 0
     if d[:3] == b"ID3":  # syncsafe 28-bit tag size
         size = ((d[6] & 0x7F) << 21) | ((d[7] & 0x7F) << 14) | ((d[8] & 0x7F) << 7) | (d[9] & 0x7F)
@@ -171,21 +178,20 @@ def _probe_mp3(d: bytes) -> dict:
             break
     if hdr_at < 0:
         raise ValueError("no MPEG frame sync")
-    b1, b2, b3 = d[hdr_at + 1], d[hdr_at + 2], d[hdr_at + 3]
-    version = (b1 >> 3) & 0x03  # 3 = MPEG1
-    layer = (b1 >> 1) & 0x03  # 1 = Layer III
-    if version != 3 or layer != 1:
-        raise ValueError("only MPEG1 Layer III probed")
-    bitrate = _MP3_BITRATE[(b2 >> 4) & 0x0F]
-    rate = _MP3_RATE.get((b2 >> 2) & 0x03)
-    if not bitrate or rate is None:
-        raise ValueError("bad bitrate/samplerate index")
-    channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+    frame = _mp3._parse_header(d, hdr_at)
     out = {
-        "sample_rate": rate, "channels": channels, "codec": "mp3",
-        # CBR estimate from the first frame header — flagged as such
-        "duration_s": round((len(d) - hdr_at) * 8 / (bitrate * 1000), 3),
+        "sample_rate": frame.sample_rate,
+        "channels": frame.channels,
+        "codec": "mp3",
     }
+    tag = _mp3._vbr_tag(d, frame)
+    if tag is not None and tag[1]:
+        out["duration_s"] = round(tag[1] * frame.samples / frame.sample_rate, 3)
+    else:
+        # CBR estimate from the first frame header — flagged as such
+        out["duration_s"] = round(
+            (len(d) - hdr_at) * 8 / (frame.bitrate_kbps * 1000), 3
+        )
     return out
 
 
@@ -205,21 +211,47 @@ def _probe_flac(d: bytes) -> dict:
     return out
 
 
+def _ogg_last_granule(d: bytes) -> "int | None":
+    """Granule position of the last plausible page header, by scanning
+    the TAIL for 'OggS' — O(tail), no page walk (the full CRC-checked
+    walk lives in llmops/oggv.py).  Header pages stamp -1; step back
+    past those."""
+    at = len(d)
+    for _ in range(8):
+        at = d.rfind(b"OggS", 0, at)
+        if at < 0 or at + 14 > len(d):
+            return None
+        (granule,) = struct.unpack_from("<q", d, at + 6)
+        if granule >= 0:
+            return granule
+    return None
+
+
 def _probe_ogg(d: bytes) -> dict:
     nsegs = d[26]  # packet data starts after the segment lacing table
     page = d[27 + nsegs : 27 + nsegs + 64]
     if page.startswith(b"OpusHead"):
-        return {
+        out = {
             "codec": "opus",
             "channels": page[9],
             "sample_rate": struct.unpack_from("<I", page, 12)[0],
         }
+        granule = _ogg_last_granule(d)
+        if granule is not None:
+            pre_skip = struct.unpack_from("<H", page, 10)[0]
+            # Opus granules are 48 kHz samples regardless of input rate
+            out["duration_s"] = round(max(0, granule - pre_skip) / 48000, 3)
+        return out
     if page.startswith(b"\x01vorbis"):
-        return {
+        out = {
             "codec": "vorbis",
             "channels": page[11],
             "sample_rate": struct.unpack_from("<I", page, 12)[0],
         }
+        granule = _ogg_last_granule(d)
+        if granule is not None and out["sample_rate"]:
+            out["duration_s"] = round(granule / out["sample_rate"], 3)
+        return out
     raise ValueError("unrecognized Ogg stream type")
 
 

@@ -732,3 +732,120 @@ def patch_grid_plan(
         .withColumn("pad_right", (npx * patch - tw).cast("int"))
         .withColumn("pad_bottom", (npy * patch - th).cast("int"))
     )
+
+
+MP3_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("is_vbr", T.BooleanType()),
+        T.StructField("bitrate_kbps_min", T.IntegerType()),
+        T.StructField("bitrate_kbps_max", T.IntegerType()),
+        T.StructField("bitrate_kbps_mode", T.IntegerType()),
+        T.StructField("vbr_tag", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def mp3_frame_census(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-level MPEG audio census (llmops/mp3.py::parse_frames) as
+    an Arrow-batched narrow map: every frame header of every payload is
+    walked — EXACT duration, CBR/VBR verdict, bitrate min/max/mode, VBR
+    tag — with O(1) state per payload and nothing shuffled.  Always
+    quarantine-shaped (census over a crawl must never die on one bad
+    payload): malformed payloads emit NULL stats + the codec error
+    string."""
+    from etl_batch_spark.llmops.mp3 import Mp3Error, parse_frames
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    rows.append((None,) * 9 + ("NullPayload: payload is NULL",))
+                    continue
+                try:
+                    i = parse_frames(bytes(p))
+                    rows.append((
+                        i.sample_rate, i.channels, i.n_frames, i.duration_s,
+                        i.is_vbr, i.bitrate_kbps_min, i.bitrate_kbps_max,
+                        i.bitrate_kbps_mode, i.vbr_tag, None,
+                    ))
+                except Mp3Error as exc:
+                    rows.append((None,) * 9 + (f"Mp3Error: {exc}",))
+            cols = [f.name for f in MP3_CENSUS_SCHEMA.fields if f.name != "doc_id"]
+            out = {id_col: pdf[id_col].values}
+            for j, c in enumerate(cols):
+                out[c] = [r[j] for r in rows]
+            yield pd.DataFrame(out)
+
+    schema = _with_id_field(MP3_CENSUS_SCHEMA, df, id_col)
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+OGG_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def ogg_metadata_census(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Ogg container census (llmops/oggv.py::parse_ogg): full
+    CRC-verified page walk + Vorbis/Opus identification and comment
+    headers per payload — codec routing, exact duration from the final
+    granule position, and the ARTIST/TITLE metadata crawls actually
+    carry.  Same narrow-map, never-dies shape as
+    :func:`mp3_frame_census`."""
+    from etl_batch_spark.llmops.oggv import OggError, parse_ogg
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    rows.append((None,) * 7 + ("NullPayload: payload is NULL",))
+                    continue
+                try:
+                    i = parse_ogg(bytes(p))
+                    rows.append((
+                        i.codec, i.sample_rate, i.channels, i.n_pages,
+                        i.duration_s, i.comments.get("ARTIST"),
+                        i.comments.get("TITLE"), None,
+                    ))
+                except OggError as exc:
+                    rows.append((None,) * 7 + (f"OggError: {exc}",))
+            cols = [f.name for f in OGG_CENSUS_SCHEMA.fields if f.name != "doc_id"]
+            out = {id_col: pdf[id_col].values}
+            for j, c in enumerate(cols):
+                out[c] = [r[j] for r in rows]
+            yield pd.DataFrame(out)
+
+    schema = _with_id_field(OGG_CENSUS_SCHEMA, df, id_col)
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -3229,3 +3229,181 @@ def pipe05_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("i.image_pixels"), F.lit(0)).alias("image_pixels"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mm08 — MP3 frame-level census through the REAL codec (llmops/mp3.py):
+# per-doc payloads are genuine MPEG audio streams fabricated by the
+# structural encoder with md5-derived parameters, and the census walks
+# EVERY frame header (exact duration, CBR/VBR verdict, bitrate
+# min/max/mode, Xing tag) — encode→walk round-trips the codec inside
+# the engine while the oracle predicts each field in closed form from
+# the same md5 arithmetic.  Layer III both tiers; MPEG1 rates carry
+# 1152 samples/frame, MPEG2 rates 576 — the oracle's spf CASE is the
+# table the codec must agree with.  VBR docs cycle 64/128 kbps from
+# frame 0, so 64 ties-or-wins the mode (tie broken low); n_frames >= 2
+# keeps a VBR doc from degenerating to one 64 kbps frame.  Duration is
+# an UNROUNDED int/int double division — IEEE-identical cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "mm08_mp3_frame_census",
+    doc="real MP3 frame walk census: exact duration + bitrate census via "
+    "llmops.multimodal.mp3_frame_census over structurally-real payloads",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT % 6 AS r_idx,
+             CAST(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 2 AS INT)
+               AS channels,
+             2 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 40 AS n_frames,
+             ('0x' || substr(md5(text), 9, 2))::BIGINT % 2 = 1 AS is_vbr
+      -- NULL text: no payload to fabricate (the attach_payload rule)
+      FROM documents WHERE text IS NOT NULL
+    ),
+    q AS (
+      SELECT *,
+             CAST(CASE r_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                             WHEN 2 THEN 32000 WHEN 3 THEN 22050
+                             WHEN 4 THEN 24000 ELSE 16000 END AS INT)
+               AS sample_rate,
+             CASE WHEN r_idx < 3 THEN 1152 ELSE 576 END AS spf
+      FROM p
+    )
+    SELECT doc_id, sample_rate, channels, n_frames,
+           CAST(n_frames * spf AS DOUBLE) / sample_rate AS duration_s,
+           is_vbr,
+           CAST(CASE WHEN is_vbr THEN 64 ELSE 96 END AS INT) AS kbps_min,
+           CAST(CASE WHEN is_vbr THEN 128 ELSE 96 END AS INT) AS kbps_max,
+           CAST(CASE WHEN is_vbr THEN 64 ELSE 96 END AS INT) AS kbps_mode,
+           CASE WHEN is_vbr THEN 'Xing' ELSE NULL END AS vbr_tag
+    FROM q
+    """,
+)
+def mm08_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _synth(texts):
+        import hashlib
+
+        from etl_batch_spark.llmops.mp3 import encode_frames
+
+        rates = [44100, 48000, 32000, 22050, 24000, 16000]
+
+        def one(t: str) -> bytes:
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            rate = rates[int(h[0:2], 16) % 6]
+            channels = 1 + int(h[2:4], 16) % 2
+            n_frames = 2 + int(h[4:8], 16) % 40
+            vbr = int(h[8:10], 16) % 2 == 1
+            return encode_frames(
+                n_frames=n_frames,
+                bitrate_kbps=[64, 128] if vbr else 96,
+                sample_rate=rate,
+                channels=channels,
+                layer=3,
+                xing=vbr,
+            )
+
+        return texts.map(one)
+
+    synth = F.pandas_udf(_synth, "binary")
+
+    docs = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", synth(F.col("text")).alias("payload"))
+    )
+    walked = multimodal.mp3_frame_census(docs)
+    return walked.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_s",
+        "is_vbr",
+        F.col("bitrate_kbps_min").alias("kbps_min"),
+        F.col("bitrate_kbps_max").alias("kbps_max"),
+        F.col("bitrate_kbps_mode").alias("kbps_mode"),
+        "vbr_tag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm09 — Ogg container census through the REAL codec (llmops/oggv.py):
+# spec-valid Ogg streams (page framing + CRC + Vorbis/Opus
+# identification and comment headers) fabricated per doc, then the
+# CRC-verified page walk extracts codec, rate, channels, EXACT duration
+# from the final granule position (Opus granules are 48 kHz units
+# minus pre-skip regardless of input rate — the oracle encodes that
+# rule), and ARTIST/TITLE metadata.  A NULL source omits the ARTIST
+# comment entirely, round-tripping to NULL on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "mm09_ogg_metadata_census",
+    doc="real Ogg page-walk census: codec/duration/metadata via "
+    "llmops.multimodal.ogg_metadata_census over CRC-valid payloads",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source, substr(text, 1, 16) AS title,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT % 2 = 1 AS is_opus,
+             ('0x' || substr(md5(text), 3, 2))::BIGINT % 4 AS r_idx,
+             CAST(1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 2 AS INT)
+               AS channels,
+             1000 * (1 + ('0x' || substr(md5(text), 7, 4))::BIGINT % 120)
+               AS n_units
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CASE WHEN is_opus THEN 'opus' ELSE 'vorbis' END AS codec,
+           CAST(CASE r_idx WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           WHEN 2 THEN 22050 ELSE 48000 END AS INT)
+             AS sample_rate,
+           channels,
+           -- Opus granules are 48 kHz samples (pre-skip cancels);
+           -- Vorbis granules are samples at the stream rate
+           CAST(n_units AS DOUBLE)
+             / CASE WHEN is_opus THEN 48000
+                    ELSE CASE r_idx WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                    WHEN 2 THEN 22050 ELSE 48000 END END
+             AS duration_s,
+           source AS artist,
+           title
+    FROM p
+    """,
+)
+def mm09_ogg_metadata_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _synth(texts, sources):
+        import hashlib
+
+        import pandas as pd
+
+        from etl_batch_spark.llmops.oggv import encode_ogg
+
+        rates = [8000, 16000, 22050, 48000]
+
+        def one(t: str, src) -> bytes:
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            codec = "opus" if int(h[0:2], 16) % 2 == 1 else "vorbis"
+            rate = rates[int(h[2:4], 16) % 4]
+            channels = 1 + int(h[4:6], 16) % 2
+            n_units = 1000 * (1 + int(h[6:10], 16) % 120)
+            comments = {"TITLE": t[:16]}
+            if src is not None:
+                comments["ARTIST"] = src
+            return encode_ogg(
+                codec=codec, sample_rate=rate, channels=channels,
+                n_samples=n_units, pre_skip=312, comments=comments,
+            )
+
+        return pd.Series([one(t, s) for t, s in zip(texts, sources)])
+
+    synth = F.pandas_udf(_synth, "binary")
+
+    docs = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", synth(F.col("text"), F.col("source")).alias("payload"))
+    )
+    walked = multimodal.ogg_metadata_census(docs)
+    return walked.select(
+        "doc_id", "codec", "sample_rate", "channels", "duration_s",
+        "artist", "title",
+    )

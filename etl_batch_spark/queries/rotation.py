@@ -42,13 +42,16 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # additions (st03-st06 streaming — incl. the first applyInPandasWith-
 # State and stream-stream-join entries under the hash gate — et29 IVM,
 # et30 time travel, et31 merge upsert; never driver-checked) lead the
-# window; the seven q rows they displaced (q22/q23/q26/q27/q85/q93/
-# q97, all r2-green) join the round-7 refill.
+# window, as do mm08/mm09 (real MP3/Ogg codec census); the nine q rows
+# they displaced (q15/q16/q22/q23/q26/q27/q85/q93/q97, all r2-green)
+# join the round-7 refill.
 DRIVER_WINDOW: list[str] = [
     "st03_stream_static_enrich",
     "st04_streaming_sessions",
     "st05_streaming_funnel",
     "st06_stream_stream_attribution",
+    "mm08_mp3_frame_census",
+    "mm09_ogg_metadata_census",
     "et29_ivm_apply_feed",
     "et30_time_travel",
     "et31_merge_upsert",
@@ -93,17 +96,15 @@ DRIVER_WINDOW: list[str] = [
     "tx17_bigram_lm_score",
     "tx19_vocab_heavy_hitters",
     "q12_topk_orders",
-    "q15_window_running",
-    "q16_rollup",
 ]
 
 # ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
 # `python tools/rotate.py CORRECTNESS_r06.json --write --prepend
-# <round-7 changed-output queries>`.  The refill priority is the 23
+# <round-7 changed-output queries>`.  The refill priority is the 25
 # r2-stale rows that did not fit in round 6's window (q04/q05/q06/q07/
-# q08/q10/q14/q17/q20/q22/q23/q24/q25/q26/q27/q30/q31/q32/q33/q34/
-# q85/q93/q97), then the oldest r3 rows.  tests/test_rotation.py pins
-# the invariants.
+# q08/q10/q14/q15/q16/q17/q20/q22/q23/q24/q25/q26/q27/q30/q31/q32/
+# q33/q34/q85/q93/q97), then the oldest r3 rows.  tests/test_rotation.py
+# pins the invariants.
 
 # Driver-green in a previous round's run (rows+schema+hash all true,
 # with no output change since).  Deprioritized to the back of the
@@ -169,6 +170,8 @@ DRIVER_GREEN: list[str] = [
     "q11_prefix_match",
     "q13_union_all_branches",
     "q14_string_agg_ordered",
+    "q15_window_running",
+    "q16_rollup",
     "q17_cube",
     "q18_intersect",
     "q19_except",

@@ -125,6 +125,36 @@ class TestForeignHeaders:
         r2 = probe_media(tag + data)
         assert r2["container"] == "mp3" and r2["sample_rate"] == 44100
 
+    def test_mp3_all_versions_and_layers_resolve(self):
+        # the probe rides the frame codec's tables now, not just MPEG1 L3
+        from etl_batch_spark.llmops.mp3 import encode_frames
+
+        for rate, layer in [(22050, 3), (8000, 3), (44100, 2), (48000, 1)]:
+            r = probe_media(encode_frames(n_frames=3, bitrate_kbps=64,
+                                          sample_rate=rate, channels=1, layer=layer))
+            assert r["container"] == "mp3" and r["error"] is None
+            assert (r["sample_rate"], r["channels"]) == (rate, 1)
+
+    def test_mp3_xing_tag_gives_exact_duration(self):
+        from etl_batch_spark.llmops.mp3 import encode_frames
+
+        data = encode_frames(n_frames=200, bitrate_kbps=128, sample_rate=44100,
+                             channels=2, layer=3, xing=True)
+        r = probe_media(data)
+        # exact: declared 200 frames x 1152 samples / 44100 Hz
+        assert r["duration_s"] == round(200 * 1152 / 44100, 3)
+
+    def test_ogg_duration_from_tail_granule(self):
+        from etl_batch_spark.llmops.oggv import encode_ogg
+
+        r = probe_media(encode_ogg(codec="vorbis", sample_rate=22050,
+                                   channels=1, n_samples=44100))
+        assert r["codec"] == "vorbis" and r["duration_s"] == 2.0
+        r2 = probe_media(encode_ogg(codec="opus", sample_rate=16000,
+                                    channels=2, n_samples=96000, pre_skip=312))
+        # Opus granules are 48 kHz regardless of the 16 kHz input rate
+        assert r2["codec"] == "opus" and r2["duration_s"] == 2.0
+
     def test_opus_identification(self):
         pkt = b"OpusHead" + bytes([1, 2, 0, 0]) + struct.pack("<I", 48000) + b"\x00" * 4
         page = (b"OggS" + bytes([0, 2]) + b"\x00" * 20 + bytes([1, len(pkt)]) + pkt)

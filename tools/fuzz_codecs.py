@@ -24,7 +24,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from etl_batch_spark.llmops import avi, bmp, gif, jpeg, png, pnm, wav  # noqa: E402
+from etl_batch_spark.llmops import avi, bmp, gif, jpeg, mp3, oggv, png, pnm, wav  # noqa: E402
 from etl_batch_spark.llmops.mediainfo import probe_media  # noqa: E402
 
 
@@ -61,6 +61,19 @@ def _bases():
          [bmp.encode_bmp(13, 7, 4, _img(13, 7, 4, 7).tobytes())]),
         ("pnm", pnm.decode_pnm, pnm.PnmError,
          [pnm.encode_pnm(11, 6, 3, _img(11, 6, 3, 8).tobytes())]),
+        ("mp3", mp3.parse_frames, mp3.Mp3Error, [
+            mp3.encode_frames(n_frames=25, bitrate_kbps=[64, 128, 96],
+                              sample_rate=44100, channels=2, layer=3,
+                              id3v2_bytes=48, xing=True),
+            mp3.encode_frames(n_frames=10, bitrate_kbps=32,
+                              sample_rate=16000, channels=1, layer=2),
+        ]),
+        ("oggv", oggv.parse_ogg, oggv.OggError, [
+            oggv.encode_ogg(codec="vorbis", sample_rate=22050, channels=1,
+                            n_samples=44100, comments={"ARTIST": "fz"}),
+            oggv.encode_ogg(codec="opus", sample_rate=48000, channels=2,
+                            n_samples=96000, pre_skip=312, n_audio_pages=3),
+        ]),
     ]
 
 
@@ -88,7 +101,9 @@ def main() -> int:
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 9
     rnd = random.Random(seed)
     total_leaks = 0
+    n_codecs = 0
     for name, dec, err, bases in _bases():
+        n_codecs += 1
         leaks = 0
         for _ in range(n):
             blob = _mutate(bytearray(rnd.choice(bases)), rnd)
@@ -105,7 +120,8 @@ def main() -> int:
         print(f"{name}: {n} mutations, {leaks} leaks")
         total_leaks += leaks
     print(f"{'CLEAN' if not total_leaks else 'LEAKED'}: "
-          f"{n * 7} mutations across 7 codecs + probe, {total_leaks} leaks")
+          f"{n * n_codecs} mutations across {n_codecs} codecs + probe, "
+          f"{total_leaks} leaks")
     return 1 if total_leaks else 0
 
 
