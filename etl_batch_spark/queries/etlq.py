@@ -1939,3 +1939,103 @@ def et31_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return merged.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et32 — transaction-log change feed (sources/txlog.py::changes): the
+# CDF between version 0 and HEAD of et30's commit sequence (overwrite,
+# append, correcting overwrite).  The range spans an overwrite, so the
+# feed is the honest multiset diff of the two snapshots — inserts are
+# rows only the head has, deletes rows only v0 had; an update would
+# appear as delete+insert.  The oracle replays the diff as residue set
+# algebra on the same deterministic commit contents.  Materialized
+# before the scratch table is removed.
+# ---------------------------------------------------------------------------
+@query(
+    "et32_change_feed",
+    doc="lakehouse change-data-feed across an overwrite: multiset snapshot "
+    "diff with _change_type insert/delete (sources.txlog.TxTable.changes)",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS segment,
+           'insert' AS _change_type
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name,
+           ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS segment,
+           'delete' AS _change_type
+    FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
+    """,
+)
+def et32_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="et32_txtable_")
+    try:
+        t = TxTable(spark, tmp)
+        t.overwrite(c.filter(F.col("c_custkey") % 3 == 0))   # v0
+        t.append(c.filter(F.col("c_custkey") % 3 == 1))      # v1
+        t.overwrite(c.filter(F.col("c_custkey") % 2 == 0))   # v2
+        return t.changes(0, 2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et33 — compaction + vacuum invariance (sources/txlog.py): three
+# append commits land the dimension in small files, compact() rewrites
+# the snapshot into fewer files as just another commit, vacuum()
+# physically deletes every file no recent version references — and the
+# table reads back IDENTICAL rows afterwards.  Hash equality against
+# the plain SQL of the appended content IS the invariance proof; the
+# read resolves its file list purely from the log, so it sees only the
+# compacted files vacuum kept.
+# ---------------------------------------------------------------------------
+@query(
+    "et33_compaction_invariance",
+    doc="OPTIMIZE-style compaction then vacuum leaves table contents "
+    "bit-identical (sources.txlog.TxTable.compact/vacuum)",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def et33_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="et33_txtable_")
+    try:
+        t = TxTable(spark, tmp)
+        # the three-way split must be EXHAUSTIVE over every key the
+        # oracle's plain `FROM customer` sees: `% 3 == r` alone drops
+        # negative keys (remainder -1/-2 matches no branch — the i91
+        # corpus caught exactly that as a 1075-vs-1500 row mismatch)
+        # and NULL keys (NULL == r is never true); pmod folds negatives
+        # and coalesce routes NULLs to the last branch
+        bucket = F.coalesce(F.pmod(F.col("c_custkey"), F.lit(3)), F.lit(2))
+        for residue in (0, 1, 2):  # three small-file appends
+            t.append(c.filter(bucket == residue))
+        t.compact(target_files=2)
+        t.vacuum(retain_versions=1)
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -42,9 +42,10 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # additions (st03-st06 streaming — incl. the first applyInPandasWith-
 # State and stream-stream-join entries under the hash gate — et29 IVM,
 # et30 time travel, et31 merge upsert; never driver-checked) lead the
-# window, as do mm08/mm09 (real MP3/Ogg codec census); the nine q rows
-# they displaced (q15/q16/q22/q23/q26/q27/q85/q93/q97, all r2-green)
-# join the round-7 refill.
+# window, as do mm08/mm09 (real MP3/Ogg codec census), st07 (sliding
+# windows), and et32/et33 (change feed, compaction invariance); the
+# twelve rows they displaced (q12/q15/q16/q22/q23/q26/q27/q85/q93/q97
+# r2-green; tx17/tx19 r4-green) join the round-7 refill.
 DRIVER_WINDOW: list[str] = [
     "st03_stream_static_enrich",
     "st04_streaming_sessions",
@@ -52,6 +53,9 @@ DRIVER_WINDOW: list[str] = [
     "st06_stream_stream_attribution",
     "mm08_mp3_frame_census",
     "mm09_ogg_metadata_census",
+    "st07_streaming_sliding_windows",
+    "et32_change_feed",
+    "et33_compaction_invariance",
     "et29_ivm_apply_feed",
     "et30_time_travel",
     "et31_merge_upsert",
@@ -93,18 +97,15 @@ DRIVER_WINDOW: list[str] = [
     "ss11_random_projection",
     "tx15_rag_chunks",
     "tx16_inverted_postings",
-    "tx17_bigram_lm_score",
-    "tx19_vocab_heavy_hitters",
-    "q12_topk_orders",
 ]
 
 # ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
 # `python tools/rotate.py CORRECTNESS_r06.json --write --prepend
-# <round-7 changed-output queries>`.  The refill priority is the 25
+# <round-7 changed-output queries>`.  The refill priority is the 26
 # r2-stale rows that did not fit in round 6's window (q04/q05/q06/q07/
-# q08/q10/q14/q15/q16/q17/q20/q22/q23/q24/q25/q26/q27/q30/q31/q32/
-# q33/q34/q85/q93/q97), then the oldest r3 rows.  tests/test_rotation.py
-# pins the invariants.
+# q08/q10/q12/q14/q15/q16/q17/q20/q22/q23/q24/q25/q26/q27/q30/q31/
+# q32/q33/q34/q85/q93/q97), then the oldest r3 rows (tx17/tx19 moved
+# to r4-green).  tests/test_rotation.py pins the invariants.
 
 # Driver-green in a previous round's run (rows+schema+hash all true,
 # with no output change since).  Deprioritized to the back of the
@@ -168,6 +169,7 @@ DRIVER_GREEN: list[str] = [
     "q100_window_rank_surface",
     "q10_decode_status_matrix",
     "q11_prefix_match",
+    "q12_topk_orders",
     "q13_union_all_branches",
     "q14_string_agg_ordered",
     "q15_window_running",
@@ -281,7 +283,9 @@ DRIVER_GREEN: list[str] = [
     "tx12_batch_inference",
     "tx13_regexp_surface",
     "tx14_bm25_search",
+    "tx17_bigram_lm_score",
     "tx18_nextfit_packing",
+    "tx19_vocab_heavy_hitters",
     "tx20_feature_hashing",
 ]
 

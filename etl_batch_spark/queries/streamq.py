@@ -22,10 +22,14 @@ hold, and then the ordinary DuckDB value-hash oracle applies:
 The callables run the stream to completion as a build side effect and
 return the memory-sink table; the driver/oracle compare proceeds as
 for any batch query.  This is the same batch-equivalence argument
-tests/test_streaming.py proves for the wider streaming surface
-(stateful sessionization, stream-stream joins, crash replay) — these
-registry entries put the two simplest members under the driver's
-value-hash gate as well.
+tests/test_streaming.py proves for the wider streaming surface (crash
+replay, checkpoint recovery, incremental maintenance stay tests-only —
+they need multiple triggers).  The entries cover every major streaming
+operator class: tumbling (st01) and sliding (st07) watermarked
+aggregations, bounded-state dedup (st02), stateless stream-static
+broadcast enrichment (st03), built-in session windows (st04), a custom
+applyInPandasWithState stateful operator (st05), and a two-sided
+watermarked stream-stream interval join (st06).
 
 Event-time domain is stated EXPLICITLY on both sides (the ev01
 lesson), and it has TWO exclusions:
@@ -293,3 +297,42 @@ def st06_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         output_mode="append",
     )
     return spark.table("st06_attribution")
+
+
+@query(
+    "st07_streaming_sliding_windows",
+    doc="sliding-window counts (streaming.events.sliding_event_counts, "
+    "2h window / 1h slide): every event lands in exactly two "
+    "overlapping windows; update mode + single-batch source is "
+    "batch-exact as in st01.  The oracle replays Spark's window "
+    "semantics — starts aligned to slide multiples, so each event's "
+    "two windows are date_trunc(hour) and date_trunc(hour) - 1h",
+    oracle="""
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP)
+               - k.k * INTERVAL 1 HOUR AS window_start
+      -- NULL ts has no window position; pre-epoch ts is below Spark's
+      -- initial watermark (0) and born-late: both excluded on both sides
+      FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def st07_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.streaming.events import sliding_event_counts
+
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & (F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    )
+    run_stream_to_memory(
+        sliding_event_counts(stream, window="2 hours", slide="1 hour", watermark="3 hours"),
+        query_name="st07_sliding",
+        output_mode="update",
+    )
+    return spark.table("st07_sliding")
