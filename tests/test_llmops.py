@@ -1077,3 +1077,57 @@ def test_connected_components_reports_round_count(spark):
     rows = {r["node"]: r["component"] for r in out.collect()}
     assert set(rows.values()) == {0}
     assert 1 <= stats["rounds"] <= 4  # log2(7) ~ 3 (+1 fixed-point confirm)
+
+
+class TestMp3FrameCensus:
+    def test_census_and_quarantine(self, spark):
+        from etl_batch_spark.llmops.mp3 import encode_frames
+        from etl_batch_spark.llmops.multimodal import mp3_frame_census
+
+        good = encode_frames(n_frames=6, bitrate_kbps=[64, 128],
+                             sample_rate=32000, channels=1, layer=3)
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"not an mp3")), (3, None)],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in mp3_frame_census(df).collect()}
+        ok = out[1]
+        assert ok["n_frames"] == 6 and ok["sample_rate"] == 32000
+        assert ok["is_vbr"] and ok["error"] is None
+        assert ok["duration_s"] == 6 * 1152 / 32000
+        # a bad payload quarantines with its codec error; census never dies
+        assert out[2]["n_frames"] is None and "Mp3Error" in out[2]["error"]
+        assert out[3]["error"].startswith("NullPayload")
+
+    def test_string_id_column(self, spark):
+        from etl_batch_spark.llmops.mp3 import encode_frames
+        from etl_batch_spark.llmops.multimodal import mp3_frame_census
+
+        df = spark.createDataFrame(
+            [("u://a", bytearray(encode_frames(n_frames=2, sample_rate=44100)))],
+            "url string, payload binary",
+        )
+        out = mp3_frame_census(df, id_col="url").collect()
+        assert out[0]["url"] == "u://a" and out[0]["n_frames"] == 2
+
+
+class TestOggMetadataCensus:
+    def test_census_and_quarantine(self, spark):
+        from etl_batch_spark.llmops.multimodal import ogg_metadata_census
+        from etl_batch_spark.llmops.oggv import encode_ogg
+
+        good = encode_ogg(codec="opus", sample_rate=16000, channels=2,
+                          n_samples=48000, pre_skip=312,
+                          comments={"ARTIST": "a", "TITLE": "t"})
+        corrupt = bytearray(good)
+        corrupt[-1] ^= 0x01  # CRC must catch this
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, corrupt), (3, None)],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in ogg_metadata_census(df).collect()}
+        ok = out[1]
+        assert ok["codec"] == "opus" and ok["duration_s"] == 1.0
+        assert (ok["artist"], ok["title"]) == ("a", "t") and ok["error"] is None
+        assert out[2]["codec"] is None and "CRC" in out[2]["error"]
+        assert out[3]["error"].startswith("NullPayload")
