@@ -658,3 +658,71 @@ def feature_hash(
             F.sum(sign).alias("signed_tf"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The published Gopher quality-rule set (Rae et al. 2021, App. A)
+    as one native-expression pass — the standard pretraining heuristic
+    filter, emitted with per-rule evidence columns so curation can
+    report WHY a document fell, not just that it fell:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#' or '…') <= 0.1
+    - <= 90% of lines start with a bullet; <= 30% end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the 8 English function words present
+      (the/be/to/of/and/that/have/with)
+
+    All ratios are single int/int double divisions (IEEE-identical on
+    any engine, no rounding needed).  ``keep`` is False for documents
+    too short to evaluate (n_words < 50 fails rule 1 before any ratio
+    can go NULL).  One scan, zero shuffles, zero Python.
+    """
+    d = df.withColumn("toks", tokens(text_col)).withColumn(
+        "lines", F.split(F.col(text_col), "\n")
+    )
+    n_words = F.size("toks").cast("long")
+    denom = F.nullif(n_words, F.lit(0)).cast("double")
+    mean_len = F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))") / denom
+    n_sym = (
+        F.length(text_col) - F.length(F.replace(text_col, F.lit("#"), F.lit("")))
+        + F.length(text_col) - F.length(F.replace(text_col, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = n_sym / denom
+    n_lines = F.nullif(F.size("lines"), F.lit(0)).cast("double")
+    bullet_frac = (
+        F.expr("size(filter(lines, x -> left(ltrim(x), 1) IN ('•', '-', '*')))")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.expr("size(filter(lines, x -> endswith(x, '...') OR endswith(x, '…')))")
+        / n_lines
+    )
+    alpha_frac = F.expr("size(filter(toks, x -> x rlike '[a-z]'))") / denom
+    stop_hits = sum(
+        F.array_contains("toks", w).cast("int")
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    ).cast("int")
+    keep = (
+        n_words.between(50, 100_000)
+        & mean_len.between(3.0, 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return d.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("n_stop_hits"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

@@ -3407,3 +3407,59 @@ def mm09_ogg_metadata_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "codec", "sample_rate", "channels", "duration_s",
         "artist", "title",
     )
+
+
+# ---------------------------------------------------------------------------
+# tx21 — the Gopher quality-rule set (Rae et al. 2021) as a single
+# native pass (llmops/text.py::gopher_rules): word-count bounds, mean
+# word length, symbol ratio, bullet/ellipsis line fractions, alphabetic
+# word fraction, function-word presence — per-rule evidence columns +
+# the keep verdict.  Every ratio is ONE int/int double division
+# (IEEE-identical cross-engine, no rounding).  The oracle re-expresses
+# the rules over the same Java-\s token contract.
+# ---------------------------------------------------------------------------
+@query(
+    "tx21_gopher_rules",
+    doc="Gopher pretraining quality rules with per-rule evidence "
+    "(llmops.text.gopher_rules; one scan, zero Python)",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKENS} AS toks,
+             string_split(text, chr(10)) AS lns
+      FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))
+               / CAST(nullif(len(toks), 0) AS DOUBLE) AS mean_word_len,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '…', ''))))
+               / CAST(nullif(len(toks), 0) AS DOUBLE) AS symbol_ratio,
+             len(list_filter(lns, x -> substr(ltrim(x), 1, 1) IN ('•', '-', '*')))
+               / CAST(nullif(len(lns), 0) AS DOUBLE) AS bullet_frac,
+             len(list_filter(lns, x -> x LIKE '%...' OR x LIKE '%…'))
+               / CAST(nullif(len(lns), 0) AS DOUBLE) AS ellipsis_frac,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               / CAST(nullif(len(toks), 0) AS DOUBLE) AS alpha_frac,
+             CAST(list_contains(toks, 'the')::INT + list_contains(toks, 'be')::INT
+                + list_contains(toks, 'to')::INT + list_contains(toks, 'of')::INT
+                + list_contains(toks, 'and')::INT + list_contains(toks, 'that')::INT
+                + list_contains(toks, 'have')::INT + list_contains(toks, 'with')::INT
+                AS INT) AS n_stop_hits
+      FROM t
+    )
+    SELECT *,
+           COALESCE(n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3
+                    AND alpha_frac >= 0.8
+                    AND n_stop_hits >= 2, FALSE) AS keep
+    FROM m
+    """,
+)
+def tx21_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
+    return text.gopher_rules(docs)
