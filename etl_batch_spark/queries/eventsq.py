@@ -1210,3 +1210,87 @@ def ev17_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((c, base, base - removals[c], removals[c], share))
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# ev18 — RFM segmentation (recency / frequency / monetary), the classic
+# customer-scoring analytic, built the SCALE-SAFE way: scores come from
+# comparing each user's metric against the exact q20/q40/q60/q80
+# quantile thresholds (one tiny all-users aggregate, broadcast back),
+# NOT from a global ntile() — an unpartitioned ranking window over all
+# users is exactly the anti-pattern the plan sweep forbids (users are
+# data-sized at 100 TB; four threshold doubles are not).  Strict `>`
+# at each threshold puts boundary values in the lower bucket on both
+# engines; quantile interpolation arithmetic is IEEE-identical
+# (the q26 precedent).  Purchases only; a NULL-ts purchase has no
+# recency position and is excluded from BOTH sides' recency metric by
+# taking max(ts) over non-null ts — but still counts toward
+# frequency/monetary (stated domain).
+# ---------------------------------------------------------------------------
+@query(
+    "ev18_rfm_segments",
+    doc="RFM customer scoring via exact quantile thresholds "
+    "(scale-safe: no global ntile window; one broadcast of 12 doubles)",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             epoch_us(MAX(ts)) AS recency_us,
+             COUNT(*) AS freq,
+             ROUND(SUM(value), 2) AS monetary
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    th AS (
+      SELECT quantile_cont(recency_us, 0.2) AS r20,
+             quantile_cont(recency_us, 0.4) AS r40,
+             quantile_cont(recency_us, 0.6) AS r60,
+             quantile_cont(recency_us, 0.8) AS r80,
+             quantile_cont(freq, 0.2) AS f20, quantile_cont(freq, 0.4) AS f40,
+             quantile_cont(freq, 0.6) AS f60, quantile_cont(freq, 0.8) AS f80,
+             quantile_cont(monetary, 0.2) AS m20, quantile_cont(monetary, 0.4) AS m40,
+             quantile_cont(monetary, 0.6) AS m60, quantile_cont(monetary, 0.8) AS m80
+      FROM per_user
+    )
+    SELECT user_id, freq, monetary,
+           CAST(1 + (recency_us > r20)::INT + (recency_us > r40)::INT
+                  + (recency_us > r60)::INT + (recency_us > r80)::INT AS INT)
+             AS r_score,
+           CAST(1 + (freq > f20)::INT + (freq > f40)::INT
+                  + (freq > f60)::INT + (freq > f80)::INT AS INT) AS f_score,
+           CAST(1 + (monetary > m20)::INT + (monetary > m40)::INT
+                  + (monetary > m60)::INT + (monetary > m80)::INT AS INT)
+             AS m_score
+    FROM per_user CROSS JOIN th
+    """,
+)
+def ev18_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    per_user = e.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("recency_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    th = per_user.agg(
+        *[
+            F.expr(f"percentile({m}, {p})").alias(f"{m[0]}{int(p * 100)}")
+            for m in ("recency_us", "freq", "monetary")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+    scored = per_user.crossJoin(F.broadcast(th))
+
+    def score(metric: str, prefix: str):
+        s = F.lit(1)
+        for p in (20, 40, 60, 80):
+            s = s + (F.col(metric) > F.col(f"{prefix}{p}")).cast("int")
+        return s.cast("int")
+
+    return scored.select(
+        "user_id",
+        "freq",
+        "monetary",
+        score("recency_us", "r").alias("r_score"),
+        score("freq", "f").alias("f_score"),
+        score("monetary", "m").alias("m_score"),
+    )

@@ -44,9 +44,9 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # et30 time travel, et31 merge upsert; never driver-checked) lead the
 # window, as do mm08/mm09 (real MP3/Ogg codec census), st07 (sliding
 # windows), et32/et33 (change feed, compaction invariance) and tx21
-# (Gopher quality rules); the thirteen rows they displaced (q12/q15/
-# q16/q22/q23/q26/q27/q85/q93/q97 r2-green; tx16 r3-green; tx17/tx19
-# r4-green) join the round-7 refill.
+# (Gopher quality rules) and ev18 (RFM scoring); the fourteen rows
+# they displaced (q12/q15/q16/q22/q23/q26/q27/q85/q93/q97 r2-green;
+# tx16 r3-green; tx15/tx17/tx19 r4/r5-green) join the round-7 refill.
 DRIVER_WINDOW: list[str] = [
     "st03_stream_static_enrich",
     "st04_streaming_sessions",
@@ -58,6 +58,7 @@ DRIVER_WINDOW: list[str] = [
     "et32_change_feed",
     "et33_compaction_invariance",
     "tx21_gopher_rules",
+    "ev18_rfm_segments",
     "et29_ivm_apply_feed",
     "et30_time_travel",
     "et31_merge_upsert",
@@ -97,7 +98,6 @@ DRIVER_WINDOW: list[str] = [
     "ss08_label_centroids",
     "ss10_pq_ann",
     "ss11_random_projection",
-    "tx15_rag_chunks",
 ]
 
 # ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
@@ -284,6 +284,7 @@ DRIVER_GREEN: list[str] = [
     "tx12_batch_inference",
     "tx13_regexp_surface",
     "tx14_bm25_search",
+    "tx15_rag_chunks",
     "tx16_inverted_postings",
     "tx17_bigram_lm_score",
     "tx18_nextfit_packing",
