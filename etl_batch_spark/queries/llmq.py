@@ -3463,3 +3463,129 @@ def mm09_ogg_metadata_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx21_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
     return text.gopher_rules(docs)
+
+
+# ---------------------------------------------------------------------------
+# pipe06 — audio curation end-to-end through the REAL container codecs:
+# mixed payloads (genuine MPEG frames, CRC-valid Ogg pages, garbage) →
+# header probe (one pass, materialized once) → route ON THE PROBE
+# VERDICT → mp3 route walks every frame (llmops/mp3.py), ogg route
+# walks every page (llmops/oggv.py) → per-container census.  Duration
+# totals are EXACT with no rounding: each route sums the integer
+# frame/granule counts (fixture rates are uniform per container) and
+# divides ONCE — int/int division is IEEE-identical cross-engine,
+# whereas summing per-doc double durations would expose reduction-order
+# low bits to the hash.  The residue that picks each payload class is
+# computed ENGINE-side (doc_id % 3, Spark semantics == DuckDB
+# semantics, negatives fall to the garbage branch on both) and handed
+# to the synthesis UDF — deriving it in Python would diverge on
+# negative ids (Python % floors; SQL % truncates).
+# ---------------------------------------------------------------------------
+@query(
+    "pipe06_audio_curation",
+    doc="probe → route → real frame/page walk → census over mixed audio "
+    "payloads (mediainfo ∘ mp3_frame_census ∘ ogg_metadata_census)",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text,
+             CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
+                  ELSE 'unknown' END AS container,
+             2 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 30 AS n_frames,
+             1000 * (1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 90)
+               AS n_units
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT container,
+           COUNT(*) AS n_docs,
+           CASE container
+             WHEN 'mp3' THEN CAST(SUM(n_frames) * 1152 AS DOUBLE) / 44100
+             WHEN 'ogg' THEN CAST(SUM(n_units) AS DOUBLE) / 22050
+             ELSE NULL
+           END AS total_duration_s
+    FROM p
+    GROUP BY container
+    """,
+)
+def pipe06_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.llmops.mediainfo import probe_media_df
+
+    def _synth(residues, texts):
+        import hashlib
+
+        import pandas as pd
+
+        from etl_batch_spark.llmops.mp3 import encode_frames
+        from etl_batch_spark.llmops.oggv import encode_ogg
+
+        def one(r, t: str) -> bytes:
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            if r == 0:
+                return encode_frames(
+                    n_frames=2 + int(h[0:4], 16) % 30, bitrate_kbps=128,
+                    sample_rate=44100, channels=2, layer=3,
+                )
+            if r == 1:
+                return encode_ogg(
+                    codec="vorbis", sample_rate=22050, channels=1,
+                    n_samples=1000 * (1 + int(h[4:8], 16) % 90),
+                )
+            return b"ZZZZ" + t.encode("utf-8")
+
+        return pd.Series([one(r, t) for r, t in zip(residues, texts)])
+
+    synth = F.pandas_udf(_synth, "binary")
+    docs = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            synth((F.col("doc_id") % 3).cast("long"), F.col("text")).alias("payload"),
+        )
+    )
+    # probe once, reuse for the census + both decode routes
+    probed = probe_media_df(docs, keep_cols=("payload",)).localCheckpoint(
+        eager=False
+    )
+    mp3_stats = (
+        multimodal.mp3_frame_census(
+            probed.filter(F.col("container") == "mp3").select("doc_id", "payload")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .select(
+            F.lit("mp3").alias("container"),
+            "n_docs",
+            (F.col("total_frames") * 1152 / F.lit(44100)).alias("total_duration_s"),
+        )
+    )
+    # Ogg granules ARE the sample count at the stream rate (vorbis);
+    # recover the exact integer unit total from the per-doc durations
+    # the walk emits: duration * 22050 is integral by construction
+    ogg_stats = (
+        multimodal.ogg_metadata_census(
+            probed.filter(F.col("container") == "ogg").select("doc_id", "payload")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.round(F.col("duration_s") * 22050).cast("long")).alias("units"),
+        )
+        .select(
+            F.lit("ogg").alias("container"),
+            "n_docs",
+            (F.col("units").cast("double") / F.lit(22050)).alias("total_duration_s"),
+        )
+    )
+    unknown = (
+        probed.filter(~F.col("container").isin("mp3", "ogg"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.lit("unknown").alias("container"),
+            "n_docs",
+            F.lit(None).cast("double").alias("total_duration_s"),
+        )
+    )
+    return mp3_stats.unionByName(ogg_stats).unionByName(unknown).filter(
+        F.col("n_docs") > 0
+    )

@@ -44,9 +44,10 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # et30 time travel, et31 merge upsert; never driver-checked) lead the
 # window, as do mm08/mm09 (real MP3/Ogg codec census), st07 (sliding
 # windows), et32/et33 (change feed, compaction invariance) and tx21
-# (Gopher quality rules) and ev18 (RFM scoring); the fourteen rows
-# they displaced (q12/q15/q16/q22/q23/q26/q27/q85/q93/q97 r2-green;
-# tx16 r3-green; tx15/tx17/tx19 r4/r5-green) join the round-7 refill.
+# (Gopher quality rules), ev18 (RFM scoring) and pipe06 (audio
+# curation through the real codecs); the fifteen rows they displaced
+# (q12/q15/q16/q22/q23/q26/q27/q85/q93/q97 r2-green; tx16 r3-green;
+# ss11/tx15/tx17/tx19 r4/r5-green) join the round-7 refill.
 DRIVER_WINDOW: list[str] = [
     "st03_stream_static_enrich",
     "st04_streaming_sessions",
@@ -59,6 +60,7 @@ DRIVER_WINDOW: list[str] = [
     "et33_compaction_invariance",
     "tx21_gopher_rules",
     "ev18_rfm_segments",
+    "pipe06_audio_curation",
     "et29_ivm_apply_feed",
     "et30_time_travel",
     "et31_merge_upsert",
@@ -97,7 +99,6 @@ DRIVER_WINDOW: list[str] = [
     "ss07_mmr_topk",
     "ss08_label_centroids",
     "ss10_pq_ann",
-    "ss11_random_projection",
 ]
 
 # ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
@@ -268,6 +269,7 @@ DRIVER_GREEN: list[str] = [
     "sm10_calibrated_quality",
     "ss06_array_lambda_surface",
     "ss09_centroid_confusion",
+    "ss11_random_projection",
     "ss12_ann_recall",
     "ss13_multitable_ann",
     "ss14_hard_negatives",
