@@ -44,10 +44,11 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # et30 time travel, et31 merge upsert; never driver-checked) lead the
 # window, as do mm08/mm09 (real MP3/Ogg codec census), st07 (sliding
 # windows), et32/et33 (change feed, compaction invariance) and tx21
-# (Gopher quality rules), ev18 (RFM scoring) and pipe06 (audio
-# curation through the real codecs); the fifteen rows they displaced
-# (q12/q15/q16/q22/q23/q26/q27/q85/q93/q97 r2-green; tx16 r3-green;
-# ss11/tx15/tx17/tx19 r4/r5-green) join the round-7 refill.
+# (Gopher quality rules), ev18 (RFM scoring), pipe06 (audio curation
+# through the real codecs) and st08 (exactly-once file sink); the
+# sixteen rows they displaced (q12/q15/q16/q22/q23/q26/q27/q85/q93/
+# q97 r2-green; tx16 r3-green; ss10/ss11/tx15/tx17/tx19 r4/r5-green)
+# join the round-7 refill.
 DRIVER_WINDOW: list[str] = [
     "st03_stream_static_enrich",
     "st04_streaming_sessions",
@@ -61,6 +62,7 @@ DRIVER_WINDOW: list[str] = [
     "tx21_gopher_rules",
     "ev18_rfm_segments",
     "pipe06_audio_curation",
+    "st08_streaming_file_sink",
     "et29_ivm_apply_feed",
     "et30_time_travel",
     "et31_merge_upsert",
@@ -98,7 +100,6 @@ DRIVER_WINDOW: list[str] = [
     "ss05_doc_pagerank",
     "ss07_mmr_topk",
     "ss08_label_centroids",
-    "ss10_pq_ann",
 ]
 
 # ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
@@ -269,6 +270,7 @@ DRIVER_GREEN: list[str] = [
     "sm10_calibrated_quality",
     "ss06_array_lambda_surface",
     "ss09_centroid_confusion",
+    "ss10_pq_ann",
     "ss11_random_projection",
     "ss12_ann_recall",
     "ss13_multitable_ann",

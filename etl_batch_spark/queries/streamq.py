@@ -28,8 +28,9 @@ they need multiple triggers).  The entries cover every major streaming
 operator class: tumbling (st01) and sliding (st07) watermarked
 aggregations, bounded-state dedup (st02), stateless stream-static
 broadcast enrichment (st03), built-in session windows (st04), a custom
-applyInPandasWithState stateful operator (st05), and a two-sided
-watermarked stream-stream interval join (st06).
+applyInPandasWithState stateful operator (st05), a two-sided
+watermarked stream-stream interval join (st06), and the exactly-once
+foreachBatch file sink verified at the file-contents level (st08).
 
 Event-time domain is stated EXPLICITLY on both sides (the ev01
 lesson), and it has TWO exclusions:
@@ -336,3 +337,56 @@ def st07_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFram
         output_mode="update",
     )
     return spark.table("st07_sliding")
+
+
+@query(
+    "st08_streaming_file_sink",
+    doc="exactly-once foreachBatch file sink under the hash gate "
+    "(streaming.events.write_idempotent_batches): the stream lands in "
+    "batch_id partitions with dynamic partition overwrite, is read "
+    "back from parquet, materialized, and compared by value against "
+    "the batch projection — the sink's idempotence layout verified at "
+    "the contents level, not just by tests.  Stateless row-level "
+    "transform, so no watermark caveats; a single-batch source makes "
+    "batch_id deterministic (0) and is dropped from the output",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type,
+           ROUND(value * 2, 2) AS doubled
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def st08_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.streaming.events import write_idempotent_batches
+
+    tmp = tempfile.mkdtemp(prefix="st08_sink_")
+    try:
+        stream = read_events_stream(spark, sf_dir).filter(
+            F.col("value").isNotNull()
+        )
+        result = stream.select(
+            "event_id", "ts", "user_id", "event_type",
+            F.round(F.col("value") * 2, 2).alias("doubled"),
+        )
+        out = os.path.join(tmp, "out")
+        write_idempotent_batches(result, path=out, checkpoint=os.path.join(tmp, "ck"))
+        if not os.path.exists(out):
+            # an empty source drains zero batches, so the sink never
+            # creates the directory — the contract is an empty table of
+            # the projection's schema (the e0 corpus path)
+            return spark.createDataFrame([], result.schema)
+        # schema pinned explicitly: an all-NULL column in a small batch
+        # must not re-infer differently than the projection declared
+        back = (
+            spark.read.schema(result.schema)
+            .option("basePath", out)
+            .parquet(out)
+            .select(*result.columns)
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

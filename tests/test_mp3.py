@@ -74,6 +74,20 @@ class TestCodec:
         assert info.vbr_tag_frames == 12
         assert info.n_frames == 12  # the walk agrees with the tag
 
+    def test_vbri_header_parsed(self):
+        """VBRI (the Fraunhofer VBR tag) sits at a FIXED offset 32 after
+        the header regardless of channel mode; hand-assembled since
+        encode_frames only emits Xing."""
+        data = bytearray(encode_frames(n_frames=4, bitrate_kbps=128,
+                                       sample_rate=44100, channels=2, layer=3))
+        at = 4 + 32
+        tag = b"VBRI" + struct.pack(">HHH", 1, 0, 0) + struct.pack(">I", 9999)
+        tag += struct.pack(">I", 4)  # frame count at offset +14
+        data[at:at + len(tag)] = tag
+        info = parse_frames(bytes(data))
+        assert info.vbr_tag == "VBRI"
+        assert info.vbr_tag_frames == 4
+
     def test_id3v1_trailer_tolerated(self):
         data = encode_frames(n_frames=3, sample_rate=44100) + b"TAG" + bytes(125)
         assert parse_frames(data).n_frames == 3
