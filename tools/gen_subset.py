@@ -26,6 +26,9 @@ cannot exercise:
 * ``--keep 0``  — every fact table empty (constant dims stay): every
   aggregate/join/window empty-input path must agree on zero rows with
   the right schema instead of erroring.
+* ``--emptydims`` — the inverse: customer/supplier/part empty while
+  facts keep their rows — empty BROADCAST build sides, every fact key
+  dangling, dim-derived thresholds/denominators over zero rows.
 * ``--negids N`` — sign-flips N% of ID VALUES, drawn per value within
   a shared value space so every occurrence flips together and joins
   stay consistent: probes %-vs-pmod, residue routing, shift-by-residue
@@ -90,6 +93,12 @@ PRIMARY_KEYS = {
     "embeddings": ["vec_id"],
 }
 FULL_TABLES = ["region", "nation"]
+
+# the variable-size dimension tables --emptydims empties (facts stay):
+# the INVERSE of --keep 0 — probes empty BROADCAST build sides, joins
+# whose dim side vanishes entirely, and dim-derived thresholds/
+# denominators computed over zero rows
+DIM_TABLES = ["customer", "supplier", "part"]
 
 # table -> columns sign-flipped by --neg: the money/gauge columns whose
 # REAL-WORLD domain includes negatives (refund events, debit balances)
@@ -233,6 +242,14 @@ def main(argv: "list[str] | None" = None) -> int:
              "bucketing, date_trunc and 1970-anchored windows",
     )
     ap.add_argument(
+        "--emptydims", action="store_true",
+        help="empty the variable-size dimension tables (customer/"
+             "supplier/part) while FACTS keep their rows — the inverse "
+             "of --keep 0: every fact row dangles, broadcast build "
+             "sides are zero-row, dim-derived aggregates/thresholds "
+             "compute over nothing",
+    )
+    ap.add_argument(
         "--hot", type=int, default=0,
         help="skew factor: replicate one deterministic hot entity per "
              "fact table HOT-1 extra times with FRESH primary keys — "
@@ -350,9 +367,10 @@ def main(argv: "list[str] | None" = None) -> int:
                     )
                 exprs.append(f"{e} AS {c}" if e != c else c)
             proj = ", ".join(exprs)
+        keep = 0 if (args.emptydims and t in DIM_TABLES) else args.keep
         sel = (
             f"SELECT {proj} FROM '{args.src}/{t}.parquet' "
-            f"WHERE hash({key} || '#{args.seed}') % 100 < {args.keep}"
+            f"WHERE hash({key} || '#{args.seed}') % 100 < {keep}"
         )
         if args.dup:
             # exact duplicates of the already-perturbed rows (dup is the

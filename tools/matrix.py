@@ -60,6 +60,9 @@ MATRIX: dict[str, list[str]] = {
     "u8": ["--seed", "8", "--keep", "100", "--unicode", "40"],
     # empty fact tables
     "e0": ["--seed", "9", "--keep", "0"],
+    # empty dimension tables, facts intact (inverse of e0: empty
+    # broadcast build sides, all-dangling fact keys — round-6 class)
+    "ed55": ["--seed", "55", "--keep", "100", "--emptydims"],
     # combined stress (vary seeds AND rates — m14 caught what m11 missed)
     "m11": ["--seed", "11", "--keep", "70", "--nulls", "5", "--ties", "40", "--unicode", "30"],
     "m12": ["--seed", "12", "--keep", "60", "--nulls", "8", "--ties", "30", "--unicode", "20"],
