@@ -2039,3 +2039,46 @@ def et33_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et34 — OPTIMIZE ZORDER invariance (sources/txlog.py::compact with
+# zorder_cols): the clustered rewrite re-sorts the snapshot along the
+# Morton curve over (c_custkey, c_acctbal) so file min/max envelopes
+# tighten for data skipping — and, being just another commit, it must
+# leave table CONTENTS bit-identical, which the hash proves.  The
+# curve/clustering itself has its own plan and envelope tests
+# (test_sources); this entry pins the end-to-end content contract
+# under the driver gate, vacuum included.
+# ---------------------------------------------------------------------------
+@query(
+    "et34_zorder_invariance",
+    doc="OPTIMIZE ZORDER clustered compaction + vacuum leaves contents "
+    "bit-identical (sources.txlog.TxTable.compact(zorder_cols=...))",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def et34_zorder_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="et34_txtable_")
+    try:
+        t = TxTable(spark, tmp)
+        t.overwrite(c)
+        t.compact(target_files=3, zorder_cols=["c_custkey", "acctbal"])
+        t.vacuum(retain_versions=1)
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
