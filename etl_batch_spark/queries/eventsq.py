@@ -1294,3 +1294,58 @@ def ev18_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("freq", "f").alias("f_score"),
         score("monetary", "m").alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev19 — per-user inter-arrival statistics (the burstiness/cadence
+# signal behind rate limiting and bot heuristics): event count, active
+# span, mean gap and max gap.  All arithmetic stays in INTEGER
+# micros until one final division (span/(n-1), then /1e6 — identical
+# left-associated IEEE ops on both engines), so no rounding is needed
+# anywhere.  The lag window partitions by user — never data-sized.
+# A single-event user has no gaps: mean/max are NULL on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "ev19_interarrival_stats",
+    doc="per-user event cadence: count, active span, mean/max inter-"
+    "arrival gap (exact integer-micros arithmetic, one final division)",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      -- a timeless event has no position in the arrival sequence
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           (MAX(us) - MIN(us)) / 1000000.0 AS span_s,
+           CASE WHEN COUNT(*) > 1
+                THEN CAST(MAX(us) - MIN(us) AS DOUBLE) / (COUNT(*) - 1)
+                     / 1000000.0
+           END AS mean_gap_s,
+           MAX(gap_us) / 1000000.0 AS max_gap_s
+    FROM g
+    GROUP BY user_id
+    """,
+)
+def ev19_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        us.alias("us"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    n = F.count(F.lit(1))
+    span_us = F.max("us") - F.min("us")
+    return g.groupBy("user_id").agg(
+        n.alias("n_events"),
+        (span_us / F.lit(1000000.0)).alias("span_s"),
+        F.when(
+            n > 1,
+            span_us.cast("double") / (n - 1) / F.lit(1000000.0),
+        ).alias("mean_gap_s"),
+        (F.max("gap_us") / F.lit(1000000.0)).alias("max_gap_s"),
+    )

@@ -46,9 +46,10 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # windows), et32/et33 (change feed, compaction invariance) and tx21
 # (Gopher quality rules), ev18 (RFM scoring), pipe06 (audio curation
 # through the real codecs), st08 (exactly-once file sink) and et34
-# (ZORDER invariance); the seventeen rows they displaced (q12/q15/
-# q16/q22/q23/q26/q27/q85/q93/q97 r2-green; tx16 r3-green; ss08/ss10/
-# ss11/tx15/tx17/tx19 r2-r5-green) join the round-7 refill.
+# (ZORDER invariance) and ev19 (inter-arrival cadence); the eighteen
+# rows they displaced (q12/q15/q16/q22/q23/q26/q27/q85/q93/q97
+# r2-green; tx16 r3-green; ss07/ss08/ss10/ss11/tx15/tx17/tx19
+# r2-r5-green) join the round-7 refill.
 DRIVER_WINDOW: list[str] = [
     "st03_stream_static_enrich",
     "st04_streaming_sessions",
@@ -64,6 +65,7 @@ DRIVER_WINDOW: list[str] = [
     "pipe06_audio_curation",
     "st08_streaming_file_sink",
     "et34_zorder_invariance",
+    "ev19_interarrival_stats",
     "et29_ivm_apply_feed",
     "et30_time_travel",
     "et31_merge_upsert",
@@ -99,7 +101,6 @@ DRIVER_WINDOW: list[str] = [
     "sm11_shuffle_order",
     "ss04_kmeans_clusters",
     "ss05_doc_pagerank",
-    "ss07_mmr_topk",
 ]
 
 # ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
