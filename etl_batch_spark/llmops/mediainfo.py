@@ -211,16 +211,26 @@ def _probe_flac(d: bytes) -> dict:
     return out
 
 
-def _ogg_last_granule(d: bytes) -> "int | None":
+def _ogg_last_granule(d: bytes, serial: "int | None" = None) -> "int | None":
     """Granule position of the last plausible page header, by scanning
     the TAIL for 'OggS' — O(tail), no page walk (the full CRC-checked
     walk lives in llmops/oggv.py).  Header pages stamp -1; step back
-    past those."""
+    past those.  'OggS' can also occur INSIDE page bodies (comment
+    text, audio payload) or belong to another multiplexed stream, so a
+    candidate must look like a real page header — version byte 0,
+    known header-type flags, lacing table in bounds, and (when given)
+    the head page's ``serial`` — before its granule is trusted."""
     at = len(d)
     for _ in range(8):
         at = d.rfind(b"OggS", 0, at)
-        if at < 0 or at + 14 > len(d):
+        if at < 0:
             return None
+        if at + 27 > len(d) or d[at + 4] != 0 or d[at + 5] >= 8:
+            continue
+        if at + 27 + d[at + 26] > len(d):
+            continue
+        if serial is not None and struct.unpack_from("<I", d, at + 14)[0] != serial:
+            continue
         (granule,) = struct.unpack_from("<q", d, at + 6)
         if granule >= 0:
             return granule
@@ -230,13 +240,14 @@ def _ogg_last_granule(d: bytes) -> "int | None":
 def _probe_ogg(d: bytes) -> dict:
     nsegs = d[26]  # packet data starts after the segment lacing table
     page = d[27 + nsegs : 27 + nsegs + 64]
+    head_serial = struct.unpack_from("<I", d, 14)[0]
     if page.startswith(b"OpusHead"):
         out = {
             "codec": "opus",
             "channels": page[9],
             "sample_rate": struct.unpack_from("<I", page, 12)[0],
         }
-        granule = _ogg_last_granule(d)
+        granule = _ogg_last_granule(d, head_serial)
         if granule is not None:
             pre_skip = struct.unpack_from("<H", page, 10)[0]
             # Opus granules are 48 kHz samples regardless of input rate
@@ -248,7 +259,7 @@ def _probe_ogg(d: bytes) -> dict:
             "channels": page[11],
             "sample_rate": struct.unpack_from("<I", page, 12)[0],
         }
-        granule = _ogg_last_granule(d)
+        granule = _ogg_last_granule(d, head_serial)
         if granule is not None and out["sample_rate"]:
             out["duration_s"] = round(granule / out["sample_rate"], 3)
         return out

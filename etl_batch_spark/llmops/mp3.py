@@ -97,6 +97,7 @@ class Mp3Info:
     vbr_tag: "str | None"      # 'Xing' | 'Info' | 'VBRI' | None
     vbr_tag_frames: "int | None"   # frame count the tag declares, if any
     id3v2_bytes: int           # leading tag size skipped (0 if none)
+    trailing_bytes: int = 0    # unwalkable tail tolerated (tolerate_trailing)
     frames: "list[Mp3Frame]" = field(repr=False, default_factory=list)
 
 
@@ -161,7 +162,10 @@ def _vbr_tag(d: bytes, first: Mp3Frame) -> "tuple[str, int | None] | None":
     """(tag_name, declared_frames) if the first frame carries a
     Xing/Info/VBRI header, else None."""
     base = first.offset + 4
-    xing_at = base + _side_info_bytes(first.version, first.channels)
+    # protection bit CLEAR (header bit0 == 0) means a 16-bit CRC sits
+    # between the header and the side info, shifting the Xing tag by 2
+    crc = 0 if (d[first.offset + 1] & 0x1) else 2
+    xing_at = base + crc + _side_info_bytes(first.version, first.channels)
     if xing_at + 8 <= len(d) and d[xing_at:xing_at + 4] in (b"Xing", b"Info"):
         tag = d[xing_at:xing_at + 4].decode()
         (flags,) = struct.unpack_from(">I", d, xing_at + 4)
@@ -171,20 +175,31 @@ def _vbr_tag(d: bytes, first: Mp3Frame) -> "tuple[str, int | None] | None":
                 raise Mp3Error("truncated Xing frame-count field")
             (frames,) = struct.unpack_from(">I", d, xing_at + 8)
         return tag, frames
-    vbri_at = base + 32
-    if vbri_at + 18 <= len(d) and d[vbri_at:vbri_at + 4] == b"VBRI":
-        (frames,) = struct.unpack_from(">I", d, vbri_at + 14)
-        return "VBRI", frames
+    # the VBRI convention is a fixed 32 bytes past the 4-byte header;
+    # some writers count from after the CRC, so probe both positions
+    for vbri_at in dict.fromkeys((base + 32, base + crc + 32)):
+        if vbri_at + 18 <= len(d) and d[vbri_at:vbri_at + 4] == b"VBRI":
+            (frames,) = struct.unpack_from(">I", d, vbri_at + 14)
+            return "VBRI", frames
     return None
 
 
-def parse_frames(data: bytes, *, keep_frames: bool = False) -> Mp3Info:
+def parse_frames(
+    data: bytes, *, keep_frames: bool = False, tolerate_trailing: bool = False
+) -> Mp3Info:
     """Walk every frame of an MPEG audio stream.
 
     Frames must chain contiguously from the end of any leading ID3v2
     tag to the end of the payload (an ID3v1 128-byte ``TAG`` trailer
     is allowed); anything else — truncated final frame, garbage
     between frames, no sync at the start — raises :class:`Mp3Error`.
+    With ``tolerate_trailing=True`` the walk instead STOPS at the
+    first unwalkable byte after at least one valid frame and returns
+    the walked prefix with ``trailing_bytes`` set to the unconsumed
+    tail — the shape a census over a real crawl wants (trailing junk,
+    APEv2 tags, or a truncated last frame shouldn't discard the
+    already-validated frame index).  A stream whose FIRST frame fails
+    still raises, tolerant or not.
     ``keep_frames`` retains the per-frame index (offset/size/header
     fields) for range reads; off by default so a census over millions
     of payloads holds O(1) per payload.
@@ -209,21 +224,31 @@ def parse_frames(data: bytes, *, keep_frames: bool = False) -> Mp3Info:
     br_counts: dict[int, int] = {}
     br_min = 1 << 30
     br_max = 0
+    trailing = 0
     while pos < end:
-        fr = _parse_header(d, pos)
-        if pos + fr.size > end:
-            raise Mp3Error(
-                f"truncated final frame at offset {pos} "
-                f"(need {fr.size} bytes, have {end - pos})"
-            )
+        try:
+            fr = _parse_header(d, pos)
+            if pos + fr.size > end:
+                raise Mp3Error(
+                    f"truncated final frame at offset {pos} "
+                    f"(need {fr.size} bytes, have {end - pos})"
+                )
+            if first is not None and (
+                fr.sample_rate != rate0 or fr.channels != chan0
+            ):
+                raise Mp3Error(
+                    f"stream parameters change mid-file at offset {pos} "
+                    f"({rate0} Hz/{chan0}ch -> "
+                    f"{fr.sample_rate} Hz/{fr.channels}ch)"
+                )
+        except Mp3Error:
+            if tolerate_trailing and n >= 1:
+                trailing = end - pos
+                break
+            raise
         if first is None:
             first = fr
             rate0, chan0 = fr.sample_rate, fr.channels
-        elif fr.sample_rate != rate0 or fr.channels != chan0:
-            raise Mp3Error(
-                f"stream parameters change mid-file at offset {pos} "
-                f"({rate0} Hz/{chan0}ch -> {fr.sample_rate} Hz/{fr.channels}ch)"
-            )
         n += 1
         dur_num += fr.samples
         br_counts[fr.bitrate_kbps] = br_counts.get(fr.bitrate_kbps, 0) + 1
@@ -248,6 +273,7 @@ def parse_frames(data: bytes, *, keep_frames: bool = False) -> Mp3Info:
         vbr_tag=tag[0] if tag else None,
         vbr_tag_frames=tag[1] if tag else None,
         id3v2_bytes=id3_bytes,
+        trailing_bytes=trailing,
         frames=frames,
     )
 
@@ -277,13 +303,17 @@ def encode_frames(
     layer: int = 3,
     id3v2_bytes: int = 0,
     xing: bool = False,
+    crc: bool = False,
     fill: int = 0xA5,
 ) -> bytes:
     """A structurally-valid MPEG audio stream: real headers, exact
     frame lengths, optional ID3v2 tag and Xing header.  Main data is
     deterministic filler — NOT decodable audio — which is sufficient
     for everything this module reads.  ``bitrate_kbps`` may be a list
-    cycled per-frame to fabricate VBR streams."""
+    cycled per-frame to fabricate VBR streams.  ``crc=True`` clears
+    the protection bit and inserts the 16-bit CRC slot after each
+    header (filler value — the walker never validates the audio CRC),
+    shifting side info and any Xing tag by 2 as real encoders do."""
     if n_frames < 1:
         raise ValueError("n_frames must be >= 1")
     if sample_rate not in _REV_RATE:
@@ -311,7 +341,7 @@ def encode_frames(
             ) from None
         if br_idx == 0:
             raise ValueError("free-format (bitrate 0) not supported")
-        b1 = 0xE0 | (version << 3) | ((4 - layer) << 1) | 0x1  # no CRC
+        b1 = 0xE0 | (version << 3) | ((4 - layer) << 1) | (0x0 if crc else 0x1)
         b2 = (br_idx << 4) | (rate_idx << 2)  # no padding
         b3 = 0xC0 if channels == 1 else 0x00  # mono / stereo
         hdr = bytes([0xFF, b1, b2, b3])
@@ -320,8 +350,10 @@ def encode_frames(
         else:
             size = _SPF[vgroup][layer] // 8 * br * 1000 // sample_rate
         frame = bytearray(hdr) + bytes([fill]) * (size - 4)
+        if crc:
+            frame[4:6] = b"\x00\x00"  # CRC slot (unvalidated filler)
         if xing and i == 0:
-            at = 4 + _side_info_bytes(version, channels)
+            at = 4 + (2 if crc else 0) + _side_info_bytes(version, channels)
             tag = b"Xing" + struct.pack(">II", 0x1, n_frames)
             if at + len(tag) > size:
                 raise ValueError("first frame too small for a Xing header")

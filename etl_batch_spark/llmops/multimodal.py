@@ -746,6 +746,7 @@ MP3_CENSUS_SCHEMA = T.StructType(
         T.StructField("bitrate_kbps_max", T.IntegerType()),
         T.StructField("bitrate_kbps_mode", T.IntegerType()),
         T.StructField("vbr_tag", T.StringType()),
+        T.StructField("trailing_bytes", T.LongType()),
         T.StructField("error", T.StringType()),
     ]
 )
@@ -763,7 +764,10 @@ def mp3_frame_census(
     tag — with O(1) state per payload and nothing shuffled.  Always
     quarantine-shaped (census over a crawl must never die on one bad
     payload): malformed payloads emit NULL stats + the codec error
-    string."""
+    string.  The walk runs trailing-tolerant: trailing junk, an APEv2
+    tag, or a truncated last frame keeps the validated prefix stats
+    and reports the unconsumed tail in ``trailing_bytes`` instead of
+    quarantining the whole payload."""
     from etl_batch_spark.llmops.mp3 import Mp3Error, parse_frames
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -773,17 +777,17 @@ def mp3_frame_census(
             rows: list[tuple] = []
             for p in pdf[payload_col]:
                 if p is None:
-                    rows.append((None,) * 9 + ("NullPayload: payload is NULL",))
+                    rows.append((None,) * 10 + ("NullPayload: payload is NULL",))
                     continue
                 try:
-                    i = parse_frames(bytes(p))
+                    i = parse_frames(bytes(p), tolerate_trailing=True)
                     rows.append((
                         i.sample_rate, i.channels, i.n_frames, i.duration_s,
                         i.is_vbr, i.bitrate_kbps_min, i.bitrate_kbps_max,
-                        i.bitrate_kbps_mode, i.vbr_tag, None,
+                        i.bitrate_kbps_mode, i.vbr_tag, i.trailing_bytes, None,
                     ))
                 except Mp3Error as exc:
-                    rows.append((None,) * 9 + (f"Mp3Error: {exc}",))
+                    rows.append((None,) * 10 + (f"Mp3Error: {exc}",))
             cols = [f.name for f in MP3_CENSUS_SCHEMA.fields if f.name != "doc_id"]
             out = {id_col: pdf[id_col].values}
             for j, c in enumerate(cols):

@@ -71,7 +71,7 @@ class OggInfo:
     serial: int
 
 
-def _parse_page(d: bytes, pos: int) -> "tuple[OggPage, int]":
+def _parse_page(d: bytes, pos: int) -> "tuple[OggPage, int, bytes]":
     if pos + 27 > len(d):
         raise OggError(f"truncated page header at offset {pos}")
     if d[pos:pos + 4] != b"OggS":
@@ -96,11 +96,11 @@ def _parse_page(d: bytes, pos: int) -> "tuple[OggPage, int]":
     for ln in lacing:
         segs.append(d[at:at + ln])
         at += ln
-    # keep the lacing values with the segments: a 255 lacing value means
-    # "packet continues"; encode that by pairing below
+    # the lacing bytes travel alongside the segments: a 255 lacing value
+    # means "packet continues", which the segment list alone can't encode
     page = OggPage(offset=pos, serial=serial, seq=seq, granule=granule,
                    header_type=header_type, segments=segs)
-    return page, body_at + body_len, lacing  # type: ignore[return-value]
+    return page, body_at + body_len, bytes(lacing)
 
 
 def _packets(pages: "list[tuple[OggPage, bytes]]") -> "list[bytes]":
@@ -134,7 +134,7 @@ def parse_ogg(data: bytes) -> OggInfo:
     n_pages = 0
     last_granule = None
     while pos < len(d):
-        page, pos, lacing = _parse_page(d, pos)  # type: ignore[misc]
+        page, pos, lacing = _parse_page(d, pos)
         if serial is None:
             if not page.header_type & 0x2:
                 raise OggError("first page is not a stream begin (BOS) page")

@@ -3256,7 +3256,12 @@ def pipe05_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 2 AS INT)
                AS channels,
              2 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 40 AS n_frames,
-             ('0x' || substr(md5(text), 9, 2))::BIGINT % 2 = 1 AS is_vbr
+             ('0x' || substr(md5(text), 9, 2))::BIGINT % 2 = 1 AS is_vbr,
+             -- a third of payloads carry deterministic trailing junk the
+             -- tolerant walk must report (not quarantine); the rest end clean
+             CASE WHEN ('0x' || substr(md5(text), 13, 2))::BIGINT % 3 = 0
+                  THEN 3 + ('0x' || substr(md5(text), 15, 2))::BIGINT % 13
+                  ELSE 0 END AS trailing_bytes
       -- NULL text: no payload to fabricate (the attach_payload rule)
       FROM documents WHERE text IS NOT NULL
     ),
@@ -3275,7 +3280,8 @@ def pipe05_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN is_vbr THEN 64 ELSE 96 END AS INT) AS kbps_min,
            CAST(CASE WHEN is_vbr THEN 128 ELSE 96 END AS INT) AS kbps_max,
            CAST(CASE WHEN is_vbr THEN 64 ELSE 96 END AS INT) AS kbps_mode,
-           CASE WHEN is_vbr THEN 'Xing' ELSE NULL END AS vbr_tag
+           CASE WHEN is_vbr THEN 'Xing' ELSE NULL END AS vbr_tag,
+           CAST(trailing_bytes AS BIGINT) AS trailing_bytes
     FROM q
     """,
 )
@@ -3293,6 +3299,14 @@ def mm08_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             channels = 1 + int(h[2:4], 16) % 2
             n_frames = 2 + int(h[4:8], 16) % 40
             vbr = int(h[8:10], 16) % 2 == 1
+            # half the streams are CRC-protected: the Xing tag shifts by
+            # 2 bytes and the walker must still find it (oracle pins it)
+            crc = int(h[10:12], 16) % 2 == 1
+            # a third carry trailing junk the tolerant walk must report;
+            # 0x00 bytes can never resync as a frame header
+            trailing = (
+                3 + int(h[14:16], 16) % 13 if int(h[12:14], 16) % 3 == 0 else 0
+            )
             return encode_frames(
                 n_frames=n_frames,
                 bitrate_kbps=[64, 128] if vbr else 96,
@@ -3300,7 +3314,8 @@ def mm08_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 channels=channels,
                 layer=3,
                 xing=vbr,
-            )
+                crc=crc,
+            ) + b"\x00" * trailing
 
         return texts.map(one)
 
@@ -3323,6 +3338,7 @@ def mm08_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bitrate_kbps_max").alias("kbps_max"),
         F.col("bitrate_kbps_mode").alias("kbps_mode"),
         "vbr_tag",
+        "trailing_bytes",
     )
 
 

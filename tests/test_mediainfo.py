@@ -155,6 +155,32 @@ class TestForeignHeaders:
         # Opus granules are 48 kHz regardless of the 16 kHz input rate
         assert r2["codec"] == "opus" and r2["duration_s"] == 2.0
 
+    def test_ogg_tail_granule_ignores_body_bytes(self):
+        """'OggS' occurring INSIDE page-body data (comment text, audio
+        payload, trailing junk) must not be trusted as a page header —
+        the candidate needs version byte 0, sane header flags, and an
+        in-bounds lacing table (round-6 ADVICE)."""
+        from etl_batch_spark.llmops.oggv import encode_ogg
+
+        data = encode_ogg(codec="vorbis", sample_rate=22050, channels=1,
+                          n_samples=44100)
+        # bogus tail: 'OggS' + nonzero version byte + huge positive
+        # "granule" bytes — the old scan would have read garbage
+        r = probe_media(data + b"OggS\x07" + b"\x01" * 40)
+        assert r["codec"] == "vorbis" and r["duration_s"] == 2.0
+
+    def test_ogg_tail_granule_ignores_other_serial(self):
+        """A structurally-valid page header of ANOTHER multiplexed
+        stream in the tail must not supply the granule."""
+        from etl_batch_spark.llmops.oggv import encode_ogg
+
+        data = encode_ogg(codec="vorbis", sample_rate=22050, channels=1,
+                          n_samples=44100, serial=0x1234)
+        alien = (b"OggS\x00\x04" + struct.pack("<qIII", 999_999_999,
+                                               0xDEAD, 99, 0) + b"\x00")
+        r = probe_media(data + alien)
+        assert r["duration_s"] == 2.0
+
     def test_opus_identification(self):
         pkt = b"OpusHead" + bytes([1, 2, 0, 0]) + struct.pack("<I", 48000) + b"\x00" * 4
         page = (b"OggS" + bytes([0, 2]) + b"\x00" * 20 + bytes([1, len(pkt)]) + pkt)

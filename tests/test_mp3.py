@@ -92,6 +92,78 @@ class TestCodec:
         data = encode_frames(n_frames=3, sample_rate=44100) + b"TAG" + bytes(125)
         assert parse_frames(data).n_frames == 3
 
+    def test_crc_protected_xing_found(self):
+        """A CRC-protected frame (protection bit clear) carries a 2-byte
+        CRC before the side info, shifting the Xing tag by 2 — common in
+        real crawls and previously missed (round-6 ADVICE)."""
+        data = encode_frames(
+            n_frames=7, bitrate_kbps=128, sample_rate=44100, channels=2,
+            layer=3, xing=True, crc=True,
+        )
+        info = parse_frames(data)
+        assert info.vbr_tag == "Xing"
+        assert info.vbr_tag_frames == 7
+        assert info.n_frames == 7
+
+    def test_crc_protected_round_trip_all_channel_modes(self):
+        for channels in (1, 2):
+            data = encode_frames(
+                n_frames=4, bitrate_kbps=64, sample_rate=22050,
+                channels=channels, layer=3, xing=True, crc=True,
+            )
+            info = parse_frames(data)
+            assert info.vbr_tag == "Xing" and info.n_frames == 4
+
+    def test_vbri_found_after_crc_slot(self):
+        """Writers that count the VBRI offset from after the CRC are
+        tolerated: both candidate positions are probed."""
+        data = bytearray(encode_frames(n_frames=4, bitrate_kbps=128,
+                                       sample_rate=44100, channels=2,
+                                       layer=3, crc=True))
+        at = 4 + 2 + 32  # header + CRC slot + fixed 32
+        tag = b"VBRI" + struct.pack(">HHH", 1, 0, 0) + struct.pack(">I", 9999)
+        tag += struct.pack(">I", 4)
+        data[at:at + len(tag)] = tag
+        info = parse_frames(bytes(data))
+        assert info.vbr_tag == "VBRI"
+        assert info.vbr_tag_frames == 4
+
+
+class TestTolerantTrailing:
+    def test_trailing_junk_keeps_walked_prefix(self):
+        data = encode_frames(n_frames=5, sample_rate=44100)
+        info = parse_frames(data + b"\x00" * 9, tolerate_trailing=True)
+        assert info.n_frames == 5
+        assert info.trailing_bytes == 9
+        assert info.duration_s == 5 * 1152 / 44100
+
+    def test_truncated_final_frame_keeps_prefix(self):
+        data = encode_frames(n_frames=5, sample_rate=44100)
+        info = parse_frames(data[:-10], tolerate_trailing=True)
+        assert info.n_frames == 4
+        frame_size = 144 * 128000 // 44100
+        assert info.trailing_bytes == frame_size - 10
+
+    def test_parameter_change_treated_as_trailing(self):
+        a = encode_frames(n_frames=2, sample_rate=44100, channels=2)
+        b = encode_frames(n_frames=1, sample_rate=48000, channels=2)
+        info = parse_frames(a + b, tolerate_trailing=True)
+        assert info.n_frames == 2
+        assert info.trailing_bytes == len(b)
+
+    def test_clean_stream_reports_zero_trailing(self):
+        data = encode_frames(n_frames=3, sample_rate=44100)
+        assert parse_frames(data, tolerate_trailing=True).trailing_bytes == 0
+
+    def test_first_frame_failure_still_loud(self):
+        with pytest.raises(Mp3Error):
+            parse_frames(b"\x00" * 64, tolerate_trailing=True)
+
+    def test_strict_is_the_default(self):
+        data = encode_frames(n_frames=3, sample_rate=44100)
+        with pytest.raises(Mp3Error, match="sync"):
+            parse_frames(data + b"junk")
+
     def test_frame_index_enables_range_reads(self):
         data = encode_frames(n_frames=4, bitrate_kbps=96, sample_rate=32000)
         frames = parse_frames(data, keep_frames=True).frames
