@@ -22,15 +22,20 @@ hold, and then the ordinary DuckDB value-hash oracle applies:
 The callables run the stream to completion as a build side effect and
 return the memory-sink table; the driver/oracle compare proceeds as
 for any batch query.  This is the same batch-equivalence argument
-tests/test_streaming.py proves for the wider streaming surface (crash
-replay, checkpoint recovery, incremental maintenance stay tests-only —
-they need multiple triggers).  The entries cover every major streaming
+tests/test_streaming.py proves for the wider streaming surface.
+MULTI-trigger behaviors need a different gate: the compare must happen
+after the FINAL drain, with the file sink itself as the oracle surface
+— st08 proved that pattern for one trigger, and st09 extends it across
+three (two source files + a replay of the first, exactly-once file
+tracking checked by value).  Incremental partials maintenance across
+triggers remains tests-only.  The entries cover every major streaming
 operator class: tumbling (st01) and sliding (st07) watermarked
 aggregations, bounded-state dedup (st02), stateless stream-static
 broadcast enrichment (st03), built-in session windows (st04), a custom
 applyInPandasWithState stateful operator (st05), a two-sided
-watermarked stream-stream interval join (st06), and the exactly-once
-foreachBatch file sink verified at the file-contents level (st08).
+watermarked stream-stream interval join (st06), the exactly-once
+foreachBatch file sink verified at the file-contents level (st08), and
+exactly-once multi-trigger ingestion with replay (st09).
 
 Event-time domain is stated EXPLICITLY on both sides (the ev01
 lesson), and it has TWO exclusions:
@@ -386,6 +391,96 @@ def st08_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("basePath", out)
             .parquet(out)
             .select(*result.columns)
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st09_incremental_ingest_replay",
+    doc="exactly-once incremental ingestion ACROSS MULTIPLE TRIGGERS "
+    "under the hash gate (streaming.events.ingest_incrementally): the "
+    "events table is split into two source files, drained in two "
+    "separate availableNow runs sharing one checkpoint, then the FIRST "
+    "file is re-presented (same path, fresh mtime — the crash/replay "
+    "shape) and a third drain runs.  The checkpoint's file tracking "
+    "must ingest each file exactly once: any double-load shows as "
+    "duplicate rows in the value-hash compare against the plain batch "
+    "oracle.  First multi-trigger streaming behavior under the driver "
+    "gate — crash replay/checkpoint recovery were tests-only before "
+    "(reference analogue: duplicate-run checks + loader file lists, "
+    "pkg_batch_util_body.sql:219-247, 1163-1251)",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           ROUND(value * 3, 2) AS tripled
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def st09_incremental_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.streaming.events import ingest_incrementally
+
+    tmp = tempfile.mkdtemp(prefix="st09_ingest_")
+    try:
+        src = os.path.join(tmp, "src")
+        dst = os.path.join(tmp, "dst")
+        ck = os.path.join(tmp, "ck")
+        os.makedirs(src)
+
+        base = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_id", "user_id", "event_type", "value")
+        )
+
+        def stage_half(k: int) -> str:
+            """One flat parquet file holding the pmod(event_id,2)==k half
+            (pmod: negids corpora sign-flip event_id)."""
+            stage = os.path.join(tmp, f"stage{k}")
+            (
+                base.filter(F.pmod(F.col("event_id"), F.lit(2)) == k)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            return part
+
+        def transform(s: DataFrame) -> DataFrame:
+            return s.select(
+                "event_id", "user_id", "event_type",
+                F.round(F.col("value") * 3, 2).alias("tripled"),
+            )
+
+        part0, part1 = stage_half(0), stage_half(1)
+        kwargs = dict(schema=base.schema, transform=transform)
+        shutil.copyfile(part0, os.path.join(src, "f0.parquet"))
+        ingest_incrementally(spark, src, dst, ck, **kwargs)
+        shutil.copyfile(part1, os.path.join(src, "f1.parquet"))
+        ingest_incrementally(spark, src, dst, ck, **kwargs)
+        # replay the first file: same path, same contents, NEW mtime —
+        # the checkpoint tracks it as seen, so this drain must be a no-op
+        shutil.copyfile(part0, os.path.join(src, "f0.parquet"))
+        replay_batches = ingest_incrementally(spark, src, dst, ck, **kwargs)
+        if replay_batches != 0:
+            raise AssertionError(
+                f"replayed source file was re-ingested ({replay_batches} "
+                "batches); exactly-once file tracking is broken"
+            )
+
+        out_schema = transform(base).schema
+        if not os.path.exists(dst):
+            # e0 corpus: a zero-row source file still drains, but an
+            # entirely absent one never creates dst
+            return spark.createDataFrame([], out_schema)
+        back = spark.read.schema(out_schema).parquet(dst).select(
+            *[f.name for f in out_schema.fields]
         )
         return back.localCheckpoint(eager=True)
     finally:
