@@ -2082,3 +2082,316 @@ def et34_zorder_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et35 — incremental maintenance of a NON-NUMERIC partials family across
+# multiple triggers (streaming/events.py::maintain_partials_incrementally
+# over operators/sketch.py's portable HLL): the events table is split
+# into two source files, each drained in its own availableNow run
+# against one checkpoint, the day-grain HLL register store merging
+# incrementally (MAX per register); a replay of the first file must be
+# a no-op.  The maintained store is then rolled up day→month and
+# estimated — and the oracle REBUILDS the same monthly registers from
+# scratch in SQL (et23's exactly-portable estimator), so
+# "incrementally maintained == full rebuild" is what the value hash
+# proves.  The split uses coalesce(pmod) so negative/NULL event_ids
+# land in exactly one half (the et33 lesson).  At scale each trigger
+# touches only its batch's buckets; store size is buckets × 256
+# registers regardless of row count.
+# ---------------------------------------------------------------------------
+@query(
+    "et35_incremental_hll_maintenance",
+    doc="streaming continuous aggregate for HLL registers: day partials "
+    "maintained incrementally across two drains + a replayed file "
+    "(maintain_partials_incrementally), rolled up to monthly estimates "
+    "== full SQL rebuild",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+             {_DUCK_HLL_H} AS h
+      FROM events
+    ),
+    r AS (
+      SELECT bucket, h % 256 AS idx,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT bucket, idx, MAX(rho) AS max_rho FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT bucket, COUNT(*) AS n_present,
+             SUM(pow(2.0, -max_rho)) AS s_present
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT bucket,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+               / ((256 - n_present) * 1.0 + s_present) AS e_raw,
+             256 - n_present AS v
+      FROM agg
+    ),
+    fin AS (
+      SELECT bucket,
+             CASE WHEN e_raw <= 640.0 AND v > 0
+                  THEN ROUND(256.0 * ln(256.0 / v), 2)
+                  ELSE ROUND(e_raw, 2) END AS est_distinct,
+             CASE WHEN e_raw <= 640.0 AND v > 0 THEN 'linear' ELSE 'raw' END
+               AS est_branch
+      FROM est
+    )
+    SELECT f.bucket, f.est_distinct, f.est_branch, x.n_exact
+    FROM fin f
+    JOIN (SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+                 COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY 1) x USING (bucket)
+    """,
+)
+def et35_incremental_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.operators.sketch import hll_estimate, hll_merge, hll_partials
+    from etl_batch_spark.streaming.events import maintain_partials_incrementally
+
+    tmp = tempfile.mkdtemp(prefix="et35_hll_")
+    try:
+        src = os.path.join(tmp, "src")
+        store = os.path.join(tmp, "store")
+        ck = os.path.join(tmp, "ck")
+        os.makedirs(src)
+
+        e = load_table(spark, sf_dir, "events")
+        half = F.coalesce(F.pmod(F.col("event_id"), F.lit(2)), F.lit(0))
+
+        def stage_half(k: int) -> str:
+            stage = os.path.join(tmp, f"stage{k}")
+            e.filter(half == k).coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            return part
+
+        def build(batch: DataFrame) -> DataFrame:
+            return hll_partials(
+                batch, key_col="user_id", bucket=F.date_trunc("DAY", F.col("ts"))
+            )
+
+        def merge(both: DataFrame) -> DataFrame:
+            return hll_merge(both, F.col("bucket"))
+
+        part0, part1 = stage_half(0), stage_half(1)
+        kwargs = dict(build=build, merge=merge)
+        shutil.copyfile(part0, os.path.join(src, "events_a.parquet"))
+        maintain_partials_incrementally(spark, src, store, ck, **kwargs)
+        shutil.copyfile(part1, os.path.join(src, "events_b.parquet"))
+        maintain_partials_incrementally(spark, src, store, ck, **kwargs)
+        # replay: same path, same contents, new mtime — the checkpoint
+        # must treat the file as consumed and deliver zero batches
+        shutil.copyfile(part0, os.path.join(src, "events_a.parquet"))
+        replayed = maintain_partials_incrementally(spark, src, store, ck, **kwargs)
+        if replayed != 0:
+            raise AssertionError(
+                f"replayed source file re-delivered {replayed} batches; "
+                "exactly-once file tracking is broken"
+            )
+
+        out_schema = (
+            "bucket timestamp, est_distinct double, est_branch string, "
+            "n_exact bigint"
+        )
+        if not os.path.isdir(store):
+            # an entirely file-less source never creates the store
+            return spark.createDataFrame([], out_schema)
+        month = hll_merge(
+            spark.read.parquet(store), F.date_trunc("MONTH", F.col("bucket"))
+        )
+        est = hll_estimate(month)
+        exact = e.groupBy(F.date_trunc("MONTH", F.col("ts")).alias("bucket")).agg(
+            F.countDistinct("user_id").alias("n_exact")
+        )
+        return est.join(exact, "bucket").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et36 — fact-scale partitioned MERGE (operators/merge.py::
+# merge_upsert_partitioned): the orders projection laid out as a
+# partitionBy(o_orderstatus) table absorbs an update batch that touches
+# ONLY the 'O' partition — updates (+1000.00 on %7==3, exact 2dp so no
+# ROUND boundary), deletes (%7==4), inserts (keys shifted past the
+# fact's range on %7==5) — while 'F'/'P' (and any NULL-status Hive
+# default partition) carry through UNREAD: the query asserts every
+# untouched partition's files are byte-identical (md5) before
+# returning, then the oracle replays the merge as per-row set algebra.
+# Updates are DISTINCT-folded per key on both sides (exact-duplicate
+# corpora).  This is the 100 TB merge plan: cost tracks the update's
+# partition footprint, never the table size.
+# ---------------------------------------------------------------------------
+@query(
+    "et36_partitioned_merge",
+    doc="touched-partition-only MERGE: update/insert/delete in one "
+    "partition, untouched partitions byte-identical "
+    "(operators.merge.merge_upsert_partitioned)",
+    oracle="""
+    WITH upd AS (
+      SELECT DISTINCT
+             CASE WHEN o_orderkey % 7 = 5
+                  THEN o_orderkey + 50000000 ELSE o_orderkey END AS o_orderkey,
+             o_totalprice + 1000.0 AS price,
+             (o_orderkey % 7 = 4) AS is_del
+      FROM orders
+      WHERE o_orderstatus = 'O' AND o_orderkey % 7 IN (3, 4, 5)
+    ),
+    merged AS (
+      SELECT t.o_orderkey, t.o_totalprice AS price, t.o_orderstatus
+      FROM orders t
+      WHERE t.o_orderstatus IS DISTINCT FROM 'O'
+         OR NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, price, 'O' AS o_orderstatus
+      FROM upd WHERE NOT is_del
+    )
+    SELECT o_orderkey, ROUND(price, 2) AS price, o_orderstatus
+    FROM merged
+    """,
+)
+def et36_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.operators.merge import merge_upsert_partitioned
+
+    tmp = tempfile.mkdtemp(prefix="et36_merge_")
+    target = os.path.join(tmp, "target")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "o_orderstatus",
+        )
+        o.write.partitionBy("o_orderstatus").parquet(target)
+
+        def partition_digests(skip_value: str) -> "dict[str, str]":
+            out = {}
+            for d in os.listdir(target):
+                full = os.path.join(target, d)
+                if not os.path.isdir(full) or d == f"o_orderstatus={skip_value}":
+                    continue
+                for name in sorted(os.listdir(full)):
+                    p = os.path.join(full, name)
+                    if os.path.isfile(p):
+                        with open(p, "rb") as f:
+                            out[f"{d}/{name}"] = hashlib.md5(f.read()).hexdigest()
+            return out
+
+        before = partition_digests("O")
+        updates = (
+            o.filter(
+                (F.col("o_orderstatus") == "O")
+                & (F.col("o_orderkey") % 7).isin(3, 4, 5)
+            )
+            .select(
+                F.when(
+                    F.col("o_orderkey") % 7 == 5,
+                    F.col("o_orderkey") + 50000000,
+                )
+                .otherwise(F.col("o_orderkey"))
+                .alias("o_orderkey"),
+                (F.col("price") + 1000.0).alias("price"),
+                (F.col("o_orderkey") % 7 == 4).alias("is_del"),
+                F.lit("O").alias("o_orderstatus"),
+            )
+            .distinct()
+        )
+        rewritten = merge_upsert_partitioned(
+            spark, target, updates, ["o_orderkey"],
+            partition_col="o_orderstatus", delete_col="is_del",
+        )
+        if [v for v in rewritten if v != "O"]:
+            raise AssertionError(f"untouched partitions rewritten: {rewritten}")
+        after = partition_digests("O")
+        if before != after:
+            raise AssertionError(
+                "untouched partition files changed: "
+                f"{sorted(set(before.items()) ^ set(after.items()))[:4]}"
+            )
+        # schema pinned: a zero-row source writes no partition dirs at
+        # all (the e0 corpus), leaving nothing to infer from
+        back = (
+            spark.read.schema("o_orderkey bigint, price double, o_orderstatus string")
+            .parquet(target)
+            .select(
+                "o_orderkey",
+                F.round("price", 2).alias("price"),
+                "o_orderstatus",
+            )
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et37 — vacuum retention horizon (sources/txlog.py::vacuum/read): three
+# small appends + a compaction, then (1) vacuum(retain_versions=2) must
+# delete NOTHING — the pre-compaction files are still referenced by the
+# retained version — (2) vacuum(retain_versions=1) deletes exactly the
+# superseded files, after which the pre-compaction snapshot REFUSES
+# cleanly (the retention-horizon error, not a scan-time path-not-found)
+# while HEAD still reads bit-identical contents (what the oracle
+# hashes), and (3) a second vacuum is a no-op (idempotent).  Every
+# assertion failure raises, so the driver sees it as an err row.
+# ---------------------------------------------------------------------------
+@query(
+    "et37_vacuum_retention",
+    doc="vacuum respects the retention horizon (retain=2 deletes nothing, "
+    "retain=1 deletes superseded files, time travel past the horizon "
+    "refuses cleanly, contents invariant; sources.txlog.TxTable)",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def et37_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="et37_txtable_")
+    try:
+        t = TxTable(spark, tmp)
+        bucket = F.coalesce(F.pmod(F.col("c_custkey"), F.lit(3)), F.lit(2))
+        for residue in (0, 1, 2):  # v0..v2: three small appends
+            t.append(c.filter(bucket == residue))
+        t.compact(target_files=2)  # v3
+        # retain=2 keeps v2's snapshot, which references every
+        # pre-compaction file: nothing is deletable
+        if t.vacuum(retain_versions=2):
+            raise AssertionError("vacuum(retain=2) deleted retained files")
+        t.read(version=2)  # still resolvable
+        removed = t.vacuum(retain_versions=1)
+        if not removed:
+            raise AssertionError("vacuum(retain=1) removed nothing")
+        try:
+            t.read(version=2)
+            raise AssertionError("read past the vacuum horizon did not refuse")
+        except ValueError as exc:
+            if "vacuum" not in str(exc):
+                raise
+        if t.vacuum(retain_versions=1):
+            raise AssertionError("second vacuum was not a no-op")
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

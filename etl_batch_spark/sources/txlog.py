@@ -214,10 +214,30 @@ class TxTable:
 
     def read(self, version: "int | None" = None) -> DataFrame:
         """Snapshot read: resolve the file list from the log (never a
-        filesystem listing), then read exactly those files."""
+        filesystem listing), then read exactly those files.
+
+        Time travel is bounded by the vacuum retention horizon: an
+        explicit ``version=`` read first checks the resolved files still
+        exist and refuses cleanly when vacuum() has removed any — the
+        alternative is a confusing scan-time path-not-found from deep
+        inside the reader.  The check costs one stat per file, paid only
+        on explicit time-travel reads (the CURRENT snapshot can never
+        reference vacuumed files: vacuum always retains it)."""
         files = self._active_files(version)
         if not files:
             raise ValueError(f"table {self.path} has no data at version {version}")
+        if version is not None:
+            gone = [
+                f for f in files
+                if not os.path.exists(os.path.join(self.path, f))
+            ]
+            if gone:
+                raise ValueError(
+                    f"snapshot at version {version} references "
+                    f"{len(gone)} file(s) removed by vacuum() "
+                    f"(e.g. {gone[0]}); time travel is bounded by the "
+                    "vacuum retention horizon"
+                )
         return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
 
     def changes(
