@@ -129,10 +129,17 @@ def main() -> None:
     # the headline total divided by the host-speed ratio this run's
     # cpu probe shows against the probe recorded in BENCH_r05.json
     # (cpu=0.101) — so calibrated totals compare directly across
-    # rounds without hand-computing probe ratios.  SCALE.md
-    # ("Cross-round bench comparability") documents the formula and
-    # why cpu is the chosen axis.
+    # rounds without hand-computing probe ratios.  Round 6 showed the
+    # probes can DIVERGE (cpu fell 22% while scan_shuffle stayed flat),
+    # inflating shuffle-dominated queries by up to 1.5× under cpu-only
+    # normalization — so `calibrated_total_scan` carries the same
+    # total normalized by the scan_shuffle probe (r5 anchor 0.203).
+    # Read the one matching the workload: cpu for expression-bound
+    # queries, scan for scan/shuffle-bound; when the two disagree the
+    # truth is between them.  SCALE.md ("Cross-round bench
+    # comparability") documents both formulas.
     ref_cpu = 0.101
+    ref_scan = 0.203
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -146,6 +153,10 @@ def main() -> None:
         "calibration": cal,
         "calibrated_total": round(sum(timings.values()) / (cal["cpu"] / ref_cpu), 3),
         "ref_cpu": ref_cpu,
+        "calibrated_total_scan": round(
+            sum(timings.values()) / (cal["scan_shuffle"] / ref_scan), 3
+        ),
+        "ref_scan_shuffle": ref_scan,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
