@@ -853,3 +853,63 @@ def ogg_metadata_census(
 
     schema = _with_id_field(OGG_CENSUS_SCHEMA, df, id_col)
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+FLAC_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("total_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def flac_metadata_census(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """FLAC container/frame census (llmops/flac.py::parse_flac):
+    metadata-block walk (STREAMINFO, VorbisComment) plus the
+    CRC-8-validated frame-header walk per payload — sample rate / bit
+    depth / channel routing, EXACT duration (total_samples/rate, both
+    integers), walked frame count cross-checked against the declared
+    sample total, and ARTIST/TITLE tags.  Same narrow-map, never-dies
+    shape as :func:`mp3_frame_census`."""
+    from etl_batch_spark.llmops.flac import FlacError, parse_flac
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    rows.append((None,) * 8 + ("NullPayload: payload is NULL",))
+                    continue
+                try:
+                    i = parse_flac(bytes(p))
+                    rows.append((
+                        i.sample_rate, i.channels, i.bits_per_sample,
+                        i.total_samples, i.duration_s, i.n_frames,
+                        i.comments.get("ARTIST"), i.comments.get("TITLE"),
+                        None,
+                    ))
+                except FlacError as exc:
+                    rows.append((None,) * 8 + (f"FlacError: {exc}",))
+            cols = [f.name for f in FLAC_CENSUS_SCHEMA.fields if f.name != "doc_id"]
+            out = {id_col: pdf[id_col].values}
+            for j, c in enumerate(cols):
+                out[c] = [r[j] for r in rows]
+            yield pd.DataFrame(out)
+
+    schema = _with_id_field(FLAC_CENSUS_SCHEMA, df, id_col)
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

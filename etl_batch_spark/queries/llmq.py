@@ -3426,6 +3426,105 @@ def mm09_ogg_metadata_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm10 — FLAC container/frame census through the REAL codec
+# (llmops/flac.py): spec-valid FLAC streams (STREAMINFO + VorbisComment
+# blocks, frame headers with correct CRC-8, md5-derived parameters)
+# fabricated per doc, then parse_flac walks every metadata block and
+# every frame header (sync + CRC-8 + coded-number consistency),
+# cross-checks walked samples against STREAMINFO, and the oracle
+# predicts every census field in closed form.  The last frame is
+# md5-derived SHORTER than the block size, so the walk must read the
+# per-frame 16-bit block-size field, not assume uniformity.  Duration
+# is an UNROUNDED int/int double division — IEEE-identical
+# cross-engine.  A doc with NULL source omits ARTIST entirely,
+# round-tripping to NULL on both sides (the mm09 rule).
+# ---------------------------------------------------------------------------
+@query(
+    "mm10_flac_frame_census",
+    doc="real FLAC metadata+frame walk census: exact duration, bit depth, "
+    "frame count, tags via llmops.multimodal.flac_metadata_census",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source, substr(text, 1, 12) AS title,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT % 6 AS r_idx,
+             CAST(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 2 AS INT)
+               AS channels,
+             ('0x' || substr(md5(text), 5, 2))::BIGINT % 3 AS b_idx,
+             ('0x' || substr(md5(text), 7, 2))::BIGINT % 3 AS k_idx,
+             2 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 20 AS n_frames,
+             ('0x' || substr(md5(text), 13, 4))::BIGINT AS last_h
+      FROM documents WHERE text IS NOT NULL
+    ),
+    q AS (
+      SELECT *,
+             CAST(CASE r_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                             WHEN 2 THEN 32000 WHEN 3 THEN 22050
+                             WHEN 4 THEN 96000 ELSE 11025 END AS INT)
+               AS sample_rate,
+             CAST(CASE b_idx WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 8 END AS INT)
+               AS bits_per_sample,
+             CASE k_idx WHEN 0 THEN 1024 WHEN 1 THEN 2048 ELSE 4096 END
+               AS block
+      FROM p
+    ),
+    r AS (
+      SELECT *, (n_frames - 1) * block + 1 + last_h % block AS total_samples
+      FROM q
+    )
+    SELECT doc_id, sample_rate, channels, bits_per_sample,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(total_samples AS BIGINT) AS total_samples,
+           CAST(total_samples AS DOUBLE) / sample_rate AS duration_s,
+           source AS artist, title
+    FROM r
+    """,
+)
+def mm10_flac_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _synth(texts, sources):
+        import hashlib
+
+        import pandas as pd
+
+        from etl_batch_spark.llmops.flac import encode_flac
+
+        rates = [44100, 48000, 32000, 22050, 96000, 11025]
+        bit_depths = [16, 24, 8]
+        block_sizes = [1024, 2048, 4096]
+
+        def one(t: str, src) -> bytes:
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            block = block_sizes[int(h[6:8], 16) % 3]
+            comments = {"TITLE": t[:12]}
+            if src is not None:
+                comments["ARTIST"] = src
+            return encode_flac(
+                n_frames=2 + int(h[8:12], 16) % 20,
+                block_size=block,
+                last_block=1 + int(h[12:16], 16) % block,
+                sample_rate=rates[int(h[0:2], 16) % 6],
+                channels=1 + int(h[2:4], 16) % 2,
+                bits=bit_depths[int(h[4:6], 16) % 3],
+                comments=comments,
+                payload_bytes=24,
+            )
+
+        return pd.Series([one(t, s) for t, s in zip(texts, sources)])
+
+    synth = F.pandas_udf(_synth, "binary")
+
+    docs = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", synth(F.col("text"), F.col("source")).alias("payload"))
+    )
+    walked = multimodal.flac_metadata_census(docs)
+    return walked.select(
+        "doc_id", "sample_rate", "channels", "bits_per_sample",
+        "n_frames", "total_samples", "duration_s", "artist", "title",
+    )
+
+
+# ---------------------------------------------------------------------------
 # tx21 — the Gopher quality-rule set (Rae et al. 2021) as a single
 # native pass (llmops/text.py::gopher_rules): word-count bounds, mean
 # word length, symbol ratio, bullet/ellipsis line fractions, alphabetic

@@ -1131,3 +1131,31 @@ class TestOggMetadataCensus:
         assert (ok["artist"], ok["title"]) == ("a", "t") and ok["error"] is None
         assert out[2]["codec"] is None and "CRC" in out[2]["error"]
         assert out[3]["error"].startswith("NullPayload")
+
+
+class TestFlacMetadataCensus:
+    def test_census_and_quarantine(self, spark):
+        from etl_batch_spark.llmops.flac import encode_flac
+        from etl_batch_spark.llmops.multimodal import flac_metadata_census
+
+        good = encode_flac(n_frames=4, block_size=1024, last_block=500,
+                           sample_rate=22050, channels=2, bits=24,
+                           comments={"ARTIST": "a", "TITLE": "t"})
+        corrupt = bytearray(good)
+        # STREAMINFO rate byte: frames now contradict the stream header
+        corrupt[18] ^= 0xFF
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, corrupt), (3, None)],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in flac_metadata_census(df).collect()}
+        ok = out[1]
+        assert (ok["sample_rate"], ok["channels"], ok["bits_per_sample"]) == (
+            22050, 2, 24,
+        )
+        assert ok["total_samples"] == 3 * 1024 + 500
+        assert ok["duration_s"] == (3 * 1024 + 500) / 22050
+        assert ok["n_frames"] == 4
+        assert (ok["artist"], ok["title"]) == ("a", "t") and ok["error"] is None
+        assert out[2]["sample_rate"] is None and "FlacError" in out[2]["error"]
+        assert out[3]["error"].startswith("NullPayload")

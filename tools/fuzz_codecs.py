@@ -24,7 +24,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from etl_batch_spark.llmops import avi, bmp, gif, jpeg, mp3, oggv, png, pnm, wav  # noqa: E402
+from etl_batch_spark.llmops import avi, bmp, flac, gif, jpeg, mp3, oggv, png, pnm, wav  # noqa: E402
 from etl_batch_spark.llmops.mediainfo import probe_media  # noqa: E402
 
 
@@ -67,6 +67,14 @@ def _bases():
                               id3v2_bytes=48, xing=True),
             mp3.encode_frames(n_frames=10, bitrate_kbps=32,
                               sample_rate=16000, channels=1, layer=2),
+        ]),
+        ("flac", flac.parse_flac, flac.FlacError, [
+            flac.encode_flac(n_frames=12, block_size=1024, last_block=300,
+                             sample_rate=44100, channels=2, bits=16,
+                             comments={"ARTIST": "fz", "TITLE": "t"},
+                             payload_bytes=32),
+            flac.encode_flac(n_frames=6, block_size=512, sample_rate=11025,
+                             channels=1, bits=24, payload_bytes=16),
         ]),
         ("oggv", oggv.parse_ogg, oggv.OggError, [
             oggv.encode_ogg(codec="vorbis", sample_rate=22050, channels=1,
