@@ -479,6 +479,9 @@ def st09_incremental_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFram
             # e0 corpus: a zero-row source file still drains, but an
             # entirely absent one never creates dst
             return spark.createDataFrame([], out_schema)
+        # explicit schema: zero-row drains leave dst with no partition
+        # dirs to infer from; the batch_id partition column is excluded
+        # by not naming it
         back = spark.read.schema(out_schema).parquet(dst).select(
             *[f.name for f in out_schema.fields]
         )

@@ -425,6 +425,17 @@ def ingest_incrementally(
     approximates with duplicate-run checks + loader file lists
     (pkg_batch_util_body.sql:219–247, 1163–1251).
 
+    The sink lands each micro-batch in a ``batch_id=N`` partition with
+    dynamic partition overwrite (the ``write_idempotent_batches``
+    layout) rather than a bare append: ``foreachBatch`` is only
+    AT-LEAST-once per batch — a crash between the sink write and the
+    checkpoint commit re-runs the same batch_id on restart, and an
+    append sink would then hold the batch twice.  The partition
+    overwrite makes the replay rewrite its own output instead
+    (tests/test_streaming.py pins the torn-crash path).  Readers take
+    ``spark.read.parquet(dst_dir)`` as usual; ``batch_id`` rides along
+    as a partition column they may drop.
+
     At 100 TB the file listing is the bottleneck — cap per-batch intake
     with ``maxFilesPerTrigger`` upstream or partition ``src_dir`` by
     arrival date; state stays O(files seen), on storage, not memory.
@@ -438,7 +449,13 @@ def ingest_incrementally(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        batch_df.write.mode("append").parquet(dst_dir)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dst_dir)
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)

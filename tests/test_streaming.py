@@ -361,6 +361,45 @@ class TestIncrementalIngest:
         got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
         assert got == [1, 2, 3]
 
+    def test_torn_crash_replay_does_not_double_load(self, spark, tmp_path):
+        """foreachBatch is at-least-once per batch: a crash AFTER the
+        sink wrote but BEFORE the checkpoint commit re-runs the same
+        batch_id on restart.  Simulated by deleting the batch's commit
+        marker; the batch_id-partition overwrite layout must absorb the
+        replay instead of appending the batch twice."""
+        import os
+
+        from etl_batch_spark.streaming.events import ingest_incrementally
+        from pyspark.sql import types as T
+
+        src, dst, cp = (str(tmp_path / n) for n in ("s3", "d3", "c3"))
+        schema = T.StructType([T.StructField("id", T.LongType())])
+        spark.createDataFrame([(1,), (2,)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ingest_incrementally(spark, src, dst, cp, schema=schema)
+        spark.createDataFrame([(3,), (4,)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ingest_incrementally(spark, src, dst, cp, schema=schema)
+        assert sorted(r["id"] for r in spark.read.parquet(dst).collect()) == [
+            1, 2, 3, 4,
+        ]
+        # torn crash: offsets/1 exists, sink ran, commits/1 lost (the
+        # Hadoop-side .crc twin must go too or the checksum FS balks)
+        last = max(
+            n for n in os.listdir(os.path.join(cp, "commits"))
+            if not n.startswith(".")
+        )
+        os.remove(os.path.join(cp, "commits", last))
+        crc = os.path.join(cp, "commits", f".{last}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        n3 = ingest_incrementally(spark, src, dst, cp, schema=schema)
+        assert n3 == 1  # the batch re-runs...
+        got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+        assert got == [1, 2, 3, 4]  # ...but the sink held exactly-once
+
     def test_transform_applies_per_batch(self, spark, tmp_path):
         from etl_batch_spark.streaming.events import ingest_incrementally
         from pyspark.sql import types as T
