@@ -30,77 +30,70 @@ from __future__ import annotations
 # a real value-hash oracle.
 ROWS_ONLY_OK: frozenset[str] = frozenset()
 
-# Round 6 window (rotated from CORRECTNESS_r05.json, 50/50 green —
-# every registry query is driver-green at its latest check; this and
-# all future windows are pure re-verification plus round additions):
-# the 19 rows whose latest check is still round 1 lead (ss01/ss02
-# first — they ceded their round-5 slots to st01/st02; et21 next,
-# its bitmap packing changed output-bearing code in the round-5
-# negids fix), then 31 of the 47 round-2-stale rows, non-q modules
-# most exposed to the round-3/4/5 plan rewrites (dedup/similarity/
-# sketch/multimodal/pipelines) before core q rows.  The round-6
-# additions (st03-st06 streaming — incl. the first applyInPandasWith-
-# State and stream-stream-join entries under the hash gate — et29 IVM,
-# et30 time travel, et31 merge upsert; never driver-checked) lead the
-# window, as do mm08/mm09 (real MP3/Ogg codec census), st07 (sliding
-# windows), et32/et33 (change feed, compaction invariance) and tx21
-# (Gopher quality rules), ev18 (RFM scoring), pipe06 (audio curation
-# through the real codecs), st08 (exactly-once file sink) and et34
-# (ZORDER invariance) and ev19 (inter-arrival cadence); the eighteen
-# rows they displaced (q12/q15/q16/q22/q23/q26/q27/q85/q93/q97
-# r2-green; tx16 r3-green; ss07/ss08/ss10/ss11/tx15/tx17/tx19
-# r2-r5-green) join the round-7 refill.
+# Round 7 window (rotated from CORRECTNESS_r06.json, 50/50 green —
+# cumulative 232/232 driver-green at latest check).  Leads: the five
+# round-7 additions (st09 exactly-once multi-trigger ingest replay —
+# the first multi-trigger streaming behavior under the gate; et35
+# incremental HLL maintenance vs full rebuild; et36 touched-partition
+# MERGE with byte-identical untouched partitions; et37 vacuum
+# retention horizon; mm10 FLAC frame census) plus mm08, whose schema
+# and oracle changed this round (trailing_bytes column, CRC-protected
+# Xing fixtures).  Then the round-6 verdict's staleness refill: all 34
+# rows whose latest driver check is round 2 — four rounds of plan
+# rewrites sit between that check and HEAD (q04-q08, q10, q12,
+# q14-q17, q20, q22-q27, q30-q34, q85, q93, q97, ss07/ss08/ss10/ss11,
+# tx15-tx17, tx19) — and the 10 oldest round-3 rows in registry order.
 DRIVER_WINDOW: list[str] = [
-    "st03_stream_static_enrich",
-    "st04_streaming_sessions",
-    "st05_streaming_funnel",
-    "st06_stream_stream_attribution",
+    "st09_incremental_ingest_replay",
+    "et35_incremental_hll_maintenance",
+    "et36_partitioned_merge",
+    "et37_vacuum_retention",
+    "mm10_flac_frame_census",
     "mm08_mp3_frame_census",
-    "mm09_ogg_metadata_census",
-    "st07_streaming_sliding_windows",
-    "et32_change_feed",
-    "et33_compaction_invariance",
-    "tx21_gopher_rules",
-    "ev18_rfm_segments",
-    "pipe06_audio_curation",
-    "st08_streaming_file_sink",
-    "et34_zorder_invariance",
-    "ev19_interarrival_stats",
-    "et29_ivm_apply_feed",
-    "et30_time_travel",
-    "et31_merge_upsert",
-    "ss01_cosine_topk",
-    "ss02_lsh_bucketed_ann",
-    "et21_bitmap_distinct",
-    "et02_profile_columns",
-    "et03_fk_audit",
-    "et05_hierarchy_levels",
-    "et08_snapshot_diff",
-    "et09_expectations",
-    "et14_mad_outliers",
-    "et15_triangle_count",
-    "et18_sequence_gaps",
-    "et19_benford_audit",
-    "dd01_dedup_exact",
-    "dd02_fingerprint",
-    "dd05_simhash",
-    "dd06_embedding_neardup",
-    "ss03_ivf_ann",
-    "tx01_text_stats",
-    "tx02_langid",
-    "dd11_hot_span_scrub",
-    "dd12_semantic_dedup",
-    "et16_lttb_downsample",
-    "et17_skew_profile",
-    "et22_ewma_smoothing",
-    "et25_count_min_freq",
-    "ev15_peak_concurrency",
-    "mm01_decode_resize",
-    "mm05_patch_grid",
-    "pipe02_rag_corpus",
-    "sm11_shuffle_order",
-    "ss04_kmeans_clusters",
-    "ss05_doc_pagerank",
+    "ss07_mmr_topk",
+    "ss08_label_centroids",
+    "ss10_pq_ann",
+    "ss11_random_projection",
+    "tx15_rag_chunks",
+    "tx16_inverted_postings",
+    "tx17_bigram_lm_score",
+    "tx19_vocab_heavy_hitters",
+    "q04_next_run_id",
+    "q05_date_trunc_daily",
+    "q06_latest_order_per_customer",
+    "q07_exists_semi_join",
+    "q08_not_exists_anti_join",
+    "q10_decode_status_matrix",
+    "q12_topk_orders",
+    "q14_string_agg_ordered",
+    "q15_window_running",
+    "q16_rollup",
+    "q17_cube",
+    "q20_json_props",
+    "q22_asof_join",
+    "q23_range_join_bands",
+    "q24_full_outer_join",
+    "q25_pivot_linestatus",
+    "q26_percentiles",
+    "q27_sessionize",
+    "q85_null_ordering",
+    "q93_try_function_surface",
+    "q97_skyline_pareto",
+    "q30_field_counter",
+    "q31_nth_field",
+    "q32_atoi_priority",
+    "q33_datediff_hms",
+    "q34_check_date_codes",
+    "q02_point_lookup",
+    "q03_min_default",
+    "q11_prefix_match",
+    "q13_union_all_branches",
+    "q18_intersect",
+    "q19_except",
+    "q21_explode_words",
+    "q36_forecast_revenue",
+    "q37_from_json_map",
+    "q40_grouping_sets",
 ]
 
 # ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
@@ -115,27 +108,53 @@ DRIVER_WINDOW: list[str] = [
 # with no output change since).  Deprioritized to the back of the
 # registry so the driver window reaches unchecked queries first.
 DRIVER_GREEN: list[str] = [
+    "dd01_dedup_exact",
+    "dd02_fingerprint",
     "dd03_ngram_jaccard",
     "dd04_minhash_lsh",
+    "dd05_simhash",
+    "dd06_embedding_neardup",
     "dd07_neardup_clusters",
     "dd08_incremental_dedup",
     "dd09_containment",
     "dd10_winnow_pairs",
+    "dd11_hot_span_scrub",
+    "dd12_semantic_dedup",
     "dd13_lsh_dedup_recall",
     "et01_scd2_merge",
+    "et02_profile_columns",
+    "et03_fk_audit",
     "et04_rollup_cascade",
+    "et05_hierarchy_levels",
     "et06_table_checksum",
     "et07_sketch_rollup",
+    "et08_snapshot_diff",
+    "et09_expectations",
     "et10_apply_changelog",
     "et11_fuzzy_match",
     "et12_fifo_allocation",
     "et13_incremental_agg",
+    "et14_mad_outliers",
+    "et15_triangle_count",
+    "et16_lttb_downsample",
+    "et17_skew_profile",
+    "et18_sequence_gaps",
+    "et19_benford_audit",
     "et20_point_in_time_join",
+    "et21_bitmap_distinct",
+    "et22_ewma_smoothing",
     "et23_portable_hll",
     "et24_histogram_quantiles",
+    "et25_count_min_freq",
     "et26_psi_drift",
     "et27_cusum_changepoints",
     "et28_audience_bitmap_ops",
+    "et29_ivm_apply_feed",
+    "et30_time_travel",
+    "et31_merge_upsert",
+    "et32_change_feed",
+    "et33_compaction_invariance",
+    "et34_zorder_invariance",
     "ev01_funnel",
     "ev02_retention_cohorts",
     "ev03_active_users",
@@ -150,56 +169,31 @@ DRIVER_GREEN: list[str] = [
     "ev12_windowed_funnel",
     "ev13_last_touch_attribution",
     "ev14_linear_attribution",
+    "ev15_peak_concurrency",
     "ev16_ab_test_zscore",
     "ev17_markov_attribution",
+    "ev18_rfm_segments",
+    "ev19_interarrival_stats",
+    "mm01_decode_resize",
     "mm02_frame_sample",
     "mm03_window_energy",
     "mm04_phash_neardup",
+    "mm05_patch_grid",
     "mm06_decode_audio_stats",
     "mm07_media_triage",
+    "mm09_ogg_metadata_census",
     "pipe01_training_mix",
+    "pipe02_rag_corpus",
     "pipe03_curation_report",
     "pipe04_pretraining_mix",
     "pipe05_multimodal_curation",
+    "pipe06_audio_curation",
     "q01_pricing_summary",
-    "q02_point_lookup",
-    "q03_min_default",
-    "q04_next_run_id",
-    "q05_date_trunc_daily",
-    "q06_latest_order_per_customer",
-    "q07_exists_semi_join",
-    "q08_not_exists_anti_join",
     "q09_multiway_join_revenue",
     "q100_window_rank_surface",
-    "q10_decode_status_matrix",
-    "q11_prefix_match",
-    "q12_topk_orders",
-    "q13_union_all_branches",
-    "q14_string_agg_ordered",
-    "q15_window_running",
-    "q16_rollup",
-    "q17_cube",
-    "q18_intersect",
-    "q19_except",
-    "q20_json_props",
-    "q21_explode_words",
-    "q22_asof_join",
-    "q23_range_join_bands",
-    "q24_full_outer_join",
-    "q25_pivot_linestatus",
-    "q26_percentiles",
-    "q27_sessionize",
-    "q30_field_counter",
-    "q31_nth_field",
-    "q32_atoi_priority",
-    "q33_datediff_hms",
-    "q34_check_date_codes",
     "q35_shipping_priority",
-    "q36_forecast_revenue",
-    "q37_from_json_map",
     "q38_approx_aggregates",
     "q39_decimal_exact",
-    "q40_grouping_sets",
     "q41_lag_lead",
     "q42_small_qty_revenue",
     "q43_customer_distribution",
@@ -244,7 +238,6 @@ DRIVER_GREEN: list[str] = [
     "q82_not_in_null_semantics",
     "q83_variant_props",
     "q84_udtf_split_fields",
-    "q85_null_ordering",
     "q86_aggregate_surface",
     "q87_lateral_topn",
     "q88_union_evolving_schema",
@@ -252,11 +245,9 @@ DRIVER_GREEN: list[str] = [
     "q90_xml_roundtrip",
     "q91_running_distinct",
     "q92_period_over_period",
-    "q93_try_function_surface",
     "q94_rolling_median",
     "q95_salted_skew_join",
     "q96_pandas_udaf_geomean",
-    "q97_skyline_pareto",
     "q98_grouped_regression",
     "q99_merged_order_spans",
     "sm01_hash_sample",
@@ -269,15 +260,27 @@ DRIVER_GREEN: list[str] = [
     "sm08_train_val_test_split",
     "sm09_cluster_safe_split",
     "sm10_calibrated_quality",
+    "sm11_shuffle_order",
+    "ss01_cosine_topk",
+    "ss02_lsh_bucketed_ann",
+    "ss03_ivf_ann",
+    "ss04_kmeans_clusters",
+    "ss05_doc_pagerank",
     "ss06_array_lambda_surface",
     "ss09_centroid_confusion",
-    "ss10_pq_ann",
-    "ss11_random_projection",
     "ss12_ann_recall",
     "ss13_multitable_ann",
     "ss14_hard_negatives",
     "st01_streaming_window_counts",
     "st02_streaming_dedup",
+    "st03_stream_static_enrich",
+    "st04_streaming_sessions",
+    "st05_streaming_funnel",
+    "st06_stream_stream_attribution",
+    "st07_streaming_sliding_windows",
+    "st08_streaming_file_sink",
+    "tx01_text_stats",
+    "tx02_langid",
     "tx03_token_count",
     "tx04_quality_score",
     "tx05_winnow_fingerprints",
@@ -289,12 +292,9 @@ DRIVER_GREEN: list[str] = [
     "tx12_batch_inference",
     "tx13_regexp_surface",
     "tx14_bm25_search",
-    "tx15_rag_chunks",
-    "tx16_inverted_postings",
-    "tx17_bigram_lm_score",
     "tx18_nextfit_packing",
-    "tx19_vocab_heavy_hitters",
     "tx20_feature_hashing",
+    "tx21_gopher_rules",
 ]
 
 
