@@ -913,3 +913,76 @@ def flac_metadata_census(
 
     schema = _with_id_field(FLAC_CENSUS_SCHEMA, df, id_col)
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+MP4_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("movie_duration_s", T.DoubleType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("video_duration_s", T.DoubleType()),
+        T.StructField("video_samples", T.LongType()),
+        T.StructField("audio_codec", T.StringType()),
+        T.StructField("audio_channels", T.IntegerType()),
+        T.StructField("audio_rate", T.IntegerType()),
+        T.StructField("audio_duration_s", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def mp4_track_census(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """MP4/ISO-BMFF census (llmops/mp4.py::parse_mp4): full box-tree +
+    sample-table walk per payload — brand and codec routing, EXACT
+    per-track durations (mdhd units / timescale, cross-checked against
+    stts), video dimensions and frame counts, audio channels/rate.
+    First video and first audio track reported (crawls overwhelmingly
+    carry one of each).  Same narrow-map, never-dies shape as
+    :func:`mp3_frame_census`."""
+    from etl_batch_spark.llmops.mp4 import Mp4Error, parse_mp4
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    rows.append((None,) * 12 + ("NullPayload: payload is NULL",))
+                    continue
+                try:
+                    i = parse_mp4(bytes(p))
+                    vid = next((t for t in i.tracks if t.handler == "vide"), None)
+                    aud = next((t for t in i.tracks if t.handler == "soun"), None)
+                    rows.append((
+                        i.major_brand, i.n_tracks, i.movie_duration_s,
+                        vid.codec if vid else None,
+                        vid.width if vid else None,
+                        vid.height if vid else None,
+                        vid.duration_s if vid else None,
+                        vid.n_samples if vid else None,
+                        aud.codec if aud else None,
+                        aud.channels if aud else None,
+                        aud.sample_rate if aud else None,
+                        aud.duration_s if aud else None,
+                        None,
+                    ))
+                except Mp4Error as exc:
+                    rows.append((None,) * 12 + (f"Mp4Error: {exc}",))
+            cols = [f.name for f in MP4_CENSUS_SCHEMA.fields if f.name != "doc_id"]
+            out = {id_col: pdf[id_col].values}
+            for j, c in enumerate(cols):
+                out[c] = [r[j] for r in rows]
+            yield pd.DataFrame(out)
+
+    schema = _with_id_field(MP4_CENSUS_SCHEMA, df, id_col)
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -1159,3 +1159,48 @@ class TestFlacMetadataCensus:
         assert (ok["artist"], ok["title"]) == ("a", "t") and ok["error"] is None
         assert out[2]["sample_rate"] is None and "FlacError" in out[2]["error"]
         assert out[3]["error"].startswith("NullPayload")
+
+
+class TestMp4TrackCensus:
+    def test_census_and_quarantine(self, spark):
+        from etl_batch_spark.llmops.mp4 import encode_mp4
+        from etl_batch_spark.llmops.multimodal import mp4_track_census
+
+        good = encode_mp4(
+            video=dict(n_samples=48, timescale=24000, sample_delta=1001,
+                       width=640, height=360),
+            audio=dict(n_samples=94, timescale=44100, sample_delta=1024,
+                       channels=2, sample_rate=44100),
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(good[: len(good) // 2])),
+             (3, None)],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in mp4_track_census(df).collect()}
+        ok = out[1]
+        assert ok["major_brand"] == "isom" and ok["n_tracks"] == 2
+        assert (ok["video_codec"], ok["width"], ok["height"]) == ("avc1", 640, 360)
+        assert ok["video_duration_s"] == 48 * 1001 / 24000
+        assert ok["video_samples"] == 48
+        assert (ok["audio_codec"], ok["audio_channels"], ok["audio_rate"]) == (
+            "mp4a", 2, 44100,
+        )
+        assert ok["audio_duration_s"] == 94 * 1024 / 44100
+        assert ok["error"] is None
+        assert out[2]["n_tracks"] is None and "Mp4Error" in out[2]["error"]
+        assert out[3]["error"].startswith("NullPayload")
+
+    def test_audio_only_payload_has_null_video_columns(self, spark):
+        from etl_batch_spark.llmops.mp4 import encode_mp4
+        from etl_batch_spark.llmops.multimodal import mp4_track_census
+
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_mp4(audio=dict(
+                n_samples=10, timescale=8000, sample_delta=160,
+                channels=1, sample_rate=8000))))],
+            "doc_id long, payload binary",
+        )
+        (row,) = mp4_track_census(df).collect()
+        assert row["video_codec"] is None and row["width"] is None
+        assert row["audio_duration_s"] == 10 * 160 / 8000

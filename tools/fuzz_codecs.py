@@ -24,7 +24,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from etl_batch_spark.llmops import avi, bmp, flac, gif, jpeg, mp3, oggv, png, pnm, wav  # noqa: E402
+from etl_batch_spark.llmops import avi, bmp, flac, gif, jpeg, mp3, mp4, oggv, png, pnm, wav  # noqa: E402
 from etl_batch_spark.llmops.mediainfo import probe_media  # noqa: E402
 
 
@@ -67,6 +67,17 @@ def _bases():
                               id3v2_bytes=48, xing=True),
             mp3.encode_frames(n_frames=10, bitrate_kbps=32,
                               sample_rate=16000, channels=1, layer=2),
+        ]),
+        ("mp4", mp4.parse_mp4, mp4.Mp4Error, [
+            mp4.encode_mp4(
+                video=dict(n_samples=24, timescale=24000, sample_delta=1001,
+                           width=320, height=180),
+                audio=dict(n_samples=40, timescale=44100, sample_delta=1024,
+                           channels=2, sample_rate=44100),
+            ),
+            mp4.encode_mp4(audio=dict(n_samples=16, timescale=8000,
+                                      sample_delta=160, channels=1,
+                                      sample_rate=8000)),
         ]),
         ("flac", flac.parse_flac, flac.FlacError, [
             flac.encode_flac(n_frames=12, block_size=1024, last_block=300,
