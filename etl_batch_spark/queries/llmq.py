@@ -3525,6 +3525,110 @@ def mm10_flac_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm11 — MP4/ISO-BMFF track census through the REAL codec
+# (llmops/mp4.py): spec-valid MP4s (full box tree, real stts/stsz/
+# stsc/stco sample tables, md5-derived parameters; ~half also carry an
+# audio track) fabricated per doc, then parse_mp4 walks every box,
+# cross-checks stts against stsz and the mdhd declaration, and the
+# oracle predicts every field in closed form.  Durations are UNROUNDED
+# int/int double divisions; the movie duration is the max track
+# duration rescaled by INTEGER floor division to the 1000-unit movie
+# timescale — the oracle replays both exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "mm11_mp4_track_census",
+    doc="real MP4 box+sample-table walk census: exact per-track durations, "
+    "codec/dims/rate via llmops.multimodal.mp4_track_census",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             16 * (20 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 40)
+               AS width,
+             16 * (12 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 30)
+               AS height,
+             24 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 240
+               AS v_samples,
+             CASE ('0x' || substr(md5(text), 9, 2))::BIGINT % 3
+                  WHEN 0 THEN 1001 WHEN 1 THEN 1000 ELSE 800 END AS v_delta,
+             ('0x' || substr(md5(text), 11, 2))::BIGINT % 2 = 1 AS has_audio,
+             CAST(1 + ('0x' || substr(md5(text), 13, 2))::BIGINT % 2 AS INT)
+               AS a_channels,
+             CASE ('0x' || substr(md5(text), 15, 2))::BIGINT % 3
+                  WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 16000 END AS a_rate,
+             40 + ('0x' || substr(md5(text), 17, 4))::BIGINT % 200
+               AS a_samples
+      FROM documents WHERE text IS NOT NULL
+    ),
+    q AS (
+      SELECT *,
+             v_samples * v_delta AS v_units,
+             a_samples * 1024 AS a_units
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN has_audio THEN 2 ELSE 1 END AS INT) AS n_tracks,
+           CAST(GREATEST(v_units * 1000 // 24000,
+                         CASE WHEN has_audio THEN a_units * 1000 // a_rate
+                              ELSE 0 END) AS DOUBLE) / 1000 AS movie_duration_s,
+           'avc1' AS video_codec,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(v_units AS DOUBLE) / 24000 AS video_duration_s,
+           CAST(v_samples AS BIGINT) AS video_samples,
+           CASE WHEN has_audio THEN a_channels END AS audio_channels,
+           CASE WHEN has_audio THEN CAST(a_rate AS INT) END AS audio_rate,
+           CASE WHEN has_audio
+                THEN CAST(a_units AS DOUBLE) / a_rate END AS audio_duration_s
+    FROM q
+    """,
+)
+def mm11_mp4_track_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _synth(texts):
+        import hashlib
+
+        from etl_batch_spark.llmops.mp4 import encode_mp4
+
+        deltas = [1001, 1000, 800]
+        rates = [44100, 48000, 16000]
+
+        def one(t: str) -> bytes:
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            video = dict(
+                n_samples=24 + int(h[4:8], 16) % 240,
+                timescale=24000,
+                sample_delta=deltas[int(h[8:10], 16) % 3],
+                width=16 * (20 + int(h[0:2], 16) % 40),
+                height=16 * (12 + int(h[2:4], 16) % 30),
+            )
+            audio = None
+            if int(h[10:12], 16) % 2 == 1:
+                rate = rates[int(h[14:16], 16) % 3]
+                audio = dict(
+                    n_samples=40 + int(h[16:20], 16) % 200,
+                    timescale=rate,
+                    sample_delta=1024,
+                    channels=1 + int(h[12:14], 16) % 2,
+                    sample_rate=rate,
+                )
+            return encode_mp4(video=video, audio=audio, mdat_bytes=16)
+
+        return texts.map(one)
+
+    synth = F.pandas_udf(_synth, "binary")
+
+    docs = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", synth(F.col("text")).alias("payload"))
+    )
+    walked = multimodal.mp4_track_census(docs)
+    return walked.select(
+        "doc_id", "n_tracks", "movie_duration_s", "video_codec",
+        "width", "height", "video_duration_s", "video_samples",
+        "audio_channels", "audio_rate", "audio_duration_s",
+    )
+
+
+# ---------------------------------------------------------------------------
 # tx21 — the Gopher quality-rule set (Rae et al. 2021) as a single
 # native pass (llmops/text.py::gopher_rules): word-count bounds, mean
 # word length, symbol ratio, bullet/ellipsis line fractions, alphabetic
