@@ -2395,3 +2395,108 @@ def et37_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et38 — VERSIONED continuous aggregate across multiple triggers
+# (streaming/events.py::maintain_partials_versioned over the numeric
+# day-rollup family): the events table is split into two source files,
+# each drained in its own availableNow run, every micro-batch merge
+# landing as one TxTable commit whose metadata records the batch id —
+# replay detection lives inside the atomic commit, and the rollup's
+# history is time-travelable per batch.  The query itself asserts the
+# multi-trigger contract (one commit per drain, replayed file delivers
+# nothing, read(version=0) equals a recomputation of batch 0's partials
+# on bucket/key/count — int columns only; float sums are compared at
+# HEAD through the oracle), then the oracle rebuilds the final rollup
+# from scratch.  et35's sibling: same trigger discipline, numeric
+# family, versioned store instead of marker-file store.
+# ---------------------------------------------------------------------------
+@query(
+    "et38_versioned_rollup_maintenance",
+    doc="TxTable-versioned streaming rollup across two drains + a replayed "
+    "file; per-batch time travel asserted in-query; final state == full "
+    "SQL rebuild (streaming.events.maintain_partials_versioned)",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def et38_versioned_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.operators.rollup import _merge_partials, _partials_from_raw
+    from etl_batch_spark.streaming.events import maintain_partials_versioned
+
+    tmp = tempfile.mkdtemp(prefix="et38_vroll_")
+    try:
+        src = os.path.join(tmp, "src")
+        table_path = os.path.join(tmp, "table")
+        ck = os.path.join(tmp, "ck")
+        os.makedirs(src)
+
+        e = load_table(spark, sf_dir, "events")
+        half = F.coalesce(F.pmod(F.col("event_id"), F.lit(2)), F.lit(0))
+
+        def stage_half(k: int) -> str:
+            stage = os.path.join(tmp, f"stage{k}")
+            e.filter(half == k).coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            return part
+
+        def build(batch: DataFrame) -> DataFrame:
+            return _partials_from_raw(
+                batch, ts_col="ts", key_cols=("event_type",),
+                value_col="value", level="day",
+            )
+
+        def merge(both: DataFrame) -> DataFrame:
+            return _merge_partials(both, key_cols=("event_type",), level="day")
+
+        part0, part1 = stage_half(0), stage_half(1)
+        kwargs = dict(build=build, merge=merge)
+        shutil.copyfile(part0, os.path.join(src, "events_a.parquet"))
+        _, t = maintain_partials_versioned(spark, src, table_path, ck, **kwargs)
+        if t.latest_version() != 0 or (t.latest_meta() or {}).get("batch_id") != 0:
+            raise AssertionError(f"drain 1 did not land as commit v0: {t.history()}")
+        shutil.copyfile(part1, os.path.join(src, "events_b.parquet"))
+        maintain_partials_versioned(spark, src, table_path, ck, **kwargs)
+        if t.latest_version() != 1:
+            raise AssertionError(f"drain 2 did not land as commit v1: {t.history()}")
+        shutil.copyfile(part0, os.path.join(src, "events_a.parquet"))
+        replayed, _ = maintain_partials_versioned(
+            spark, src, table_path, ck, **kwargs
+        )
+        if replayed != 0 or t.latest_version() != 1:
+            raise AssertionError(
+                f"replayed file re-committed ({replayed} batches, "
+                f"head v{t.latest_version()})"
+            )
+        # per-batch time travel: v0 is exactly batch 0's partials.
+        # Compare on (bucket, event_type, n) — deterministic integers;
+        # float sums are checked at HEAD through the oracle's rebuild
+        v0 = t.read(version=0).select("bucket", "event_type", "n")
+        b0 = merge(build(e.filter(half == 0))).select("bucket", "event_type", "n")
+        if v0.exceptAll(b0).count() or b0.exceptAll(v0).count():
+            raise AssertionError("read(version=0) != batch-0 recomputation")
+
+        out = t.read().select(
+            "bucket",
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round("sum_v", 2).alias("sum_value"),
+            F.round("min_v", 2).alias("min_value"),
+            F.round("max_v", 2).alias("max_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
