@@ -42,9 +42,10 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # rows whose latest driver check is round 2 — four rounds of plan
 # rewrites sit between that check and HEAD (q04-q08, q10, q12,
 # q14-q17, q20, q22-q27, q30-q34, q85, q93, q97, ss07/ss08/ss10/ss11,
-# tx15-tx17, tx19) — 8 of the oldest round-3 rows in registry order,
-# then the two late round-7 additions et38 (TxTable-versioned rollup
-# maintenance) and mm11 (MP4 track census) in the final slots.
+# tx15-tx17, tx19) — 7 of the oldest round-3 rows in registry order,
+# then the three late round-7 additions st10 (streaming upsert with
+# tombstones), et38 (TxTable-versioned rollup maintenance) and mm11
+# (MP4 track census) in the final slots.
 DRIVER_WINDOW: list[str] = [
     "st09_incremental_ingest_replay",
     "et35_incremental_hll_maintenance",
@@ -93,7 +94,7 @@ DRIVER_WINDOW: list[str] = [
     "q18_intersect",
     "q19_except",
     "q21_explode_words",
-    "q36_forecast_revenue",
+    "st10_streaming_upsert_tombstones",
     "et38_versioned_rollup_maintenance",
     "mm11_mp4_track_census",
 ]

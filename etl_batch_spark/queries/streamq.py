@@ -488,3 +488,80 @@ def st09_incremental_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFram
         return back.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st10_streaming_upsert_tombstones",
+    doc="row-level streaming MERGE across multiple triggers under the hash "
+    "gate (streaming.events.upsert_latest_versioned): two availableNow "
+    "drains over split event files fold latest-wins per user into a "
+    "TxTable (one commit per batch, replay detection in the commit "
+    "metadata), a replayed source file must commit nothing, and the "
+    "tombstone-aware live view (keys whose LATEST event is a 'purchase' "
+    "delete are absent) is value-hash compared against the batch "
+    "latest-per-key fold.  Tombstones stay in stored state so an older "
+    "late event can never resurrect a deleted key — the oracle sees that "
+    "only through the final filter, which is the point: multi-batch "
+    "latest-wins == single-pass latest-wins",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                        event_type DESC NULLS LAST, value DESC NULLS LAST
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, ts, event_id, event_type, value
+    FROM latest
+    WHERE rn = 1 AND event_type IS DISTINCT FROM 'purchase'
+    """,
+)
+def st10_streaming_upsert_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.streaming.events import upsert_latest_versioned
+
+    tmp = tempfile.mkdtemp(prefix="st10_upsert_")
+    try:
+        src = os.path.join(tmp, "src")
+        table_path = os.path.join(tmp, "table")
+        ck = os.path.join(tmp, "ck")
+        os.makedirs(src)
+
+        e = load_table(spark, sf_dir, "events")
+        half = F.coalesce(F.pmod(F.col("event_id"), F.lit(2)), F.lit(0))
+
+        def stage_half(k: int) -> str:
+            stage = os.path.join(tmp, f"stage{k}")
+            e.filter(half == k).coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            return part
+
+        part0, part1 = stage_half(0), stage_half(1)
+        kwargs = dict(key_col="user_id", delete_type="purchase")
+        shutil.copyfile(part0, os.path.join(src, "events_a.parquet"))
+        _, t, live = upsert_latest_versioned(spark, src, table_path, ck, **kwargs)
+        if t.latest_version() != 0:
+            raise AssertionError(f"drain 1 did not land as commit v0: {t.history()}")
+        shutil.copyfile(part1, os.path.join(src, "events_b.parquet"))
+        upsert_latest_versioned(spark, src, table_path, ck, **kwargs)
+        if t.latest_version() != 1:
+            raise AssertionError(f"drain 2 did not land as commit v1: {t.history()}")
+        shutil.copyfile(part0, os.path.join(src, "events_a.parquet"))
+        replayed, _, live = upsert_latest_versioned(
+            spark, src, table_path, ck, **kwargs
+        )
+        if replayed != 0 or t.latest_version() != 1:
+            raise AssertionError(
+                f"replayed file re-committed ({replayed} batches, "
+                f"head v{t.latest_version()})"
+            )
+        out = live().select("user_id", "ts", "event_id", "event_type", "value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
