@@ -114,6 +114,77 @@ def _id3v2_size(d: bytes) -> int:
     return 0
 
 
+def _id3_text(payload: bytes) -> str:
+    """Decode an ID3v2 text frame body: 1 encoding byte + text.
+    Encodings per the spec: 0 Latin-1, 1 UTF-16 w/ BOM, 2 UTF-16BE,
+    3 UTF-8.  Terminators and padding NULs are stripped."""
+    if not payload:
+        return ""
+    enc = payload[0]
+    body = payload[1:]
+    try:
+        if enc == 0:
+            text = body.decode("latin-1")
+        elif enc == 1:
+            text = body.decode("utf-16")
+        elif enc == 2:
+            text = body.decode("utf-16-be")
+        elif enc == 3:
+            text = body.decode("utf-8")
+        else:
+            raise Mp3Error(f"unknown ID3v2 text encoding {enc}")
+    except UnicodeDecodeError as exc:
+        raise Mp3Error(f"undecodable ID3v2 text frame: {exc}") from exc
+    return text.rstrip("\x00")
+
+
+def parse_id3v2_frames(d: bytes) -> "dict[str, str]":
+    """Text frames of a leading ID3v2.3/2.4 tag as {frame_id: text}
+    (TIT2 title, TPE1 artist, TALB album, ...).  Empty dict when no
+    tag is present.  v2.4 frame sizes are syncsafe; v2.3 are plain
+    big-endian — the version byte selects.  Non-text frames (APIC
+    art, COMM comments, ...) are skipped structurally; unsupported
+    majors (v2.2's 3-byte ids) return {} rather than misparse."""
+    if len(d) < 10 or d[:3] != b"ID3":
+        return {}
+    major = d[3]
+    if major not in (3, 4):
+        return {}
+    total = _id3v2_size(d)
+    at = 10
+    if d[5] & 0x40:  # extended header: skip by its declared size
+        if at + 4 > total:
+            raise Mp3Error("truncated ID3v2 extended header")
+        ext = (
+            (d[at] << 21) | (d[at + 1] << 14) | (d[at + 2] << 7) | d[at + 3]
+            if major == 4
+            else int.from_bytes(d[at:at + 4], "big") + 4
+        )
+        at += ext if major == 4 else ext
+    end = total - (10 if d[5] & 0x10 else 0)
+    out: "dict[str, str]" = {}
+    while at + 10 <= end:
+        fid = d[at:at + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            raise Mp3Error(f"invalid ID3v2 frame id at offset {at}")
+        raw = d[at + 4:at + 8]
+        if major == 4:
+            if (raw[0] | raw[1] | raw[2] | raw[3]) & 0x80:
+                raise Mp3Error("ID3v2.4 frame size is not syncsafe")
+            fsize = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+        else:
+            fsize = int.from_bytes(raw, "big")
+        body_at = at + 10
+        if body_at + fsize > end:
+            raise Mp3Error(f"ID3v2 frame {fid!r} overruns the tag")
+        if fid[:1] == b"T" and fid != b"TXXX":
+            out[fid.decode("ascii")] = _id3_text(d[body_at:body_at + fsize])
+        at = body_at + fsize
+    return out
+
+
 def _parse_header(d: bytes, pos: int) -> Mp3Frame:
     if pos + 4 > len(d):
         raise Mp3Error(f"truncated frame header at offset {pos}")
@@ -302,6 +373,7 @@ def encode_frames(
     channels: int = 2,
     layer: int = 3,
     id3v2_bytes: int = 0,
+    id3_tags: "dict[str, str] | None" = None,
     xing: bool = False,
     crc: bool = False,
     fill: int = 0xA5,
@@ -322,7 +394,24 @@ def encode_frames(
     vgroup = 0 if version == 3 else 1
     rates = bitrate_kbps if isinstance(bitrate_kbps, list) else [bitrate_kbps]
     out = bytearray()
-    if id3v2_bytes:
+    if id3_tags:
+        # real ID3v2.4 text frames (UTF-8, syncsafe frame sizes)
+        frames_body = bytearray()
+        for fid, text in id3_tags.items():
+            if len(fid) != 4 or not fid.startswith("T"):
+                raise ValueError(f"only 4-char T* text frame ids, got {fid!r}")
+            fbody = b"\x03" + text.encode("utf-8")
+            n = len(fbody)
+            frames_body += fid.encode("ascii") + bytes(
+                [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+            ) + b"\x00\x00" + fbody
+        pad = max(0, id3v2_bytes - 10 - len(frames_body))
+        body = len(frames_body) + pad
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(body >> 21) & 0x7F, (body >> 14) & 0x7F, (body >> 7) & 0x7F, body & 0x7F]
+        )
+        out += frames_body + bytes(pad)
+    elif id3v2_bytes:
         if id3v2_bytes < 10:
             raise ValueError("id3v2_bytes must be 0 or >= 10")
         body = id3v2_bytes - 10

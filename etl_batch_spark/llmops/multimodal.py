@@ -747,6 +747,8 @@ MP3_CENSUS_SCHEMA = T.StructType(
         T.StructField("bitrate_kbps_mode", T.IntegerType()),
         T.StructField("vbr_tag", T.StringType()),
         T.StructField("trailing_bytes", T.LongType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("title", T.StringType()),
         T.StructField("error", T.StringType()),
     ]
 )
@@ -767,8 +769,14 @@ def mp3_frame_census(
     string.  The walk runs trailing-tolerant: trailing junk, an APEv2
     tag, or a truncated last frame keeps the validated prefix stats
     and reports the unconsumed tail in ``trailing_bytes`` instead of
-    quarantining the whole payload."""
-    from etl_batch_spark.llmops.mp3 import Mp3Error, parse_frames
+    quarantining the whole payload.  ID3v2.3/2.4 text frames supply
+    artist (TPE1) and title (TIT2), completing the tag story across
+    the audio census family (Ogg/FLAC carry VorbisComments)."""
+    from etl_batch_spark.llmops.mp3 import (
+        Mp3Error,
+        parse_frames,
+        parse_id3v2_frames,
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -777,17 +785,19 @@ def mp3_frame_census(
             rows: list[tuple] = []
             for p in pdf[payload_col]:
                 if p is None:
-                    rows.append((None,) * 10 + ("NullPayload: payload is NULL",))
+                    rows.append((None,) * 12 + ("NullPayload: payload is NULL",))
                     continue
                 try:
                     i = parse_frames(bytes(p), tolerate_trailing=True)
+                    tags = parse_id3v2_frames(bytes(p))
                     rows.append((
                         i.sample_rate, i.channels, i.n_frames, i.duration_s,
                         i.is_vbr, i.bitrate_kbps_min, i.bitrate_kbps_max,
-                        i.bitrate_kbps_mode, i.vbr_tag, i.trailing_bytes, None,
+                        i.bitrate_kbps_mode, i.vbr_tag, i.trailing_bytes,
+                        tags.get("TPE1"), tags.get("TIT2"), None,
                     ))
                 except Mp3Error as exc:
-                    rows.append((None,) * 10 + (f"Mp3Error: {exc}",))
+                    rows.append((None,) * 12 + (f"Mp3Error: {exc}",))
             cols = [f.name for f in MP3_CENSUS_SCHEMA.fields if f.name != "doc_id"]
             out = {id_col: pdf[id_col].values}
             for j, c in enumerate(cols):

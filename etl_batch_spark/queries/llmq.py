@@ -3251,7 +3251,7 @@ def pipe05_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llmops.multimodal.mp3_frame_census over structurally-real payloads",
     oracle="""
     WITH p AS (
-      SELECT doc_id,
+      SELECT doc_id, source, substr(text, 1, 16) AS title,
              ('0x' || substr(md5(text), 1, 2))::BIGINT % 6 AS r_idx,
              CAST(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 2 AS INT)
                AS channels,
@@ -3281,19 +3281,22 @@ def pipe05_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN is_vbr THEN 128 ELSE 96 END AS INT) AS kbps_max,
            CAST(CASE WHEN is_vbr THEN 64 ELSE 96 END AS INT) AS kbps_mode,
            CASE WHEN is_vbr THEN 'Xing' ELSE NULL END AS vbr_tag,
-           CAST(trailing_bytes AS BIGINT) AS trailing_bytes
+           CAST(trailing_bytes AS BIGINT) AS trailing_bytes,
+           source AS artist, title
     FROM q
     """,
 )
 def mm08_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def _synth(texts):
+    def _synth(texts, sources):
         import hashlib
+
+        import pandas as pd
 
         from etl_batch_spark.llmops.mp3 import encode_frames
 
         rates = [44100, 48000, 32000, 22050, 24000, 16000]
 
-        def one(t: str) -> bytes:
+        def one(t: str, src) -> bytes:
             h = hashlib.md5(t.encode("utf-8")).hexdigest()
             rate = rates[int(h[0:2], 16) % 6]
             channels = 1 + int(h[2:4], 16) % 2
@@ -3307,24 +3310,30 @@ def mm08_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             trailing = (
                 3 + int(h[14:16], 16) % 13 if int(h[12:14], 16) % 3 == 0 else 0
             )
+            # real ID3v2.4 text frames: TIT2 always, TPE1 only when the
+            # source is non-NULL (the mm09 NULL round-trip rule)
+            tags = {"TIT2": t[:16]}
+            if src is not None:
+                tags["TPE1"] = src
             return encode_frames(
                 n_frames=n_frames,
                 bitrate_kbps=[64, 128] if vbr else 96,
                 sample_rate=rate,
                 channels=channels,
                 layer=3,
+                id3_tags=tags,
                 xing=vbr,
                 crc=crc,
             ) + b"\x00" * trailing
 
-        return texts.map(one)
+        return pd.Series([one(t, s) for t, s in zip(texts, sources)])
 
     synth = F.pandas_udf(_synth, "binary")
 
     docs = (
         _documents(spark, sf_dir)
         .filter(F.col("text").isNotNull())
-        .select("doc_id", synth(F.col("text")).alias("payload"))
+        .select("doc_id", synth(F.col("text"), F.col("source")).alias("payload"))
     )
     walked = multimodal.mp3_frame_census(docs)
     return walked.select(
@@ -3339,6 +3348,8 @@ def mm08_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bitrate_kbps_mode").alias("kbps_mode"),
         "vbr_tag",
         "trailing_bytes",
+        "artist",
+        "title",
     )
 
 

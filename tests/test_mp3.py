@@ -129,6 +129,71 @@ class TestCodec:
         assert info.vbr_tag_frames == 4
 
 
+class TestId3v2Frames:
+    def test_v24_utf8_round_trip(self):
+        from etl_batch_spark.llmops.mp3 import parse_id3v2_frames
+
+        d = encode_frames(n_frames=3, sample_rate=44100,
+                          id3_tags={"TIT2": "Hello", "TPE1": "Wörld ñ"})
+        assert parse_id3v2_frames(d) == {"TIT2": "Hello", "TPE1": "Wörld ñ"}
+        # the frame walk still sees the tag as an opaque skip region
+        info = parse_frames(d)
+        assert info.n_frames == 3 and info.id3v2_bytes > 10
+
+    def test_v23_latin1_and_utf16(self):
+        """v2.3 frames carry PLAIN big-endian sizes (not syncsafe) and
+        the Latin-1/UTF-16 encodings — hand-assembled per the spec."""
+        from etl_batch_spark.llmops.mp3 import parse_id3v2_frames
+
+        def frame(fid, body):
+            return fid + struct.pack(">I", len(body)) + b"\x00\x00" + body
+
+        frames = frame(b"TIT2", b"\x00Latin") + frame(
+            b"TPE1", b"\x01" + "ütf16".encode("utf-16")
+        )
+        n = len(frames)
+        tag = b"ID3\x03\x00\x00" + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        ) + frames
+        assert parse_id3v2_frames(tag) == {"TIT2": "Latin", "TPE1": "ütf16"}
+
+    def test_padding_only_tag_and_absent_tag(self):
+        from etl_batch_spark.llmops.mp3 import parse_id3v2_frames
+
+        assert parse_id3v2_frames(
+            encode_frames(n_frames=1, sample_rate=44100, id3v2_bytes=64)
+        ) == {}
+        assert parse_id3v2_frames(b"no tag here") == {}
+
+    def test_frame_overrun_is_loud(self):
+        from etl_batch_spark.llmops.mp3 import parse_id3v2_frames
+
+        d = bytearray(encode_frames(n_frames=1, sample_rate=44100,
+                                    id3_tags={"TIT2": "x"}))
+        at = d.find(b"TIT2")
+        d[at + 4:at + 8] = bytes([0x7F] * 4)  # absurd syncsafe size
+        with pytest.raises(Mp3Error, match="overruns"):
+            parse_id3v2_frames(bytes(d))
+
+    def test_non_text_frames_skipped_structurally(self):
+        from etl_batch_spark.llmops.mp3 import parse_id3v2_frames
+
+        def frame(fid, body):
+            n = len(body)
+            size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                          (n >> 7) & 0x7F, n & 0x7F])
+            return fid + size + b"\x00\x00" + body
+
+        frames = frame(b"APIC", b"\x00image/png\x00\x03\x00binary...") + frame(
+            b"TIT2", b"\x03after"
+        )
+        n = len(frames)
+        tag = b"ID3\x04\x00\x00" + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        ) + frames
+        assert parse_id3v2_frames(tag) == {"TIT2": "after"}
+
+
 class TestTolerantTrailing:
     def test_trailing_junk_keeps_walked_prefix(self):
         data = encode_frames(n_frames=5, sample_rate=44100)
