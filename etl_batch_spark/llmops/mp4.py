@@ -387,8 +387,15 @@ def encode_mp4(
         stsz = _full(b"stsz", 0, struct.pack(">II", 0, n)
                      + b"".join(struct.pack(">I", 20 + (i % 7)) for i in range(n)))
         n_chunks = max(1, min(4, n))
-        stsc = _full(b"stsc", 0, struct.pack(">I", 1)
-                     + struct.pack(">III", 1, max(1, n // n_chunks), 1))
+        # stsc must account for exactly n samples across n_chunks chunks:
+        # q per chunk, with the remainder folded into the LAST chunk as a
+        # second run entry (ISO 14496-12 §8.7.4 run-length encoding)
+        q, r = divmod(n, n_chunks)
+        stsc_entries = [(1, q, 1)]
+        if r:
+            stsc_entries.append((n_chunks, q + r, 1))
+        stsc = _full(b"stsc", 0, struct.pack(">I", len(stsc_entries))
+                     + b"".join(struct.pack(">III", *e) for e in stsc_entries))
         stco = _full(b"stco", 0, struct.pack(">I", n_chunks)
                      + b"".join(struct.pack(">I", 4096 + 512 * i)
                                 for i in range(n_chunks)))

@@ -789,7 +789,14 @@ def mp3_frame_census(
                     continue
                 try:
                     i = parse_frames(bytes(p), tolerate_trailing=True)
-                    tags = parse_id3v2_frames(bytes(p))
+                    # tag parse is best-effort: a malformed ID3v2 frame
+                    # must not discard validated frame-walk stats
+                    # (parse_frames only skips the tag wholesale and
+                    # never validates its frames)
+                    try:
+                        tags = parse_id3v2_frames(bytes(p))
+                    except Mp3Error:
+                        tags = {}
                     rows.append((
                         i.sample_rate, i.channels, i.n_frames, i.duration_s,
                         i.is_vbr, i.bitrate_kbps_min, i.bitrate_kbps_max,

@@ -441,10 +441,13 @@ def st09_incremental_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFram
 
         def stage_half(k: int) -> str:
             """One flat parquet file holding the pmod(event_id,2)==k half
-            (pmod: negids corpora sign-flip event_id)."""
+            (pmod: negids corpora sign-flip event_id; coalesce: NULL
+            event_id rows must land in a half, not vanish — et33 lesson,
+            matching et35/et38/st10)."""
             stage = os.path.join(tmp, f"stage{k}")
+            half = F.coalesce(F.pmod(F.col("event_id"), F.lit(2)), F.lit(0))
             (
-                base.filter(F.pmod(F.col("event_id"), F.lit(2)) == k)
+                base.filter(half == k)
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(stage)
