@@ -568,3 +568,114 @@ def st10_streaming_upsert_tombstones(spark: SparkSession, sf_dir: str) -> DataFr
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st11_torn_crash_sink_replay",
+    doc="torn-crash SINK-batch replay under the hash gate "
+    "(streaming.events.ingest_incrementally): st09 proves a replayed "
+    "SOURCE file is a no-op; this pins the other multi-trigger failure "
+    "shape — the sink wrote batch N but the crash landed BEFORE the "
+    "checkpoint's epoch commit, so the restart re-delivers the SAME "
+    "batch id.  Simulated by deleting the checkpoint's last commit "
+    "marker (offsets intact) between drains, exactly the tests-only "
+    "simulation in tests/test_streaming.py promoted to the oracle "
+    "gate.  foreachBatch is only at-least-once per batch, so a bare "
+    "append sink would now hold batch 1 twice; the batch_id-partition "
+    "dynamic overwrite must rewrite its own output instead.  Asserts "
+    "in-query that the replay drain actually re-ran (1 batch — the "
+    "opposite of st09's 0) and the value-hash compare against the "
+    "plain batch oracle catches any double-append (reference "
+    "analogue: restartability/resume, pkg_batch_util_body.sql:632-645)",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           ROUND(value * 3, 2) AS tripled
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def st11_torn_crash_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.streaming.events import ingest_incrementally
+
+    tmp = tempfile.mkdtemp(prefix="st11_torn_")
+    try:
+        src = os.path.join(tmp, "src")
+        dst = os.path.join(tmp, "dst")
+        ck = os.path.join(tmp, "ck")
+        os.makedirs(src)
+
+        base = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_id", "user_id", "event_type", "value")
+        )
+
+        def stage_half(k: int) -> str:
+            """coalesce(pmod): NULL event_id rows must land in a half,
+            not vanish (et33 lesson, same as st09/st10/et35/et38)."""
+            stage = os.path.join(tmp, f"stage{k}")
+            half = F.coalesce(F.pmod(F.col("event_id"), F.lit(2)), F.lit(0))
+            (
+                base.filter(half == k)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            return part
+
+        def transform(s: DataFrame) -> DataFrame:
+            return s.select(
+                "event_id", "user_id", "event_type",
+                F.round(F.col("value") * 3, 2).alias("tripled"),
+            )
+
+        def drop_last_commit() -> bool:
+            """Torn crash: offsets for the epoch exist, its commit marker
+            is lost.  The local ChecksumFs shadows each commit with a
+            .N.crc — drop both.  Returns False when no commit exists to
+            tear (the e0 empty corpus never drains a batch)."""
+            commits_dir = os.path.join(ck, "commits")
+            if not os.path.isdir(commits_dir):
+                return False
+            epochs = [n for n in os.listdir(commits_dir) if n.isdigit()]
+            if not epochs:
+                return False
+            last = max(epochs, key=int)
+            os.remove(os.path.join(commits_dir, last))
+            crc = os.path.join(commits_dir, f".{last}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            return True
+
+        part0, part1 = stage_half(0), stage_half(1)
+        kwargs = dict(schema=base.schema, transform=transform)
+        shutil.copyfile(part0, os.path.join(src, "f0.parquet"))
+        ingest_incrementally(spark, src, dst, ck, **kwargs)
+        shutil.copyfile(part1, os.path.join(src, "f1.parquet"))
+        ingest_incrementally(spark, src, dst, ck, **kwargs)
+
+        out_schema = transform(base).schema
+        if drop_last_commit():
+            # restart after the torn crash: the lost epoch MUST re-run
+            # (not skip), and its batch_id-partition overwrite must
+            # rewrite the sink output rather than append a second copy
+            replayed = ingest_incrementally(spark, src, dst, ck, **kwargs)
+            if replayed != 1:
+                raise AssertionError(
+                    f"torn-crash restart re-ran {replayed} batches, "
+                    "expected exactly the one lost epoch"
+                )
+        if not os.path.exists(dst):
+            return spark.createDataFrame([], out_schema)
+        back = spark.read.schema(out_schema).parquet(dst).select(
+            *[f.name for f in out_schema.fields]
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
