@@ -2500,3 +2500,114 @@ def et38_versioned_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et39 — optimistic concurrency on the transaction log
+# (sources/txlog.py::ConcurrentWriteConflict): two writers MERGE into
+# one TxTable from the SAME snapshot.  Writer A lands; writer B's
+# stale commit MUST refuse — a clobber would silently drop A's rows
+# (the lost-update anomaly) — and B's retry from the fresh snapshot
+# serializes behind A.  The reference prevents the race up front with
+# its duplicate-run check (pkg_batch_util_body.sql:219–247, 438–446);
+# conflict-on-commit is the lakehouse-native equivalent when writers
+# cannot coordinate before starting.  The oracle is the sequential
+# application of both merges.  DISTINCT seeds both sides: duplicate-
+# ingestion corpora carry exact full-row copies and MERGE is entity-
+# keyed (per-key), not per-row.
+# ---------------------------------------------------------------------------
+@query(
+    "et39_concurrent_merge_conflict",
+    doc="optimistic-concurrency MERGE race on a TxTable: writer B's "
+    "commit from a stale snapshot raises ConcurrentWriteConflict "
+    "(asserted in-query, as is the exact v0/v1/v2 commit sequence) and "
+    "its recompute-and-retry serializes behind writer A — value-hash "
+    "compared against the sequential application of both merges",
+    oracle="""
+    WITH seed AS (
+      SELECT DISTINCT c_custkey, c_acctbal, c_mktsegment FROM customer
+    )
+    SELECT c_custkey,
+           ROUND(CASE ((c_custkey % 3) + 3) % 3
+                 WHEN 0 THEN c_acctbal + 100
+                 WHEN 1 THEN c_acctbal - 50
+                 ELSE c_acctbal END, 2) AS acctbal,
+           CASE ((c_custkey % 3) + 3) % 3
+                 WHEN 0 THEN 'A_TOUCHED'
+                 WHEN 1 THEN 'B_TOUCHED'
+                 ELSE c_mktsegment END AS segment
+    FROM seed
+    """,
+)
+def et39_concurrent_merge_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.operators.merge import merge_dataframes
+    from etl_batch_spark.sources.txlog import (
+        ConcurrentWriteConflict,
+        TxTable,
+    )
+
+    out_cols = ("c_custkey", "acctbal", "segment")
+    seed = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .distinct()
+    )
+    if not seed.head(1):
+        # e0 corpus: nothing to seed — an empty TxTable refuses read()
+        return spark.createDataFrame([], seed.schema)
+
+    mod3 = F.pmod(F.col("c_custkey"), F.lit(3))
+
+    def merged_with(target: DataFrame, k: int, delta: int, tag: str) -> DataFrame:
+        updates = target.filter(mod3 == k).select(
+            "c_custkey",
+            (F.col("acctbal") + delta).alias("acctbal"),
+            F.lit(tag).alias("segment"),
+        )
+        return merge_dataframes(target, updates, ["c_custkey"])
+
+    tmp = tempfile.mkdtemp(prefix="et39_occ_")
+    try:
+        t = TxTable(spark, os.path.join(tmp, "table"))
+        t.append(seed)  # v0, the shared snapshot
+
+        snap = t.latest_version()
+        # both writers derive their rewrite from snapshot v0
+        a_df = merged_with(t.read(version=snap), 0, 100, "A_TOUCHED")
+        b_df = merged_with(t.read(version=snap), 1, -50, "B_TOUCHED")
+
+        if t.overwrite(a_df, read_version=snap) != 1:
+            raise AssertionError("writer A did not land as commit v1")
+        try:
+            t.overwrite(b_df, read_version=snap)
+            raise AssertionError(
+                "writer B's stale-snapshot commit was accepted — the "
+                "lost-update race went undetected"
+            )
+        except ConcurrentWriteConflict:
+            pass
+        if t.latest_version() != 1:
+            raise AssertionError(
+                "B's refused commit moved the head: "
+                f"v{t.latest_version()} != v1"
+            )
+        # retry: re-read the CURRENT snapshot, recompute, commit behind A
+        fresh = t.latest_version()
+        b_retry = merged_with(t.read(version=fresh), 1, -50, "B_TOUCHED")
+        if t.overwrite(b_retry, read_version=fresh) != 2:
+            raise AssertionError("writer B's retry did not land as commit v2")
+
+        out = t.read().select(
+            "c_custkey", F.round("acctbal", 2).alias("acctbal"), "segment"
+        )
+        return out.select(*out_cols).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

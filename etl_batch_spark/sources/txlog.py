@@ -20,11 +20,19 @@ underneath:
 
 At 100 TB the log is metadata (KBs per commit, file names + counts) —
 table state resolution never lists the filesystem, which is exactly
-what makes S3-scale tables usable.  Concurrency: this implementation
-is single-writer (the engine's batch lifecycle already serializes
-writers per table via DuplicateRun); a multi-writer deployment swaps
-the rename for a conditional put / commit service without changing the
-reader protocol.
+what makes S3-scale tables usable.
+
+Concurrency is optimistic (Delta's protocol shape): each commit claims
+exactly one version slot via an atomic create-if-absent (``os.link``
+locally; a conditional put / commit service on an object store — the
+reader protocol is identical either way).  Blind appends commute and
+auto-retry a lost race at the new head; snapshot-conditioned writes
+(overwrite / merge / compact) carry the version they read and raise
+:class:`ConcurrentWriteConflict` if any commit landed after it — the
+caller re-reads and recomputes, so two racing read-modify-writes
+serialize instead of one silently losing (the reference serializes
+writers up front via its duplicate-run check,
+pkg_batch_util_body.sql:219–247, 438–446).
 """
 
 from __future__ import annotations
@@ -37,6 +45,26 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_txlog"
+
+# blind appends commute, so a lost commit race is retried at the new
+# head; the cap only bounds pathological contention (the staged data
+# is written once — each retry re-writes ~100 bytes of metadata)
+_APPEND_RETRIES = 16
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Another writer committed the version slot this transaction needed.
+
+    Raised instead of silently losing either writer's commit.  Appends
+    auto-retry (they commute); snapshot-conditioned writes (overwrite /
+    merge / compact) surface the conflict so the caller re-reads the
+    now-current snapshot and recomputes — retrying the stale rewrite
+    would undo the other writer's rows.  The reference serializes
+    writers up front with its duplicate-run check
+    (pkg_batch_util_body.sql:219–247, 438–446); optimistic conflict
+    detection is the lakehouse-native equivalent when writers cannot
+    coordinate before starting.
+    """
 
 
 @dataclass(frozen=True)
@@ -94,15 +122,42 @@ class TxTable:
         return sorted(live)
 
     def _commit(self, action: str, added: "list[str]", removed: "list[str]",
-                n_rows: int, meta: "dict | None" = None) -> int:
-        version = self.latest_version() + 1
+                n_rows: int, meta: "dict | None" = None,
+                expected_version: "int | None" = None) -> int:
+        """Write one log entry at exactly one version slot, atomically
+        and WITHOUT clobbering: the visibility point is ``os.link`` of a
+        private tmp file onto ``{version:08d}.json``, which fails with
+        EEXIST when another writer already owns the slot (the local-fs
+        stand-in for an object store's conditional put / a commit
+        service's CAS).  A plain ``os.rename`` here would silently
+        overwrite a racing writer's commit — the lost-update anomaly
+        optimistic concurrency exists to prevent.
+
+        ``expected_version`` pins the slot for snapshot-conditioned
+        writes (overwrite/merge/compact read version N and must land at
+        exactly N+1 — landing later would base the rewrite on a stale
+        snapshot); when None the slot is head+1 at commit time.  Raises
+        :class:`ConcurrentWriteConflict` when the slot is taken.
+        """
+        version = (self.latest_version() + 1
+                   if expected_version is None else expected_version)
         entry = Version(version=version, action=action, added=added,
                         removed=removed, n_rows=n_rows, meta=meta)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(entry.__dict__, f)
-        # the atomic visibility point
-        os.rename(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
+        final = os.path.join(self.log_dir, f"{version:08d}.json")
+        try:
+            # the atomic visibility point (create-if-absent, never clobber)
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentWriteConflict(
+                f"version {version} of {self.path} was committed by a "
+                f"concurrent writer (head is now v{self.latest_version()}); "
+                "re-read the snapshot and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return version
 
     # -- writes ------------------------------------------------------------
@@ -123,12 +178,42 @@ class TxTable:
         return sorted(files), n_rows
 
     def append(self, df: DataFrame, *, meta: "dict | None" = None) -> int:
+        """Blind append.  Appends commute — they add files and remove
+        nothing — so a slot collision with a concurrent writer is
+        retried automatically at the new head (Delta's WriteSerializable
+        rule for AddFile-only transactions).  The staged parquet is
+        written once; only the metadata commit retries."""
         added, n = self._write_files(df)
-        return self._commit("append", added, [], n, meta)
+        for _ in range(_APPEND_RETRIES):
+            try:
+                return self._commit("append", added, [], n, meta)
+            except ConcurrentWriteConflict:
+                continue
+        raise ConcurrentWriteConflict(
+            f"append to {self.path} lost the commit race "
+            f"{_APPEND_RETRIES} times; head is moving too fast"
+        )
 
-    def overwrite(self, df: DataFrame, *, meta: "dict | None" = None) -> int:
+    def overwrite(self, df: DataFrame, *, meta: "dict | None" = None,
+                  read_version: "int | None" = None) -> int:
+        """Replace the snapshot.  Unlike append this does NOT commute:
+        the commit removes the file set of the snapshot it was computed
+        from, so racing writers must not both land.  ``read_version``
+        declares which snapshot ``df`` was derived from (capture it with
+        ``latest_version()`` before reading); the commit then lands at
+        exactly ``read_version + 1`` or raises
+        :class:`ConcurrentWriteConflict` — the caller re-reads the fresh
+        snapshot, recomputes, and retries (optimistic concurrency,
+        serializable for read-modify-write).  When None, the snapshot is
+        resolved at commit time (single-writer legacy path); a slot
+        collision still refuses rather than clobbering."""
+        if read_version is None:
+            read_version = self.latest_version()
         added, n = self._write_files(df)
-        return self._commit("overwrite", added, self._active_files(), n, meta)
+        return self._commit(
+            "overwrite", added, self._active_files(read_version), n, meta,
+            expected_version=read_version + 1,
+        )
 
     def latest_meta(self) -> "dict | None":
         vs = self.versions()
@@ -153,6 +238,7 @@ class TxTable:
         keep snapshot isolation throughout: the clustered rewrite is one
         atomic commit like any other.
         """
+        read_version = self.latest_version()  # CAS anchor for the rewrite
         current = self.read()
         if zorder_cols:
             from etl_batch_spark.sources.io import zorder_key
@@ -174,8 +260,12 @@ class TxTable:
         # sinks' replay/incarnation detection) must still see the state's
         # provenance — dropping it would make the next micro-batch look
         # like a foreign run and wipe the accumulated state
+        # CAS at read_version + 1: a writer landing mid-rewrite means
+        # this compaction was computed from a stale snapshot — removing
+        # its files would drop the concurrent commit's effect
         return self._commit(
-            "compact", added, self._active_files(), n, meta=self.latest_meta()
+            "compact", added, self._active_files(read_version), n,
+            meta=self.latest_meta(), expected_version=read_version + 1,
         )
 
     def vacuum(self, *, retain_versions: int = 1) -> "list[str]":

@@ -743,3 +743,138 @@ class TestTxTable:
         feed = t.changes(-1)
         assert sorted(r["id"] for r in feed.collect()) == list(range(7))
         assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+
+    # -- optimistic concurrency ---------------------------------------
+
+    def _two_writers(self, spark, tmp_path):
+        from etl_batch_spark.sources.txlog import TxTable
+
+        path = str(tmp_path / "tx")
+        return TxTable(spark, path), TxTable(spark, path)
+
+    def test_overwrite_conflict_detected_then_retry_serializes(
+        self, spark, tmp_path
+    ):
+        """Two read-modify-writes from the same snapshot: the second
+        must refuse (not silently clobber the first), and a retry from
+        the fresh snapshot composes both effects."""
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.txlog import ConcurrentWriteConflict
+
+        a, b = self._two_writers(spark, tmp_path)
+        a.append(spark.range(0, 10))
+        snap = a.latest_version()
+        assert snap == b.latest_version()
+        # both writers derive a rewrite from snapshot v0
+        a_df = a.read().withColumn("id", F.col("id") + 100)
+        b_df = b.read().withColumn("id", F.col("id") + 1000)
+        assert a.overwrite(a_df, read_version=snap) == snap + 1
+        with _pytest.raises(ConcurrentWriteConflict):
+            b.overwrite(b_df, read_version=snap)
+        # a's commit is intact — b lost the race, not the table
+        assert sorted(r["id"] for r in b.read().collect()) == list(
+            range(100, 110)
+        )
+        # retry from the fresh snapshot: effects compose serially
+        fresh = b.latest_version()
+        b.overwrite(
+            b.read().withColumn("id", F.col("id") + 1000),
+            read_version=fresh,
+        )
+        assert sorted(r["id"] for r in a.read().collect()) == list(
+            range(1100, 1110)
+        )
+
+    def test_commit_slot_never_clobbers(self, spark, tmp_path):
+        """A direct slot collision must leave the winner's log entry
+        byte-identical — the os.link visibility point cannot overwrite."""
+        import json as _json
+        import os as _os
+
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.txlog import ConcurrentWriteConflict
+
+        a, b = self._two_writers(spark, tmp_path)
+        a.append(spark.range(3))
+        entry_path = _os.path.join(a.log_dir, "00000000.json")
+        with open(entry_path) as f:
+            before = _json.load(f)
+        with _pytest.raises(ConcurrentWriteConflict):
+            b._commit("append", ["data-x/f.parquet"], [], 1,  # noqa: SLF001
+                      expected_version=0)
+        with open(entry_path) as f:
+            assert _json.load(f) == before
+        # no orphaned tmp files from the failed attempt
+        assert not [n for n in _os.listdir(a.log_dir) if n.startswith(".tmp")]
+
+    def test_append_auto_retries_lost_race(self, spark, tmp_path):
+        """Appends commute: a lost slot race re-commits at the new head
+        instead of surfacing a conflict."""
+        a, b = self._two_writers(spark, tmp_path)
+        a.append(spark.range(0, 5))
+
+        # interleave: b resolves its slot, then a commits first
+        # (instance-level patch: a shares the class and must stay real)
+        real_latest = type(b).latest_version
+        calls = {"n": 0}
+
+        def stale_once():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                head = real_latest(b)
+                a.append(spark.range(5, 8))  # a wins the slot b resolved
+                return head
+            return real_latest(b)
+
+        b.latest_version = stale_once
+        try:
+            v = b.append(spark.range(8, 10))
+        finally:
+            del b.latest_version
+        assert v == 2  # landed AFTER a's surprise commit
+        assert sorted(r["id"] for r in a.read().collect()) == list(range(10))
+
+    def test_mid_rewrite_append_conflicts_overwrite_and_compact(
+        self, spark, tmp_path
+    ):
+        """A commit landing while a snapshot rewrite is staging its files
+        must fail that rewrite — committing it would remove the stale
+        snapshot's files and silently drop the interleaved rows."""
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.txlog import ConcurrentWriteConflict
+
+        a, b = self._two_writers(spark, tmp_path)
+        a.append(spark.range(0, 10))
+
+        real_write = type(b)._write_files
+
+        def interleaved(df):
+            # instance-level patch: a shares the class and must stay real
+            files = real_write(b, df)
+            a.append(spark.range(10, 12))  # lands before b's commit
+            return files
+
+        b._write_files = interleaved
+        try:
+            with _pytest.raises(ConcurrentWriteConflict):
+                b.overwrite(b.read().withColumn("id", F.col("id") + 500))
+        finally:
+            del b._write_files
+        # a's interleaved append survived
+        assert sorted(r["id"] for r in a.read().collect()) == list(range(12))
+
+        def interleaved2(df):
+            files = real_write(b, df)
+            a.append(spark.range(12, 14))
+            return files
+
+        b._write_files = interleaved2
+        try:
+            with _pytest.raises(ConcurrentWriteConflict):
+                b.compact(target_files=1)
+        finally:
+            del b._write_files
+        assert sorted(r["id"] for r in a.read().collect()) == list(range(14))
