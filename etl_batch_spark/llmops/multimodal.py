@@ -1003,3 +1003,62 @@ def mp4_track_census(
 
     schema = _with_id_field(MP4_CENSUS_SCHEMA, df, id_col)
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+WEBP_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("variant", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("has_alpha", T.BooleanType()),
+        T.StructField("is_animated", T.BooleanType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("has_exif", T.BooleanType()),
+        T.StructField("has_icc", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def webp_structure_census(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """WebP container census (llmops/webp.py::parse_webp): RIFF chunk
+    walk + VP8/VP8L/VP8X frame headers per payload — variant, canvas
+    dimensions, alpha, animation frame count and total duration, and
+    EXIF/ICC metadata presence.  Header-only (O(chunks) per payload,
+    sample decode quarantined) — same narrow-map, never-dies shape as
+    :func:`mp3_frame_census`; at 100 TB the bound is scan bandwidth."""
+    from etl_batch_spark.llmops.webp import WebpError, parse_webp
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    rows.append((None,) * 9 + ("NullPayload: payload is NULL",))
+                    continue
+                try:
+                    i = parse_webp(bytes(p))
+                    rows.append((
+                        i.variant, i.width, i.height, i.has_alpha,
+                        i.is_animated, i.n_frames, i.duration_ms,
+                        i.has_exif, i.has_icc, None,
+                    ))
+                except WebpError as exc:
+                    rows.append((None,) * 9 + (f"WebpError: {exc}",))
+            cols = [f.name for f in WEBP_CENSUS_SCHEMA.fields if f.name != "doc_id"]
+            out = {id_col: pdf[id_col].values}
+            for j, c in enumerate(cols):
+                out[c] = [r[j] for r in rows]
+            yield pd.DataFrame(out)
+
+    schema = _with_id_field(WEBP_CENSUS_SCHEMA, df, id_col)
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

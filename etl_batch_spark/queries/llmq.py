@@ -3819,3 +3819,98 @@ def pipe06_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp3_stats.unionByName(ogg_stats).unionByName(unknown).filter(
         F.col("n_docs") > 0
     )
+
+
+# ---------------------------------------------------------------------------
+# mm12 — WebP container census through the REAL probe (llmops/webp.py):
+# spec-valid WebP payloads (RIFF framing, VP8 keyframe headers per
+# RFC 6386 §9.1, VP8L lossless headers, VP8X extended files with
+# ANIM/ANMF animation chunks) fabricated per doc from md5(text), then
+# parse_webp's chunk walk extracts variant, canvas dims, alpha,
+# animation frame count + total duration, and EXIF/ICC presence — the
+# oracle predicts every field in closed form.  Extended docs are
+# always animated so the fixture never silently demotes to the simple
+# form; lossless-vs-lossy and all flag bits vary per doc.  Header-only
+# (pixel decode quarantined, like H.264 in mm11) — the last common
+# crawl image payload without a census tier, closing the breadth
+# track.
+# ---------------------------------------------------------------------------
+@query(
+    "mm12_webp_structure_census",
+    doc="real WebP chunk-walk census: variant/dims/alpha/animation/"
+    "metadata via llmops.multimodal.webp_structure_census over "
+    "spec-valid RIFF payloads",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT % 3 AS v_idx,
+             CAST(16 + ('0x' || substr(md5(text), 3, 4))::BIGINT % 4000
+                  AS INT) AS width,
+             CAST(16 + ('0x' || substr(md5(text), 7, 4))::BIGINT % 3000
+                  AS INT) AS height,
+             ('0x' || substr(md5(text), 11, 2))::BIGINT % 2 = 1 AS alpha_bit,
+             CAST(2 + ('0x' || substr(md5(text), 13, 2))::BIGINT % 6
+                  AS INT) AS n_fr,
+             10 * (1 + ('0x' || substr(md5(text), 15, 2))::BIGINT % 50)
+               AS per_ms,
+             ('0x' || substr(md5(text), 17, 2))::BIGINT % 2 = 1 AS exif_bit,
+             ('0x' || substr(md5(text), 19, 2))::BIGINT % 2 = 1 AS icc_bit
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CASE v_idx WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+                ELSE 'extended' END AS variant,
+           width, height,
+           CASE WHEN v_idx = 0 THEN FALSE ELSE alpha_bit END AS has_alpha,
+           v_idx = 2 AS is_animated,
+           CASE WHEN v_idx = 2 THEN n_fr ELSE 1 END AS n_frames,
+           CAST(CASE WHEN v_idx = 2 THEN n_fr * per_ms ELSE 0 END
+                AS BIGINT) AS duration_ms,
+           v_idx = 2 AND exif_bit AS has_exif,
+           v_idx = 2 AND icc_bit AS has_icc
+    FROM p
+    """,
+)
+def mm12_webp_structure_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _synth(texts):
+        import hashlib
+
+        import pandas as pd
+
+        from etl_batch_spark.llmops.webp import encode_webp
+
+        def one(t: str) -> bytes:
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            v_idx = int(h[0:2], 16) % 3
+            width = 16 + int(h[2:6], 16) % 4000
+            height = 16 + int(h[6:10], 16) % 3000
+            alpha = int(h[10:12], 16) % 2 == 1
+            n_fr = 2 + int(h[12:14], 16) % 6
+            per_ms = 10 * (1 + int(h[14:16], 16) % 50)
+            exif = int(h[16:18], 16) % 2 == 1
+            icc = int(h[18:20], 16) % 2 == 1
+            if v_idx == 0:
+                return encode_webp(width=width, height=height)
+            if v_idx == 1:
+                return encode_webp(
+                    width=width, height=height, lossless=True, alpha=alpha
+                )
+            return encode_webp(
+                width=width, height=height, alpha=alpha,
+                frame_durations_ms=[per_ms] * n_fr, exif=exif, icc=icc,
+            )
+
+        return pd.Series([one(t) for t in texts])
+
+    synth = F.pandas_udf(_synth, "binary")
+
+    docs = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", synth(F.col("text")).alias("payload"))
+    )
+    walked = multimodal.webp_structure_census(docs)
+    return walked.select(
+        "doc_id", "variant", "width", "height", "has_alpha", "is_animated",
+        "n_frames", "duration_ms", "has_exif", "has_icc",
+    )

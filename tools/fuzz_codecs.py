@@ -24,7 +24,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from etl_batch_spark.llmops import avi, bmp, flac, gif, jpeg, mp3, mp4, oggv, png, pnm, wav  # noqa: E402
+from etl_batch_spark.llmops import avi, bmp, flac, gif, jpeg, mp3, mp4, oggv, png, pnm, wav, webp  # noqa: E402
 from etl_batch_spark.llmops.mediainfo import probe_media  # noqa: E402
 
 
@@ -86,6 +86,12 @@ def _bases():
                              payload_bytes=32),
             flac.encode_flac(n_frames=6, block_size=512, sample_rate=11025,
                              channels=1, bits=24, payload_bytes=16),
+        ]),
+        ("webp", webp.parse_webp, webp.WebpError, [
+            webp.encode_webp(width=320, height=200),
+            webp.encode_webp(width=64, height=48, lossless=True, alpha=True),
+            webp.encode_webp(width=40, height=30, alpha=True, exif=True,
+                             icc=True, frame_durations_ms=[40, 60, 90]),
         ]),
         ("oggv", oggv.parse_ogg, oggv.OggError, [
             oggv.encode_ogg(codec="vorbis", sample_rate=22050, channels=1,
