@@ -30,173 +30,29 @@ from __future__ import annotations
 # a real value-hash oracle.
 ROWS_ONLY_OK: frozenset[str] = frozenset()
 
-# Round 7 window (rotated from CORRECTNESS_r06.json, 50/50 green —
-# cumulative 232/232 driver-green at latest check).  Leads: the five
-# round-7 additions (st09 exactly-once multi-trigger ingest replay —
-# the first multi-trigger streaming behavior under the gate; et35
-# incremental HLL maintenance vs full rebuild; et36 touched-partition
-# MERGE with byte-identical untouched partitions; et37 vacuum
-# retention horizon; mm10 FLAC frame census) plus mm08, whose schema
-# and oracle changed this round (trailing_bytes column, CRC-protected
-# Xing fixtures).  Then the round-6 verdict's staleness refill: all 34
-# rows whose latest driver check is round 2 — four rounds of plan
-# rewrites sit between that check and HEAD (q04-q08, q10, q12,
-# q14-q17, q20, q22-q27, q30-q34, q85, q93, q97, ss07/ss08/ss10/ss11,
-# tx15-tx17, tx19) — 7 of the oldest round-3 rows in registry order,
-# then the three late round-7 additions st10 (streaming upsert with
-# tombstones), et38 (TxTable-versioned rollup maintenance) and mm11
-# (MP4 track census) in the final slots.
+# Round 8 window (rotated from CORRECTNESS_r07.json, 50/50 green —
+# cumulative 240/240 driver-green at latest check).  Leads: the six
+# round-8 changed/new entries — st09 (NULL-event_id staging fix),
+# mm08 (ID3v2 tag failures isolated from frame-walk stats), mm11
+# (spec-consistent stsc fixtures), st11 (torn-crash SINK-batch replay,
+# the commit-marker-deletion simulation promoted from tests-only to
+# the oracle gate), et39 (TxTable optimistic-concurrency MERGE
+# conflict), mm12 (WebP container census).  Then the round-7 verdict's
+# staleness refill: all 41 rows whose latest driver check is round 3
+# (q36/q37/q40-q78 block) — four rounds of rewrites sit between that
+# check and HEAD — and the first 3 round-4 rows (dd09, dd13, et07) in
+# the final slots.  After this round no registry query's latest driver
+# check should be older than round 4.
 DRIVER_WINDOW: list[str] = [
     "st09_incremental_ingest_replay",
-    "et35_incremental_hll_maintenance",
-    "et36_partitioned_merge",
-    "et37_vacuum_retention",
-    "mm10_flac_frame_census",
     "mm08_mp3_frame_census",
-    "ss07_mmr_topk",
-    "ss08_label_centroids",
-    "ss10_pq_ann",
-    "ss11_random_projection",
-    "tx15_rag_chunks",
-    "tx16_inverted_postings",
-    "tx17_bigram_lm_score",
-    "tx19_vocab_heavy_hitters",
-    "q04_next_run_id",
-    "q05_date_trunc_daily",
-    "q06_latest_order_per_customer",
-    "q07_exists_semi_join",
-    "q08_not_exists_anti_join",
-    "q10_decode_status_matrix",
-    "q12_topk_orders",
-    "q14_string_agg_ordered",
-    "q15_window_running",
-    "q16_rollup",
-    "q17_cube",
-    "q20_json_props",
-    "q22_asof_join",
-    "q23_range_join_bands",
-    "q24_full_outer_join",
-    "q25_pivot_linestatus",
-    "q26_percentiles",
-    "q27_sessionize",
-    "q85_null_ordering",
-    "q93_try_function_surface",
-    "q97_skyline_pareto",
-    "q30_field_counter",
-    "q31_nth_field",
-    "q32_atoi_priority",
-    "q33_datediff_hms",
-    "q34_check_date_codes",
-    "q02_point_lookup",
-    "q03_min_default",
-    "q11_prefix_match",
-    "q13_union_all_branches",
-    "q18_intersect",
-    "q19_except",
-    "q21_explode_words",
-    "st10_streaming_upsert_tombstones",
-    "et38_versioned_rollup_maintenance",
     "mm11_mp4_track_census",
-]
-
-# ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
-# `python tools/rotate.py CORRECTNESS_r06.json --write --prepend
-# <round-7 changed-output queries>`.  The refill priority is the 26
-# r2-stale rows that did not fit in round 6's window (q04/q05/q06/q07/
-# q08/q10/q12/q14/q15/q16/q17/q20/q22/q23/q24/q25/q26/q27/q30/q31/
-# q32/q33/q34/q85/q93/q97), then the oldest r3 rows (tx17/tx19 moved
-# to r4-green).  tests/test_rotation.py pins the invariants.
-
-# Driver-green in a previous round's run (rows+schema+hash all true,
-# with no output change since).  Deprioritized to the back of the
-# registry so the driver window reaches unchecked queries first.
-DRIVER_GREEN: list[str] = [
-    "dd01_dedup_exact",
-    "dd02_fingerprint",
-    "dd03_ngram_jaccard",
-    "dd04_minhash_lsh",
-    "dd05_simhash",
-    "dd06_embedding_neardup",
-    "dd07_neardup_clusters",
-    "dd08_incremental_dedup",
-    "dd09_containment",
-    "dd10_winnow_pairs",
-    "dd11_hot_span_scrub",
-    "dd12_semantic_dedup",
-    "dd13_lsh_dedup_recall",
-    "et01_scd2_merge",
-    "et02_profile_columns",
-    "et03_fk_audit",
-    "et04_rollup_cascade",
-    "et05_hierarchy_levels",
-    "et06_table_checksum",
-    "et07_sketch_rollup",
-    "et08_snapshot_diff",
-    "et09_expectations",
-    "et10_apply_changelog",
-    "et11_fuzzy_match",
-    "et12_fifo_allocation",
-    "et13_incremental_agg",
-    "et14_mad_outliers",
-    "et15_triangle_count",
-    "et16_lttb_downsample",
-    "et17_skew_profile",
-    "et18_sequence_gaps",
-    "et19_benford_audit",
-    "et20_point_in_time_join",
-    "et21_bitmap_distinct",
-    "et22_ewma_smoothing",
-    "et23_portable_hll",
-    "et24_histogram_quantiles",
-    "et25_count_min_freq",
-    "et26_psi_drift",
-    "et27_cusum_changepoints",
-    "et28_audience_bitmap_ops",
-    "et29_ivm_apply_feed",
-    "et30_time_travel",
-    "et31_merge_upsert",
-    "et32_change_feed",
-    "et33_compaction_invariance",
-    "et34_zorder_invariance",
-    "ev01_funnel",
-    "ev02_retention_cohorts",
-    "ev03_active_users",
-    "ev04_top_paths",
-    "ev05_asof_operator",
-    "ev06_interpolate_at_clicks",
-    "ev07_session_window_builtin",
-    "ev08_time_weighted_avg",
-    "ev09_ohlc_bars",
-    "ev10_markov_transitions",
-    "ev11_time_since_purchase",
-    "ev12_windowed_funnel",
-    "ev13_last_touch_attribution",
-    "ev14_linear_attribution",
-    "ev15_peak_concurrency",
-    "ev16_ab_test_zscore",
-    "ev17_markov_attribution",
-    "ev18_rfm_segments",
-    "ev19_interarrival_stats",
-    "mm01_decode_resize",
-    "mm02_frame_sample",
-    "mm03_window_energy",
-    "mm04_phash_neardup",
-    "mm05_patch_grid",
-    "mm06_decode_audio_stats",
-    "mm07_media_triage",
-    "mm09_ogg_metadata_census",
-    "pipe01_training_mix",
-    "pipe02_rag_corpus",
-    "pipe03_curation_report",
-    "pipe04_pretraining_mix",
-    "pipe05_multimodal_curation",
-    "pipe06_audio_curation",
-    "q01_pricing_summary",
-    "q09_multiway_join_revenue",
-    "q100_window_rank_surface",
-    "q35_shipping_priority",
-    "q38_approx_aggregates",
-    "q39_decimal_exact",
+    "st11_torn_crash_sink_replay",
+    "et39_concurrent_merge_conflict",
+    "mm12_webp_structure_census",
+    "q36_forecast_revenue",
+    "q37_from_json_map",
+    "q40_grouping_sets",
     "q41_lag_lead",
     "q42_small_qty_revenue",
     "q43_customer_distribution",
@@ -235,12 +91,148 @@ DRIVER_GREEN: list[str] = [
     "q76_calendar_breakdown",
     "q77_topk_per_group",
     "q78_bloom_semi_filter",
+    "dd09_containment",
+    "dd13_lsh_dedup_recall",
+    "et07_sketch_rollup",
+]
+
+# ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
+# `python tools/rotate.py CORRECTNESS_r06.json --write --prepend
+# <round-7 changed-output queries>`.  The refill priority is the 26
+# r2-stale rows that did not fit in round 6's window (q04/q05/q06/q07/
+# q08/q10/q12/q14/q15/q16/q17/q20/q22/q23/q24/q25/q26/q27/q30/q31/
+# q32/q33/q34/q85/q93/q97), then the oldest r3 rows (tx17/tx19 moved
+# to r4-green).  tests/test_rotation.py pins the invariants.
+
+# Driver-green in a previous round's run (rows+schema+hash all true,
+# with no output change since).  Deprioritized to the back of the
+# registry so the driver window reaches unchecked queries first.
+DRIVER_GREEN: list[str] = [
+    "dd01_dedup_exact",
+    "dd02_fingerprint",
+    "dd03_ngram_jaccard",
+    "dd04_minhash_lsh",
+    "dd05_simhash",
+    "dd06_embedding_neardup",
+    "dd07_neardup_clusters",
+    "dd08_incremental_dedup",
+    "dd10_winnow_pairs",
+    "dd11_hot_span_scrub",
+    "dd12_semantic_dedup",
+    "et01_scd2_merge",
+    "et02_profile_columns",
+    "et03_fk_audit",
+    "et04_rollup_cascade",
+    "et05_hierarchy_levels",
+    "et06_table_checksum",
+    "et08_snapshot_diff",
+    "et09_expectations",
+    "et10_apply_changelog",
+    "et11_fuzzy_match",
+    "et12_fifo_allocation",
+    "et13_incremental_agg",
+    "et14_mad_outliers",
+    "et15_triangle_count",
+    "et16_lttb_downsample",
+    "et17_skew_profile",
+    "et18_sequence_gaps",
+    "et19_benford_audit",
+    "et20_point_in_time_join",
+    "et21_bitmap_distinct",
+    "et22_ewma_smoothing",
+    "et23_portable_hll",
+    "et24_histogram_quantiles",
+    "et25_count_min_freq",
+    "et26_psi_drift",
+    "et27_cusum_changepoints",
+    "et28_audience_bitmap_ops",
+    "et29_ivm_apply_feed",
+    "et30_time_travel",
+    "et31_merge_upsert",
+    "et32_change_feed",
+    "et33_compaction_invariance",
+    "et34_zorder_invariance",
+    "et35_incremental_hll_maintenance",
+    "et36_partitioned_merge",
+    "et37_vacuum_retention",
+    "et38_versioned_rollup_maintenance",
+    "ev01_funnel",
+    "ev02_retention_cohorts",
+    "ev03_active_users",
+    "ev04_top_paths",
+    "ev05_asof_operator",
+    "ev06_interpolate_at_clicks",
+    "ev07_session_window_builtin",
+    "ev08_time_weighted_avg",
+    "ev09_ohlc_bars",
+    "ev10_markov_transitions",
+    "ev11_time_since_purchase",
+    "ev12_windowed_funnel",
+    "ev13_last_touch_attribution",
+    "ev14_linear_attribution",
+    "ev15_peak_concurrency",
+    "ev16_ab_test_zscore",
+    "ev17_markov_attribution",
+    "ev18_rfm_segments",
+    "ev19_interarrival_stats",
+    "mm01_decode_resize",
+    "mm02_frame_sample",
+    "mm03_window_energy",
+    "mm04_phash_neardup",
+    "mm05_patch_grid",
+    "mm06_decode_audio_stats",
+    "mm07_media_triage",
+    "mm09_ogg_metadata_census",
+    "mm10_flac_frame_census",
+    "pipe01_training_mix",
+    "pipe02_rag_corpus",
+    "pipe03_curation_report",
+    "pipe04_pretraining_mix",
+    "pipe05_multimodal_curation",
+    "pipe06_audio_curation",
+    "q01_pricing_summary",
+    "q02_point_lookup",
+    "q03_min_default",
+    "q04_next_run_id",
+    "q05_date_trunc_daily",
+    "q06_latest_order_per_customer",
+    "q07_exists_semi_join",
+    "q08_not_exists_anti_join",
+    "q09_multiway_join_revenue",
+    "q100_window_rank_surface",
+    "q10_decode_status_matrix",
+    "q11_prefix_match",
+    "q12_topk_orders",
+    "q13_union_all_branches",
+    "q14_string_agg_ordered",
+    "q15_window_running",
+    "q16_rollup",
+    "q17_cube",
+    "q18_intersect",
+    "q19_except",
+    "q20_json_props",
+    "q21_explode_words",
+    "q22_asof_join",
+    "q23_range_join_bands",
+    "q24_full_outer_join",
+    "q25_pivot_linestatus",
+    "q26_percentiles",
+    "q27_sessionize",
+    "q30_field_counter",
+    "q31_nth_field",
+    "q32_atoi_priority",
+    "q33_datediff_hms",
+    "q34_check_date_codes",
+    "q35_shipping_priority",
+    "q38_approx_aggregates",
+    "q39_decimal_exact",
     "q79_string_surface",
     "q80_null_safe_join",
     "q81_posexplode_words",
     "q82_not_in_null_semantics",
     "q83_variant_props",
     "q84_udtf_split_fields",
+    "q85_null_ordering",
     "q86_aggregate_surface",
     "q87_lateral_topn",
     "q88_union_evolving_schema",
@@ -248,9 +240,11 @@ DRIVER_GREEN: list[str] = [
     "q90_xml_roundtrip",
     "q91_running_distinct",
     "q92_period_over_period",
+    "q93_try_function_surface",
     "q94_rolling_median",
     "q95_salted_skew_join",
     "q96_pandas_udaf_geomean",
+    "q97_skyline_pareto",
     "q98_grouped_regression",
     "q99_merged_order_spans",
     "sm01_hash_sample",
@@ -270,7 +264,11 @@ DRIVER_GREEN: list[str] = [
     "ss04_kmeans_clusters",
     "ss05_doc_pagerank",
     "ss06_array_lambda_surface",
+    "ss07_mmr_topk",
+    "ss08_label_centroids",
     "ss09_centroid_confusion",
+    "ss10_pq_ann",
+    "ss11_random_projection",
     "ss12_ann_recall",
     "ss13_multitable_ann",
     "ss14_hard_negatives",
@@ -282,6 +280,7 @@ DRIVER_GREEN: list[str] = [
     "st06_stream_stream_attribution",
     "st07_streaming_sliding_windows",
     "st08_streaming_file_sink",
+    "st10_streaming_upsert_tombstones",
     "tx01_text_stats",
     "tx02_langid",
     "tx03_token_count",
@@ -295,7 +294,11 @@ DRIVER_GREEN: list[str] = [
     "tx12_batch_inference",
     "tx13_regexp_surface",
     "tx14_bm25_search",
+    "tx15_rag_chunks",
+    "tx16_inverted_postings",
+    "tx17_bigram_lm_score",
     "tx18_nextfit_packing",
+    "tx19_vocab_heavy_hitters",
     "tx20_feature_hashing",
     "tx21_gopher_rules",
 ]
