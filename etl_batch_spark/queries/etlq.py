@@ -2611,3 +2611,88 @@ def et39_concurrent_merge_conflict(spark: SparkSession, sf_dir: str) -> DataFram
         return out.select(*out_cols).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et40 — log-resolved schema evolution (sources/txlog.py): the table
+# schema lives in the COMMIT LOG (O(columns) per entry), never in
+# parquet footers — at 100 TB a mergeSchema footer sweep is a full
+# metadata pass, which is why Delta/Iceberg store schemas in metadata
+# too.  An append whose schema drifts REFUSES without merge_schema=True
+# (asserted in-query); with it, the union schema commits, files written
+# before the evolution NULL-fill the new column at read time, and time
+# travel sees the HISTORICAL column set (both asserted in-query).  The
+# oracle is the two-generation union with a typed NULL for the
+# pre-evolution rows.  DISTINCT seeds both sides (duplicate-ingestion
+# grain rule).
+# ---------------------------------------------------------------------------
+@query(
+    "et40_schema_evolution",
+    doc="TxTable schema evolution under the hash gate: drifted append "
+    "refuses without merge_schema (asserted), evolved append NULL-fills "
+    "pre-evolution files via the log-stored schema, time travel reads "
+    "the historical column set — value-hash compared against the "
+    "two-generation union oracle",
+    oracle="""
+    WITH seed AS (
+      SELECT DISTINCT c_custkey, c_acctbal, c_mktsegment FROM customer
+    )
+    SELECT c_custkey AS custkey, ROUND(c_acctbal, 2) AS acctbal,
+           CAST(NULL AS VARCHAR) AS segment
+    FROM seed
+    UNION ALL
+    SELECT c_custkey + 10000000, ROUND(c_acctbal + 1, 2), c_mktsegment
+    FROM seed WHERE ((c_custkey % 2) + 2) % 2 = 0
+    """,
+)
+def et40_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.sources.txlog import SchemaEvolutionError, TxTable
+
+    seed = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .distinct()
+    )
+    v0 = seed.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    v1 = seed.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == 0).select(
+        (F.col("c_custkey") + 10000000).alias("custkey"),
+        F.round(F.col("c_acctbal") + 1, 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    out_schema = "custkey bigint, acctbal double, segment string"
+    if not seed.head(1):
+        return spark.createDataFrame([], out_schema)
+
+    tmp = tempfile.mkdtemp(prefix="et40_schema_")
+    try:
+        t = TxTable(spark, os.path.join(tmp, "table"))
+        t.append(v0)  # v0: two columns
+        try:
+            t.append(v1)
+            raise AssertionError(
+                "drifted append was accepted without merge_schema=True — "
+                "silent schema drift"
+            )
+        except SchemaEvolutionError:
+            pass
+        if t.latest_version() != 0:
+            raise AssertionError("refused append left a commit behind")
+        t.append(v1, merge_schema=True)  # v1: evolved, 3 columns
+        if t.read(version=0).columns != ["custkey", "acctbal"]:
+            raise AssertionError(
+                "time travel does not read the historical column set: "
+                f"{t.read(version=0).columns}"
+            )
+        head = t.read()
+        if head.columns != ["custkey", "acctbal", "segment"]:
+            raise AssertionError(f"evolved head columns: {head.columns}")
+        return head.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -43,6 +43,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 _LOG_DIR = "_txlog"
 
@@ -67,6 +68,13 @@ class ConcurrentWriteConflict(RuntimeError):
     """
 
 
+class SchemaEvolutionError(ValueError):
+    """An append's schema differs from the table's without explicit
+    ``merge_schema=True``, or evolution would change an existing
+    column's type.  Silent schema drift is how a lakehouse table rots:
+    Delta refuses exactly the same way by default."""
+
+
 @dataclass(frozen=True)
 class Version:
     version: int
@@ -78,6 +86,39 @@ class Version:
     # the micro-batch id here, making replay detection part of the
     # atomic commit itself)
     meta: "dict | None" = None
+    # the FULL table schema as of this commit (StructType.jsonValue()).
+    # Stored in the log so readers never scan parquet footers to learn
+    # the schema — at 100 TB a mergeSchema footer sweep is a full
+    # metadata pass; the log entry is O(columns).  Entries written
+    # before round 8 lack it; read() falls back to footer inference.
+    schema: "dict | None" = None
+
+
+def _norm_schema(schema: T.StructType) -> T.StructType:
+    """Nullability-normalized copy: parquet round-trips make everything
+    nullable, so schema identity is (name, type) only."""
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+
+
+def _merge_schemas(cur: T.StructType, new: T.StructType) -> T.StructType:
+    """cur's columns in order, then new's additions; a type change on an
+    existing column refuses (widening casts are a rewrite, not an
+    append)."""
+    by_name = {f.name: f for f in cur.fields}
+    out = list(cur.fields)
+    for f in new.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            out.append(T.StructField(f.name, f.dataType, True))
+        elif have.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r} is {have.dataType.simpleString()} in "
+                f"the table but {f.dataType.simpleString()} in the append; "
+                "type changes need an overwrite, not schema merge"
+            )
+    return T.StructType(out)
 
 
 class TxTable:
@@ -105,6 +146,22 @@ class TxTable:
         vs = self.versions()
         return vs[-1].version if vs else -1
 
+    def schema_at(
+        self,
+        version: "int | None" = None,
+        versions: "list[Version] | None" = None,
+    ) -> "T.StructType | None":
+        """Table schema of the snapshot at ``version`` (newest when
+        None), resolved from the log alone — never a parquet footer.
+        None for tables whose log predates schema tracking."""
+        out = None
+        for v in self.versions() if versions is None else versions:
+            if version is not None and v.version > version:
+                break
+            if v.schema is not None:
+                out = v.schema
+        return T.StructType.fromJson(out) if out is not None else None
+
     def _active_files(
         self,
         version: "int | None" = None,
@@ -123,7 +180,8 @@ class TxTable:
 
     def _commit(self, action: str, added: "list[str]", removed: "list[str]",
                 n_rows: int, meta: "dict | None" = None,
-                expected_version: "int | None" = None) -> int:
+                expected_version: "int | None" = None,
+                schema: "T.StructType | None" = None) -> int:
         """Write one log entry at exactly one version slot, atomically
         and WITHOUT clobbering: the visibility point is ``os.link`` of a
         private tmp file onto ``{version:08d}.json``, which fails with
@@ -142,7 +200,8 @@ class TxTable:
         version = (self.latest_version() + 1
                    if expected_version is None else expected_version)
         entry = Version(version=version, action=action, added=added,
-                        removed=removed, n_rows=n_rows, meta=meta)
+                        removed=removed, n_rows=n_rows, meta=meta,
+                        schema=schema.jsonValue() if schema is not None else None)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(entry.__dict__, f)
@@ -177,17 +236,51 @@ class TxTable:
         n_rows = self.spark.read.parquet(out).count()
         return sorted(files), n_rows
 
-    def append(self, df: DataFrame, *, meta: "dict | None" = None) -> int:
+    def _evolved_schema(
+        self, df: DataFrame, *, merge_schema: bool
+    ) -> T.StructType:
+        """The table schema an append of ``df`` commits: unchanged when
+        the columns match (any order), merged when ``merge_schema`` is
+        set, refused otherwise — Delta's default write contract."""
+        new = _norm_schema(df.schema)
+        cur = self.schema_at()
+        if cur is None:
+            return new
+        if {(f.name, f.dataType) for f in cur.fields} == {
+            (f.name, f.dataType) for f in new.fields
+        }:
+            return cur
+        if not merge_schema:
+            raise SchemaEvolutionError(
+                f"append schema {new.simpleString()} differs from table "
+                f"schema {cur.simpleString()}; pass merge_schema=True to "
+                "evolve (new columns NULL-fill in old snapshots' files)"
+            )
+        return _merge_schemas(cur, new)
+
+    def append(self, df: DataFrame, *, meta: "dict | None" = None,
+               merge_schema: bool = False) -> int:
         """Blind append.  Appends commute — they add files and remove
         nothing — so a slot collision with a concurrent writer is
         retried automatically at the new head (Delta's WriteSerializable
         rule for AddFile-only transactions).  The staged parquet is
-        written once; only the metadata commit retries."""
+        written once; only the metadata commit retries.
+
+        A schema differing from the table's refuses unless
+        ``merge_schema=True``, which commits the union schema (existing
+        columns keep their types — a type change refuses either way);
+        files written before the evolution NULL-fill the new columns at
+        read time via the log-stored schema."""
+        schema = self._evolved_schema(df, merge_schema=merge_schema)
         added, n = self._write_files(df)
         for _ in range(_APPEND_RETRIES):
             try:
-                return self._commit("append", added, [], n, meta)
+                return self._commit("append", added, [], n, meta,
+                                    schema=schema)
             except ConcurrentWriteConflict:
+                # the racing commit may itself have evolved the schema;
+                # re-resolve against the new head before retrying
+                schema = self._evolved_schema(df, merge_schema=merge_schema)
                 continue
         raise ConcurrentWriteConflict(
             f"append to {self.path} lost the commit race "
@@ -210,9 +303,13 @@ class TxTable:
         if read_version is None:
             read_version = self.latest_version()
         added, n = self._write_files(df)
+        # an overwrite replaces the rows, so it may replace the schema
+        # too (Delta's overwriteSchema shape) — the new snapshot's
+        # schema IS df's schema
         return self._commit(
             "overwrite", added, self._active_files(read_version), n, meta,
             expected_version=read_version + 1,
+            schema=_norm_schema(df.schema),
         )
 
     def latest_meta(self) -> "dict | None":
@@ -266,6 +363,7 @@ class TxTable:
         return self._commit(
             "compact", added, self._active_files(read_version), n,
             meta=self.latest_meta(), expected_version=read_version + 1,
+            schema=self.schema_at(read_version),
         )
 
     def vacuum(self, *, retain_versions: int = 1) -> "list[str]":
@@ -312,8 +410,16 @@ class TxTable:
         alternative is a confusing scan-time path-not-found from deep
         inside the reader.  The check costs one stat per file, paid only
         on explicit time-travel reads (the CURRENT snapshot can never
-        reference vacuumed files: vacuum always retains it)."""
-        files = self._active_files(version)
+        reference vacuumed files: vacuum always retains it).
+
+        The schema comes from the LOG — the table schema AS OF that
+        version, so files written before a schema evolution NULL-fill
+        the later columns and time travel sees the historical column
+        set, never footers (at 100 TB a mergeSchema footer sweep is a
+        full metadata pass; the log entry is O(columns)).  Logs written
+        before schema tracking fall back to footer inference."""
+        vs = self.versions()  # one log read for files + schema
+        files = self._active_files(version, versions=vs)
         if not files:
             raise ValueError(f"table {self.path} has no data at version {version}")
         if version is not None:
@@ -328,7 +434,11 @@ class TxTable:
                     f"(e.g. {gone[0]}); time travel is bounded by the "
                     "vacuum retention horizon"
                 )
-        return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+        reader = self.spark.read
+        schema = self.schema_at(version, versions=vs)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[os.path.join(self.path, f) for f in files])
 
     def changes(
         self,
@@ -368,8 +478,17 @@ class TxTable:
         before_files = self._active_files(v_from, versions=vs)
         after_files = self._active_files(v_to, versions=vs)
 
+        # both endpoints read with the schema AS OF v_to (Delta CDF's
+        # convention): an exceptAll diff needs one schema, and reading
+        # the older snapshot under the newer schema NULL-fills evolved
+        # columns instead of failing the union
+        feed_schema = self.schema_at(v_to, versions=vs)
+
         def snap(files: "list[str]") -> DataFrame:
-            return self.spark.read.parquet(
+            reader = self.spark.read
+            if feed_schema is not None:
+                reader = reader.schema(feed_schema)
+            return reader.parquet(
                 *[os.path.join(self.path, f) for f in files]
             )
 

@@ -878,3 +878,102 @@ class TestTxTable:
         finally:
             del b._write_files
         assert sorted(r["id"] for r in a.read().collect()) == list(range(14))
+
+    # -- schema evolution ----------------------------------------------
+
+    def test_append_schema_drift_refuses_without_merge(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.txlog import SchemaEvolutionError
+
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(3).select("id"))
+        with _pytest.raises(SchemaEvolutionError, match="merge_schema=True"):
+            t.append(spark.range(3).select("id", F.lit("x").alias("tag")))
+        # refused append left no commit and no visible rows
+        assert t.latest_version() == 0
+        assert t.read().count() == 3
+
+    def test_merge_schema_null_fills_old_files_and_time_travel(
+        self, spark, tmp_path
+    ):
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(0, 3).select("id"))                      # v0
+        t.append(
+            spark.range(3, 5).select("id", F.lit("new").alias("tag")),
+            merge_schema=True,
+        )                                                             # v1
+        head = t.read()
+        assert head.columns == ["id", "tag"]
+        got = {(r["id"], r["tag"]) for r in head.collect()}
+        assert got == {(0, None), (1, None), (2, None),
+                       (3, "new"), (4, "new")}
+        # time travel reads the HISTORICAL column set, not the head's
+        assert t.read(version=0).columns == ["id"]
+        # schema is resolved from the log, not footers
+        assert t.schema_at(0).fieldNames() == ["id"]
+        assert t.schema_at(1).fieldNames() == ["id", "tag"]
+
+    def test_merge_schema_type_change_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.txlog import SchemaEvolutionError
+
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(3).select("id", F.lit(1.5).alias("v")))
+        with _pytest.raises(SchemaEvolutionError, match="type change"):
+            t.append(
+                spark.range(3).select("id", F.lit("s").alias("v")),
+                merge_schema=True,
+            )
+
+    def test_subset_append_under_merge_keeps_table_schema(
+        self, spark, tmp_path
+    ):
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(2).select("id", F.lit("a").alias("tag")))
+        t.append(spark.range(2, 4).select("id"), merge_schema=True)
+        got = {(r["id"], r["tag"]) for r in t.read().collect()}
+        assert got == {(0, "a"), (1, "a"), (2, None), (3, None)}
+
+    def test_column_order_is_not_drift(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(2).select("id", F.lit("a").alias("tag")))
+        t.append(spark.range(2, 3).select(F.lit("b").alias("tag"), "id"))
+        assert t.read().columns == ["id", "tag"]
+        assert t.read().count() == 3
+
+    def test_compact_and_overwrite_schema_semantics(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(2).select("id"))
+        t.append(spark.range(2, 4).select("id", F.lit(7).alias("k")),
+                 merge_schema=True)
+        t.compact(target_files=1)  # carries the evolved schema forward
+        assert t.schema_at().fieldNames() == ["id", "k"]
+        assert t.read().count() == 4
+        # overwrite REPLACES the schema (Delta overwriteSchema shape)
+        t.overwrite(spark.range(9, 11).select(F.col("id").alias("fresh")))
+        assert t.read().columns == ["fresh"]
+
+    def test_change_feed_across_evolution_uses_target_schema(
+        self, spark, tmp_path
+    ):
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(2).select("id"))                          # v0
+        t.append(spark.range(2, 4).select("id", F.lit("n").alias("tag")),
+                 merge_schema=True)                                    # v1
+        feed = t.changes(0, 1)
+        assert set(feed.columns) == {"id", "tag", "_change_type"}
+        got = {(r["id"], r["tag"], r["_change_type"]) for r in feed.collect()}
+        assert got == {(2, "n", "insert"), (3, "n", "insert")}
+        # diff path across the evolution (overwrite forces exceptAll):
+        # v0 rows read under the v2 schema NULL-fill tag, so (1, NULL)
+        # is in BOTH endpoints and is neither insert nor delete
+        t.overwrite(t.read().filter(F.col("id") != 0))                 # v2
+        rows = {
+            (r["id"], r["tag"], r["_change_type"])
+            for r in t.changes(0, 2).collect()
+        }
+        assert rows == {
+            (2, "n", "insert"), (3, "n", "insert"), (0, None, "delete"),
+        }
