@@ -3914,3 +3914,117 @@ def mm12_webp_structure_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "variant", "width", "height", "has_alpha", "is_animated",
         "n_frames", "duration_ms", "has_exif", "has_icc",
     )
+
+
+# ---------------------------------------------------------------------------
+# tx22 — URL curation (llmops/text.py::normalize_url/registered_domain):
+# the crawl-pipeline staple (CCNet / RefinedWeb / FineWeb cap documents
+# per registered domain and dedupe by canonical URL).  Messy URLs are
+# fabricated natively from md5(text) — mixed-case scheme/host, www/cdn
+# subdomains, default and explicit ports, trailing slashes, utm_*/gclid
+# tracking params sandwiching the real param, fragments — then the
+# native normalizer (parse_url + codegen'd string expressions, zero
+# Python) canonicalizes, the eTLD+1 heuristic extracts the registered
+# domain (co.uk family included), and a per-domain quota keeps the 20
+# longest docs (n_chars DESC NULLS LAST, doc_id ASC tiebreak, both
+# sides pinned).  The oracle reconstructs the EXPECTED canonical URL in
+# closed form from the same hash bits — an independent construction,
+# not a re-implementation of the normalizer.
+# ---------------------------------------------------------------------------
+@query(
+    "tx22_url_curation",
+    doc="URL normalization + registered-domain quota at scan speed: "
+    "llmops.text.normalize_url / registered_domain over fabricated "
+    "messy URLs, per-domain top-20 keep ranking",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT % 2 AS https_bit,
+             ('0x' || substr(md5(text), 5, 2))::BIGINT % 3 AS sub_i,
+             ('0x' || substr(md5(text), 7, 4))::BIGINT % 1000 AS base_n,
+             ('0x' || substr(md5(text), 11, 2))::BIGINT % 6 AS tld_i,
+             ('0x' || substr(md5(text), 13, 2))::BIGINT % 3 AS port_i,
+             substr(md5(text), 15, 4) AS pseg,
+             ('0x' || substr(md5(text), 23, 4))::BIGINT % 10000 AS idn
+      FROM documents WHERE text IS NOT NULL
+    ),
+    u AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN https_bit = 1 THEN 'https' ELSE 'http' END
+               || '://'
+               || CASE sub_i WHEN 2 THEN 'cdn.' ELSE '' END
+               || 'site' || base_n || '.'
+               || CASE tld_i WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                             WHEN 2 THEN 'net' WHEN 3 THEN 'io'
+                             WHEN 4 THEN 'co.uk' ELSE 'com.au' END
+               || CASE WHEN port_i = 2 THEN ':8080' ELSE '' END
+               || '/p/' || pseg || '?id=' || idn AS url_norm,
+             'site' || base_n || '.'
+               || CASE tld_i WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                             WHEN 2 THEN 'net' WHEN 3 THEN 'io'
+                             WHEN 4 THEN 'co.uk' ELSE 'com.au' END
+               AS domain
+      FROM p
+    )
+    SELECT doc_id, url_norm, domain,
+           ROW_NUMBER() OVER (
+             PARTITION BY domain
+             ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS LAST
+           ) <= 20 AS kept
+    FROM u
+    """,
+)
+def tx22_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from etl_batch_spark.llmops.text import normalize_url, registered_domain
+
+    d = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
+    h = F.md5(F.col("text"))
+
+    def hx(pos: int, ln: int):
+        return F.conv(F.substring(h, pos, ln), 16, 10).cast("long")
+
+    scheme = F.when(hx(1, 2) % 2 == 1, "https").otherwise("http")
+    up = hx(3, 2) % 2 == 1
+    sub = F.element_at(F.array(F.lit(""), F.lit("www."), F.lit("cdn.")),
+                       (hx(5, 2) % 3 + 1).cast("int"))
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in
+                  ("com", "org", "net", "io", "co.uk", "com.au")]),
+        (hx(11, 2) % 6 + 1).cast("int"),
+    )
+    host = F.concat(sub, F.lit("site"), hx(7, 4) % 1000, F.lit("."), tld)
+    port_i = hx(13, 2) % 3
+    port = F.when(port_i == 1,
+                  F.when(scheme == "https", ":443").otherwise(":80")) \
+        .when(port_i == 2, F.lit(":8080")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/p/"), F.substring(h, 15, 4),
+                    F.when(hx(19, 2) % 2 == 1, "/").otherwise(""))
+    idp = F.concat(F.lit("id="), hx(23, 4) % 10000)
+    qs = F.when(hx(21, 2) % 2 == 1,
+                F.concat(F.lit("utm_source=x&"), idp, F.lit("&gclid=1"))) \
+        .otherwise(idp)
+    frag = F.when(hx(27, 2) % 2 == 1, "#sec").otherwise(F.lit(""))
+    messy = F.concat(
+        scheme, F.lit("://"), F.when(up, F.upper(host)).otherwise(host),
+        port, path, F.lit("?"), qs, frag,
+    )
+
+    d = d.select("doc_id", "n_chars", messy.alias("url"))
+    d = d.select(
+        "doc_id", "n_chars",
+        normalize_url(F.col("url")).alias("url_norm"),
+        registered_domain(
+            F.parse_url(F.col("url"), F.lit("HOST"))
+        ).alias("domain"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("domain").orderBy(
+            F.col("n_chars").desc_nulls_last(),
+            F.col("doc_id").asc_nulls_last(),
+        )
+    )
+    return d.select(
+        "doc_id", "url_norm", "domain", (rn <= 20).alias("kept")
+    )

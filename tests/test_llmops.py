@@ -1204,3 +1204,46 @@ class TestMp4TrackCensus:
         (row,) = mp4_track_census(df).collect()
         assert row["video_codec"] is None and row["width"] is None
         assert row["audio_duration_s"] == 10 * 160 / 8000
+
+
+class TestUrlCuration:
+    def test_normalize_url_rules(self, spark):
+        from etl_batch_spark.llmops.text import normalize_url
+
+        cases = [
+            # lowercase scheme+host, strip default port, drop fragment,
+            # strip www., drop tracking params around a kept one
+            ("HTTP://WWW.Site1.COM:80/p/ab/?utm_source=x&id=5&gclid=1#f",
+             "http://site1.com/p/ab?id=5"),
+            ("https://cdn.site2.co.uk:443/p/cd?id=7",
+             "https://cdn.site2.co.uk/p/cd?id=7"),
+            # explicit non-default port survives; trailing slash stripped
+            ("https://a.b.io:8080/p/e/", "https://a.b.io:8080/p/e"),
+            # all params tracking -> no '?'
+            ("http://x.org/p?utm_campaign=z&fbclid=1", "http://x.org/p"),
+            # mismatched default port (443 on http) survives
+            ("http://x.org:443/p", "http://x.org:443/p"),
+            # param ORDER of kept params preserved
+            ("http://x.org/p?b=2&utm_medium=m&a=1", "http://x.org/p?b=2&a=1"),
+            (None, None),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [r["n"] for r in df.select(
+            normalize_url(F.col("url")).alias("n")).collect()]
+        assert got == [e for _, e in cases]
+
+    def test_registered_domain_rules(self, spark):
+        from etl_batch_spark.llmops.text import registered_domain
+
+        cases = [
+            ("www.site1.com:8080", "site1.com"),   # port + sub stripped
+            ("cdn.a.site2.co.uk", "site2.co.uk"),  # multi-label suffix
+            ("site3.com.au", "site3.com.au"),
+            ("SITE4.ORG", "site4.org"),
+            ("localhost", "localhost"),            # single label passes
+            (None, None),
+        ]
+        df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+        got = [r["d"] for r in df.select(
+            registered_domain(F.col("h")).alias("d")).collect()]
+        assert got == [e for _, e in cases]
