@@ -312,6 +312,61 @@ class TxTable:
             schema=_norm_schema(df.schema),
         )
 
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: "list[str]",
+        *,
+        delete_col: "str | None" = None,
+        meta: "dict | None" = None,
+        max_retries: int = 3,
+    ) -> int:
+        """MERGE with automatic optimistic-concurrency retry — the
+        user-facing read-modify-write (Delta's MERGE contract): read
+        the current snapshot, apply ``operators.merge.merge_dataframes``
+        (update/insert/delete/carry by ``keys``), commit conditioned on
+        the snapshot read; on :class:`ConcurrentWriteConflict` re-read
+        the NOW-current snapshot and recompute, up to ``max_retries``
+        times, so racing merges serialize instead of one failing out to
+        the caller.  Manual conflict handling (et39's shape) remains
+        available through ``overwrite(read_version=...)`` directly.
+
+        The retry recomputes the full merge plan — correct by
+        construction, and the recompute cost is the merge itself, which
+        is the right trade for dimension-scale tables (fact-scale
+        targets should partition-scope via ``operators.merge.
+        merge_upsert_partitioned`` under a control-plane writer lock
+        instead)."""
+        from pyspark.sql import functions as F
+
+        from etl_batch_spark.operators.merge import merge_dataframes
+
+        last: "ConcurrentWriteConflict | None" = None
+        for _ in range(max(1, max_retries)):
+            rv = self.latest_version()
+            if rv < 0:
+                # bootstrap: no target to merge into — inserts minus
+                # explicit deletes ARE the first snapshot
+                merged = updates
+                if delete_col is not None:
+                    merged = merged.filter(
+                        ~F.coalesce(F.col(delete_col), F.lit(False))
+                    ).drop(delete_col)
+            else:
+                merged = merge_dataframes(
+                    self.read(version=rv), updates, keys,
+                    delete_col=delete_col,
+                )
+            try:
+                return self.overwrite(merged, meta=meta, read_version=rv)
+            except ConcurrentWriteConflict as exc:
+                last = exc
+                continue
+        raise ConcurrentWriteConflict(
+            f"merge into {self.path} conflicted {max_retries} times; "
+            f"last: {last}"
+        )
+
     def latest_meta(self) -> "dict | None":
         vs = self.versions()
         return vs[-1].meta if vs else None

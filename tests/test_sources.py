@@ -977,3 +977,82 @@ class TestTxTable:
         assert rows == {
             (2, "n", "insert"), (3, "n", "insert"), (0, None, "delete"),
         }
+
+    # -- merge with automatic OCC retry --------------------------------
+
+    def test_merge_bootstrap_update_insert_delete(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        # bootstrap merge on an empty table: inserts minus deletes
+        ups = spark.createDataFrame(
+            [(1, "a", False), (2, "b", False), (3, "c", True)],
+            "k int, v string, del boolean",
+        )
+        v = t.merge(ups, ["k"], delete_col="del")
+        assert v == 0
+        assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+            (1, "a"), (2, "b"),
+        }
+        # second merge: update 1, insert 4, delete 2, carry nothing else
+        ups2 = spark.createDataFrame(
+            [(1, "A", False), (4, "d", False), (2, None, True)],
+            "k int, v string, del boolean",
+        )
+        t.merge(ups2, ["k"], delete_col="del")
+        assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+            (1, "A"), (4, "d"),
+        }
+
+    def test_merge_auto_retries_conflict_and_serializes(self, spark, tmp_path):
+        """An append landing mid-merge conflicts the first commit; the
+        automatic retry recomputes against the new snapshot, so BOTH
+        effects survive."""
+        a, b = self._two_writers(spark, tmp_path)
+        a.append(spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string"))
+
+        real_write = type(b)._write_files
+        fired = {"n": 0}
+
+        def interleave_once(df):
+            files = real_write(b, df)
+            if fired["n"] == 0:
+                fired["n"] += 1
+                a.append(spark.createDataFrame([(9, "z")], "k int, v string"))
+            return files
+
+        b._write_files = interleave_once
+        try:
+            b.merge(
+                spark.createDataFrame([(2, "Y2")], "k int, v string"), ["k"]
+            )
+        finally:
+            del b._write_files
+        got = {(r["k"], r["v"]) for r in a.read().collect()}
+        # a's interleaved row AND b's update both present
+        assert got == {(1, "x"), (2, "Y2"), (9, "z")}
+
+    def test_merge_bounded_retries_raise(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.txlog import ConcurrentWriteConflict
+
+        a, b = self._two_writers(spark, tmp_path)
+        a.append(spark.createDataFrame([(1, "x")], "k int, v string"))
+        real_write = type(b)._write_files
+        n = {"i": 0}
+
+        def always_interleave(df):
+            files = real_write(b, df)
+            n["i"] += 1
+            a.append(spark.createDataFrame([(100 + n["i"], "w")],
+                                           "k int, v string"))
+            return files
+
+        b._write_files = always_interleave
+        try:
+            with _pytest.raises(ConcurrentWriteConflict, match="2 times"):
+                b.merge(spark.createDataFrame([(1, "X")], "k int, v string"),
+                        ["k"], max_retries=2)
+        finally:
+            del b._write_files
+        # every interleaved append survived; b's merge never landed
+        assert {r["v"] for r in a.read().collect()} == {"x", "w"}
