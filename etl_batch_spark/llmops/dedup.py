@@ -526,3 +526,70 @@ def hot_span_scrub(
             ).alias("keep_ratio"),
         )
     )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style GLOBAL line-level deduplication (Raffel et al. 2020
+    §2.2 dedupe three-sentence spans; the line-granular variant used by
+    most C4 reproductions): every distinct line survives exactly once
+    in the whole corpus — in the document where it first occurs
+    (smallest ``id_col``, then smallest line index) — and is removed
+    from every other document.  Returns one row per input doc:
+    ``(id, text_dedup, n_kept, n_dropped)``; a doc whose every line is
+    owned elsewhere comes back with an empty string.
+
+    Scale design: the first-occurrence winner per line is a
+    ``groupBy(line).agg(min(struct(id, idx)))`` — partial aggregation
+    combines map-side, so the one pathological hot key (the empty
+    line, which appears in nearly every document) costs one combined
+    row per input partition rather than a data-sized skewed window
+    partition (``row_number over partitionBy(line)`` would put the
+    whole corpus's blank lines in ONE task).  The join back is on the
+    line key with the same distribution.  NULL text and NULL ids are
+    excluded (an unkeyed doc has no deterministic claim to first
+    occurrence); callers pre-`distinct` duplicate-ingested corpora —
+    this is an entity-keyed op.
+    """
+    docs = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(id_col, text_col)
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct(id_col, "idx")).alias("w")
+    )
+    kept = lines.join(winners, "line").filter(
+        (F.col(id_col) == F.col(f"w.{id_col}")) & (F.col("idx") == F.col("w.idx"))
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_lines = docs.select(
+        id_col,
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return (
+        n_lines.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

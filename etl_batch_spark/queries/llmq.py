@@ -4028,3 +4028,54 @@ def tx22_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "url_norm", "domain", (rn <= 20).alias("kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# dd14 — C4-style GLOBAL line dedup (llmops/dedup.py::dedup_lines_global):
+# every distinct line survives once in the whole corpus, in the doc
+# where it first occurs (doc_id, then line index), and is removed
+# everywhere else; docs reassemble in original line order.  The plan is
+# the skew-safe one: winner-per-line via groupBy+min(struct) (map-side
+# combine absorbs the blank-line hot key) rather than a data-sized
+# window partition.  DISTINCT (doc_id, text) seeds both sides
+# (entity-keyed op under duplicate ingestion); NULL text / NULL doc_id
+# excluded on both sides (an unkeyed doc has no deterministic claim to
+# first occurrence).
+# ---------------------------------------------------------------------------
+@query(
+    "dd14_line_dedup",
+    doc="global first-occurrence line dedup with in-order document "
+    "reassembly (the C4 curation op) — value-hash compared against the "
+    "ROW_NUMBER-over-line oracle",
+    oracle="""
+    WITH docs AS (
+      SELECT DISTINCT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    lines AS (
+      SELECT doc_id, g.i AS idx, ls[g.i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+           LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g
+    ),
+    kept AS (
+      SELECT doc_id, idx, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx)
+               AS rn
+      FROM lines
+    )
+    SELECT d.doc_id,
+           COALESCE(string_agg(k.line, chr(10) ORDER BY k.idx), '')
+             AS text_dedup,
+           COUNT(k.line) AS n_kept,
+           len(string_split(ANY_VALUE(d.text), chr(10))) - COUNT(k.line)
+             AS n_dropped
+    FROM docs d
+    LEFT JOIN (SELECT * FROM kept WHERE rn = 1) k USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
+def dd14_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select("doc_id", "text").distinct()
+    return dedup.dedup_lines_global(docs).select(
+        "doc_id", "text_dedup", "n_kept", "n_dropped"
+    )

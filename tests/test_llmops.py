@@ -1247,3 +1247,43 @@ class TestUrlCuration:
         got = [r["d"] for r in df.select(
             registered_domain(F.col("h")).alias("d")).collect()]
         assert got == [e for _, e in cases]
+
+
+class TestLineDedup:
+    def test_first_occurrence_semantics_and_reassembly(self, spark):
+        from etl_batch_spark.llmops.dedup import dedup_lines_global
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a\nb\na"),   # within-doc repeat: second 'a' drops
+                (2, "b\nc"),      # 'b' owned by doc 1
+                (3, ""),          # one empty line, first '' occurrence
+                (4, "\nz"),       # its '' is owned by doc 3
+                (5, None),        # NULL text excluded
+                (None, "q"),      # NULL id excluded
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_dropped"])
+            for r in dedup_lines_global(docs).collect()
+        }
+        assert got == {
+            1: ("a\nb", 2, 1),
+            2: ("c", 1, 1),
+            3: ("", 1, 0),
+            4: ("z", 1, 1),
+        }
+
+    def test_plan_has_no_line_partitioned_window(self, spark):
+        """The blank-line hot key must be absorbed by partial
+        aggregation, not a data-sized window partition."""
+        from etl_batch_spark.llmops.dedup import dedup_lines_global
+
+        docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+        plan = (
+            dedup_lines_global(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "partial_min" in plan or "HashAggregate" in plan
