@@ -31,18 +31,19 @@ from __future__ import annotations
 ROWS_ONLY_OK: frozenset[str] = frozenset()
 
 # Round 8 window (rotated from CORRECTNESS_r07.json, 50/50 green —
-# cumulative 240/240 driver-green at latest check).  Leads: the six
+# cumulative 240/240 driver-green at latest check).  Leads: the nine
 # round-8 changed/new entries — st09 (NULL-event_id staging fix),
 # mm08 (ID3v2 tag failures isolated from frame-walk stats), mm11
 # (spec-consistent stsc fixtures), st11 (torn-crash SINK-batch replay,
 # the commit-marker-deletion simulation promoted from tests-only to
 # the oracle gate), et39 (TxTable optimistic-concurrency MERGE
-# conflict), mm12 (WebP container census).  Then the round-7 verdict's
-# staleness refill: all 41 rows whose latest driver check is round 3
+# conflict), mm12 (WebP container census), et40 (log-resolved schema
+# evolution), tx22 (URL normalization + per-domain quota), dd14
+# (C4-style global line dedup).  Then the round-7 verdict's staleness
+# refill: all 41 rows whose latest driver check is round 3
 # (q36/q37/q40-q78 block) — four rounds of rewrites sit between that
-# check and HEAD — and the first 3 round-4 rows (dd09, dd13, et07) in
-# the final slots.  After this round no registry query's latest driver
-# check should be older than round 4.
+# check and HEAD.  After this round the oldest cohort is the 50
+# round-4 rows (dd09/dd13/et07/... lead the round-9 refill).
 DRIVER_WINDOW: list[str] = [
     "st09_incremental_ingest_replay",
     "mm08_mp3_frame_census",
@@ -50,6 +51,9 @@ DRIVER_WINDOW: list[str] = [
     "st11_torn_crash_sink_replay",
     "et39_concurrent_merge_conflict",
     "mm12_webp_structure_census",
+    "et40_schema_evolution",
+    "tx22_url_curation",
+    "dd14_line_dedup",
     "q36_forecast_revenue",
     "q37_from_json_map",
     "q40_grouping_sets",
@@ -91,18 +95,15 @@ DRIVER_WINDOW: list[str] = [
     "q76_calendar_breakdown",
     "q77_topk_per_group",
     "q78_bloom_semi_filter",
-    "dd09_containment",
-    "dd13_lsh_dedup_recall",
-    "et07_sketch_rollup",
 ]
 
-# ROUND 7 PREP: once CORRECTNESS_r06.json lands, run
-# `python tools/rotate.py CORRECTNESS_r06.json --write --prepend
-# <round-7 changed-output queries>`.  The refill priority is the 26
-# r2-stale rows that did not fit in round 6's window (q04/q05/q06/q07/
-# q08/q10/q12/q14/q15/q16/q17/q20/q22/q23/q24/q25/q26/q27/q30/q31/
-# q32/q33/q34/q85/q93/q97), then the oldest r3 rows (tx17/tx19 moved
-# to r4-green).  tests/test_rotation.py pins the invariants.
+# ROUND 9 PREP: once CORRECTNESS_r08.json lands, run
+# `python tools/rotate.py CORRECTNESS_r08.json --write --prepend
+# <round-9 changed-output queries>`.  The refill priority is the 50
+# r4-stale rows (dd09_containment, dd13_lsh_dedup_recall,
+# et07_sketch_rollup, q01/q09/q35/q39/q79/q100, the ev/pipe r4 block),
+# then the oldest r5 rows.  tests/test_rotation.py pins the
+# invariants.
 
 # Driver-green in a previous round's run (rows+schema+hash all true,
 # with no output change since).  Deprioritized to the back of the
