@@ -1349,3 +1349,101 @@ def ev19_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_gap_s"),
         (F.max("gap_us") / F.lit(1000000.0)).alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev20 — time-decay attribution, completing the attribution quartet
+# (ev13 last-touch, ev14 linear, ev17 Markov removal effects): each
+# click in the pre-purchase hour earns weight 0.5^k where k is the
+# number of COMPLETE 15-minute intervals between click and purchase
+# (quarter-hour half-life, k ∈ 0..4).  Dyadic weights are exact in
+# IEEE, and the credit split stays in integers end-to-end: weights are
+# carried as w16 = 16 >> k ∈ {16,8,4,2,1}, credit =
+# value_microcents * w16 // Σw16 — bit-identical on every engine, the
+# ev14 micro-cent discipline with non-equal shares.  Orphan purchases
+# credit 'organic' at full weight.  The touch join is an equi-join on
+# user_id with the time band residual (one user's events meet in one
+# task, never a cross join), k from exact microsecond arithmetic
+# (unix_micros / epoch_us — no truncate-then-subtract second skew).
+# ---------------------------------------------------------------------------
+@query(
+    "ev20_time_decay_attribution",
+    doc="time-decay multi-touch attribution: 0.5^(15-min intervals) "
+    "dyadic weights, integer micro-cent credit split per channel",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts AS pts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id AS cuser, ts AS cts,
+             'c' || CAST((CAST(json_extract_string(props, '$.k') AS BIGINT) % 3)
+                         AS VARCHAR) AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.event_id, p.value, c.channel,
+             CASE WHEN c.cuser IS NULL THEN 16
+                  ELSE CAST(16 / POWER(2,
+                       (epoch_us(p.pts) - epoch_us(c.cts)) // 900000000)
+                       AS BIGINT) END AS w16
+      FROM p LEFT JOIN c
+        ON c.cuser = p.user_id AND c.cts <= p.pts
+       AND c.cts >= p.pts - INTERVAL 1 HOUR
+    ),
+    cr AS (
+      SELECT event_id, value, COALESCE(channel, 'organic') AS channel, w16,
+             SUM(w16) OVER (PARTITION BY event_id) AS sw
+      FROM j
+    )
+    SELECT channel, COUNT(*) AS n_touches,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT) * 10000 * w16 // sw)
+                 / 1000000.0, 2) AS credited_revenue
+    FROM cr GROUP BY channel
+    """,
+)
+def ev20_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts"), "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"),
+        F.col("ts").alias("cts"),
+        F.concat(
+            F.lit("c"),
+            (F.get_json_object("props", "$.k").cast("long") % 3).cast("string"),
+        ).alias("channel"),
+    )
+    j = p.join(
+        c,
+        (F.col("cuser") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    # k complete 15-min intervals -> dyadic weight 16 >> k (exact;
+    # shiftright needs a column bit count, so the whole thing is SQL)
+    w16 = F.when(F.col("cuser").isNull(), F.lit(16)).otherwise(
+        F.expr(
+            "shiftright(16, cast((unix_micros(pts) - unix_micros(cts)) "
+            "div 900000000 as int))"
+        )
+    )
+    w = W.partitionBy("event_id")
+    credited = j.select(
+        "event_id",
+        "value",
+        F.coalesce("channel", F.lit("organic")).alias("channel"),
+        w16.alias("w16"),
+    ).withColumn("sw", F.sum("w16").over(w))
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(
+            F.sum(F.expr(
+                "cast(round(value * 100) as bigint) * 10000 * w16 div sw"
+            ))
+            / 1000000.0,
+            2,
+        ).alias("credited_revenue"),
+    )

@@ -31,7 +31,7 @@ from __future__ import annotations
 ROWS_ONLY_OK: frozenset[str] = frozenset()
 
 # Round 8 window (rotated from CORRECTNESS_r07.json, 50/50 green —
-# cumulative 240/240 driver-green at latest check).  Leads: the nine
+# cumulative 240/240 driver-green at latest check).  Leads: the ten
 # round-8 changed/new entries — st09 (NULL-event_id staging fix),
 # mm08 (ID3v2 tag failures isolated from frame-walk stats), mm11
 # (spec-consistent stsc fixtures), st11 (torn-crash SINK-batch replay,
@@ -39,11 +39,12 @@ ROWS_ONLY_OK: frozenset[str] = frozenset()
 # the oracle gate), et39 (TxTable optimistic-concurrency MERGE
 # conflict), mm12 (WebP container census), et40 (log-resolved schema
 # evolution), tx22 (URL normalization + per-domain quota), dd14
-# (C4-style global line dedup).  Then the round-7 verdict's staleness
-# refill: all 41 rows whose latest driver check is round 3
-# (q36/q37/q40-q78 block) — four rounds of rewrites sit between that
-# check and HEAD.  After this round the oldest cohort is the 50
-# round-4 rows (dd09/dd13/et07/... lead the round-9 refill).
+# (C4-style global line dedup), ev20 (time-decay attribution) — ten
+# leads.  Then the round-7 verdict's staleness refill: 40 of the 41
+# rows whose latest driver check is round 3 (q36/q37/q40-q77 block) —
+# four rounds of rewrites sit between that check and HEAD.
+# q78_bloom_semi_filter did not fit; it leads the round-9 refill with
+# the 50 round-4 rows (dd09/dd13/et07/...).
 DRIVER_WINDOW: list[str] = [
     "st09_incremental_ingest_replay",
     "mm08_mp3_frame_census",
@@ -54,6 +55,7 @@ DRIVER_WINDOW: list[str] = [
     "et40_schema_evolution",
     "tx22_url_curation",
     "dd14_line_dedup",
+    "ev20_time_decay_attribution",
     "q36_forecast_revenue",
     "q37_from_json_map",
     "q40_grouping_sets",
@@ -94,7 +96,6 @@ DRIVER_WINDOW: list[str] = [
     "q75_revenue_share",
     "q76_calendar_breakdown",
     "q77_topk_per_group",
-    "q78_bloom_semi_filter",
 ]
 
 # ROUND 9 PREP: once CORRECTNESS_r08.json lands, run
