@@ -2696,3 +2696,116 @@ def et40_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return head.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et41 — commit-log checkpointing (sources/txlog.py): snapshot reads
+# resolve from the latest CHECKPOINT plus a bounded tail instead of
+# walking every commit since v0 — Delta writes a checkpoint every 10
+# commits for the same reason: at pipeline commit rates the log walk
+# is the metadata bottleneck, and at 100 TB metadata reads ARE the
+# table-resolution cost.  Checkpoints are derived data: the in-query
+# asserts delete every checkpoint file mid-query and require reads to
+# stay bit-identical (entry log is authoritative), pin the exact
+# checkpoint set {v4, v8, v12}, time-travel through a checkpoint, and
+# drive the change feed across a checkpoint boundary.  The oracle is
+# the closed-form final state (12 appended slices + one row-wise
+# overwrite bump), independent of any log mechanics.
+# ---------------------------------------------------------------------------
+@query(
+    "et41_log_checkpoint_reads",
+    doc="TxTable log checkpointing: reads resolve via latest-checkpoint"
+    "+tail, byte-identical with checkpoints deleted (asserted in-query,"
+    " as are the checkpoint set, time travel and the cross-boundary "
+    "change feed) — value-hash compared against the closed-form final "
+    "state",
+    oracle="""
+    WITH seed AS (
+      SELECT DISTINCT c_custkey, c_acctbal FROM customer
+      WHERE c_custkey IS NOT NULL
+    )
+    SELECT c_custkey AS custkey,
+           ROUND(ROUND(c_acctbal, 2)
+                 + CASE WHEN ((c_custkey % 12) + 12) % 12 = 0
+                        THEN 10 ELSE 0 END, 2) AS acctbal,
+           CAST(((c_custkey % 12) + 12) % 12 AS INT) AS slice
+    FROM seed
+    """,
+)
+def et41_log_checkpoint_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.sources.txlog import TxTable
+
+    seed = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull())
+        .select("c_custkey", "c_acctbal")
+        .distinct()
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.pmod(F.col("c_custkey"), F.lit(12)).cast("int").alias("slice"),
+        )
+        .localCheckpoint(eager=True)  # 12 slice scans read this, not parquet
+    )
+    out_schema = "custkey bigint, acctbal double, slice int"
+    if not seed.head(1):
+        return spark.createDataFrame([], out_schema)
+    slice_counts = {
+        r["slice"]: r["n"]
+        for r in seed.groupBy("slice").agg(F.count("*").alias("n")).collect()
+    }
+
+    tmp = tempfile.mkdtemp(prefix="et41_ckpt_")
+    try:
+        t = TxTable(spark, os.path.join(tmp, "table"), checkpoint_interval=4)
+        for k in range(12):  # v0..v11 — checkpoints land at v4, v8
+            t.append(seed.filter(F.col("slice") == k))
+        # v12 (→ checkpoint): row-wise overwrite bumping slice 0,
+        # resolved THROUGH the v8 checkpoint + 3 tail entries
+        rv = t.latest_version()
+        bumped = t.read(version=rv).withColumn(
+            "acctbal",
+            F.round(
+                F.col("acctbal")
+                + F.when(F.col("slice") == 0, 10).otherwise(0),
+                2,
+            ),
+        )
+        t.overwrite(bumped, read_version=rv)
+
+        ckpts = sorted(
+            int(n.split(".")[0])
+            for n in os.listdir(t.log_dir)
+            if n.endswith(".checkpoint.json")
+        )
+        if ckpts != [4, 8, 12]:
+            raise AssertionError(f"checkpoint set {ckpts} != [4, 8, 12]")
+        # time travel THROUGH the v4 checkpoint (v6 = slices 0..6)
+        expect_v6 = sum(slice_counts.get(k, 0) for k in range(7))
+        if t.read(version=6).count() != expect_v6:
+            raise AssertionError("time travel via checkpoint mis-resolved")
+        # change feed across the v4/v8 boundary: appends of slices 4..9
+        expect_feed = sum(slice_counts.get(k, 0) for k in range(4, 10))
+        if t.changes(3, 9).count() != expect_feed:
+            raise AssertionError("change feed across checkpoint boundary")
+        fast = t.read().localCheckpoint(eager=True)
+
+        # checkpoints are DERIVED: deleting every one must not change a
+        # single row — the entry log remains authoritative
+        for n in list(os.listdir(t.log_dir)):
+            if n.endswith(".checkpoint.json"):
+                os.remove(os.path.join(t.log_dir, n))
+        raw = t.read()
+        if fast.exceptAll(raw).count() or raw.exceptAll(fast).count():
+            raise AssertionError(
+                "checkpointed read diverged from the raw log fold"
+            )
+        if t.read(version=6).count() != expect_v6:
+            raise AssertionError("raw-log time travel diverged")
+        return fast.select("custkey", "acctbal", "slice")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

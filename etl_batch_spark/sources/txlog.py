@@ -39,6 +39,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -46,6 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _LOG_DIR = "_txlog"
+_ENTRY_RE = re.compile(r"^(\d{8})\.json$")
+_CKPT_RE = re.compile(r"^(\d{8})\.checkpoint\.json$")
 
 # blind appends commute, so a lost commit race is retried at the new
 # head; the cap only bounds pathological contention (the staged data
@@ -122,29 +127,119 @@ def _merge_schemas(cur: T.StructType, new: T.StructType) -> T.StructType:
 
 
 class TxTable:
-    """A parquet table whose contents are defined by ``_txlog/``."""
+    """A parquet table whose contents are defined by ``_txlog/``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``checkpoint_interval``: every Nth commit also writes a CHECKPOINT
+    file (``{v:08d}.checkpoint.json``) holding the fully-folded
+    snapshot state at that version — live file set + schema + commit
+    meta.  Snapshot resolution then reads one checkpoint plus at most
+    N tail entries instead of walking every commit since v0 (Delta
+    writes a parquet checkpoint every 10 commits for exactly this
+    reason: at pipeline commit rates the log walk becomes the metadata
+    bottleneck).  Checkpoints are DERIVED data — deterministic folds
+    of the authoritative entry log — so writing one is best-effort and
+    idempotent (two racing writers produce identical bytes), deleting
+    one is always safe, and the OCC commit protocol is untouched.
+    ``vacuum()`` and ``history()`` still walk the full log: they need
+    every version's file lists by definition."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 checkpoint_interval: int = 10):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        self.checkpoint_interval = checkpoint_interval
         os.makedirs(self.log_dir, exist_ok=True)
 
     # -- log ---------------------------------------------------------------
 
-    def versions(self) -> "list[Version]":
-        out = []
-        for name in sorted(os.listdir(self.log_dir)):
-            if not name.endswith(".json"):
+    def _log_names(self) -> "tuple[list[int], list[int]]":
+        """(entry versions, checkpoint versions), from file NAMES only
+        — one directory listing, zero file reads."""
+        entries: "list[int]" = []
+        ckpts: "list[int]" = []
+        for name in os.listdir(self.log_dir):
+            m = _ENTRY_RE.match(name)
+            if m:
+                entries.append(int(m.group(1)))
                 continue
-            with open(os.path.join(self.log_dir, name)) as f:
-                e = json.load(f)
-            out.append(Version(**e))
-        return out
+            m = _CKPT_RE.match(name)
+            if m:
+                ckpts.append(int(m.group(1)))
+        return sorted(entries), sorted(ckpts)
+
+    def _read_entry(self, version: int) -> Version:
+        with open(os.path.join(self.log_dir, f"{version:08d}.json")) as f:
+            return Version(**json.load(f))
+
+    def _entries(self, lo: int, hi: int) -> "list[Version]":
+        """Log entries with ``lo <= version <= hi`` — reads exactly
+        those files, not the whole log."""
+        present, _ = self._log_names()
+        return [self._read_entry(v) for v in present if lo <= v <= hi]
+
+    def versions(self) -> "list[Version]":
+        """The FULL entry log (audit surface; vacuum/history need it).
+        Snapshot reads should use :meth:`_snapshot` instead."""
+        present, _ = self._log_names()
+        return [self._read_entry(v) for v in present]
 
     def latest_version(self) -> int:
-        vs = self.versions()
-        return vs[-1].version if vs else -1
+        present, _ = self._log_names()
+        return present[-1] if present else -1
+
+    def _snapshot(
+        self, version: "int | None" = None
+    ) -> "tuple[list[str], T.StructType | None]":
+        """(live files, schema) of the snapshot at ``version`` (newest
+        when None), resolved from the latest checkpoint at-or-before
+        it plus the tail entries after — O(checkpoint_interval) file
+        reads regardless of table age."""
+        present, ckpts = self._log_names()
+        v = (present[-1] if present else -1) if version is None else version
+        base = max((c for c in ckpts if c <= v), default=None)
+        live: "set[str]" = set()
+        schema_json = None
+        start = 0
+        if base is not None:
+            with open(os.path.join(
+                    self.log_dir, f"{base:08d}.checkpoint.json")) as f:
+                ck = json.load(f)
+            live = set(ck["live"])
+            schema_json = ck.get("schema")
+            start = base + 1
+        for e in self._entries(start, v):
+            live -= set(e.removed)
+            live |= set(e.added)
+            if e.schema is not None:
+                schema_json = e.schema
+        schema = (T.StructType.fromJson(schema_json)
+                  if schema_json is not None else None)
+        return sorted(live), schema
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Best-effort: checkpoints are deterministic folds of the
+        entry log, so a failure loses nothing and a racing duplicate
+        write produces identical content (os.replace clobber is
+        safe)."""
+        try:
+            live, schema = self._snapshot(version)
+            entry = self._read_entry(version)
+            payload = {
+                "version": version,
+                "live": live,
+                "schema": schema.jsonValue() if schema is not None else None,
+                "meta": entry.meta,
+            }
+            tmp = os.path.join(self.log_dir, f".tmp-ck-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(
+                tmp,
+                os.path.join(self.log_dir, f"{version:08d}.checkpoint.json"),
+            )
+        except OSError:  # pragma: no cover — derived data, never fatal
+            pass
 
     def schema_at(
         self,
@@ -154,8 +249,10 @@ class TxTable:
         """Table schema of the snapshot at ``version`` (newest when
         None), resolved from the log alone — never a parquet footer.
         None for tables whose log predates schema tracking."""
+        if versions is None:
+            return self._snapshot(version)[1]
         out = None
-        for v in self.versions() if versions is None else versions:
+        for v in versions:
             if version is not None and v.version > version:
                 break
             if v.schema is not None:
@@ -169,9 +266,12 @@ class TxTable:
     ) -> "list[str]":
         """File set of the snapshot at ``version`` (newest when None).
         Pass ``versions`` to reuse an already-read log instead of
-        re-listing it (object-store log reads are the metadata cost)."""
+        re-listing it (object-store log reads are the metadata cost);
+        otherwise resolution is checkpoint-accelerated."""
+        if versions is None:
+            return self._snapshot(version)[0]
         live: "set[str]" = set()
-        for v in self.versions() if versions is None else versions:
+        for v in versions:
             if version is not None and v.version > version:
                 break
             live -= set(v.removed)
@@ -217,6 +317,10 @@ class TxTable:
             ) from None
         finally:
             os.unlink(tmp)
+        if (self.checkpoint_interval
+                and version > 0
+                and version % self.checkpoint_interval == 0):
+            self._write_checkpoint(version)
         return version
 
     # -- writes ------------------------------------------------------------
@@ -236,14 +340,30 @@ class TxTable:
         n_rows = self.spark.read.parquet(out).count()
         return sorted(files), n_rows
 
+    def _cleanup_staged(self, files: "list[str] | None") -> None:
+        """Best-effort delete of parquet staged for a commit that will
+        never land.  Unreferenced files are invisible to readers, but
+        vacuum()'s version walk only reclaims files some log entry
+        added — without this, a permanently failed commit (exhausted
+        retries, schema refusal on retry re-resolution, a conflicted
+        overwrite) leaks its staging subdir until an orphan sweep."""
+        if not files:
+            return
+        for sub in {f.split(os.sep, 1)[0] for f in files}:
+            shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+
     def _evolved_schema(
-        self, df: DataFrame, *, merge_schema: bool
+        self, df: DataFrame, *, merge_schema: bool,
+        version: "int | None" = None,
     ) -> T.StructType:
         """The table schema an append of ``df`` commits: unchanged when
         the columns match (any order), merged when ``merge_schema`` is
-        set, refused otherwise — Delta's default write contract."""
+        set, refused otherwise — Delta's default write contract.
+        ``version`` resolves against that snapshot's schema so the
+        caller can pin its commit slot to the same head it resolved
+        the schema from."""
         new = _norm_schema(df.schema)
-        cur = self.schema_at()
+        cur = self.schema_at(version)
         if cur is None:
             return new
         if {(f.name, f.dataType) for f in cur.fields} == {
@@ -270,22 +390,43 @@ class TxTable:
         ``merge_schema=True``, which commits the union schema (existing
         columns keep their types — a type change refuses either way);
         files written before the evolution NULL-fill the new columns at
-        read time via the log-stored schema."""
-        schema = self._evolved_schema(df, merge_schema=merge_schema)
-        added, n = self._write_files(df)
-        for _ in range(_APPEND_RETRIES):
-            try:
-                return self._commit("append", added, [], n, meta,
-                                    schema=schema)
-            except ConcurrentWriteConflict:
-                # the racing commit may itself have evolved the schema;
-                # re-resolve against the new head before retrying
-                schema = self._evolved_schema(df, merge_schema=merge_schema)
-                continue
-        raise ConcurrentWriteConflict(
-            f"append to {self.path} lost the commit race "
-            f"{_APPEND_RETRIES} times; head is moving too fast"
-        )
+        read time via the log-stored schema.
+
+        The commit slot is PINNED to the head the schema was resolved
+        against (``expected_version = resolved_head + 1``): a commit
+        landing in between — which may itself have evolved the schema —
+        always raises the slot conflict here, and the retry re-resolves
+        both head and schema together.  Landing later with the stale
+        schema would silently regress the table schema (a lost update
+        on schema metadata — Delta's conflict checker likewise treats
+        metadata changes as conflicting with every concurrent commit).
+        """
+        added: "list[str] | None" = None
+        n = 0
+        try:
+            for _ in range(_APPEND_RETRIES):
+                head = self.latest_version()
+                schema = self._evolved_schema(
+                    df, merge_schema=merge_schema, version=head
+                )
+                if added is None:  # stage the parquet exactly once
+                    added, n = self._write_files(df)
+                try:
+                    return self._commit("append", added, [], n, meta,
+                                        expected_version=head + 1,
+                                        schema=schema)
+                except ConcurrentWriteConflict:
+                    continue
+            raise ConcurrentWriteConflict(
+                f"append to {self.path} lost the commit race "
+                f"{_APPEND_RETRIES} times; head is moving too fast"
+            )
+        except (ConcurrentWriteConflict, SchemaEvolutionError):
+            # this commit will never land — reclaim its staged parquet
+            # (the inner retry loop swallows per-attempt conflicts; only
+            # terminal failures reach here)
+            self._cleanup_staged(added)
+            raise
 
     def overwrite(self, df: DataFrame, *, meta: "dict | None" = None,
                   read_version: "int | None" = None) -> int:
@@ -303,14 +444,20 @@ class TxTable:
         if read_version is None:
             read_version = self.latest_version()
         added, n = self._write_files(df)
-        # an overwrite replaces the rows, so it may replace the schema
-        # too (Delta's overwriteSchema shape) — the new snapshot's
-        # schema IS df's schema
-        return self._commit(
-            "overwrite", added, self._active_files(read_version), n, meta,
-            expected_version=read_version + 1,
-            schema=_norm_schema(df.schema),
-        )
+        try:
+            # an overwrite replaces the rows, so it may replace the schema
+            # too (Delta's overwriteSchema shape) — the new snapshot's
+            # schema IS df's schema
+            return self._commit(
+                "overwrite", added, self._active_files(read_version), n, meta,
+                expected_version=read_version + 1,
+                schema=_norm_schema(df.schema),
+            )
+        except ConcurrentWriteConflict:
+            # the rewrite is stale and will be recomputed from the fresh
+            # snapshot — its staged files can never become referenced
+            self._cleanup_staged(added)
+            raise
 
     def merge(
         self,
@@ -368,8 +515,8 @@ class TxTable:
         )
 
     def latest_meta(self) -> "dict | None":
-        vs = self.versions()
-        return vs[-1].meta if vs else None
+        present, _ = self._log_names()
+        return self._read_entry(present[-1]).meta if present else None
 
     def compact(
         self,
@@ -415,16 +562,29 @@ class TxTable:
         # CAS at read_version + 1: a writer landing mid-rewrite means
         # this compaction was computed from a stale snapshot — removing
         # its files would drop the concurrent commit's effect
-        return self._commit(
-            "compact", added, self._active_files(read_version), n,
-            meta=self.latest_meta(), expected_version=read_version + 1,
-            schema=self.schema_at(read_version),
-        )
+        try:
+            return self._commit(
+                "compact", added, self._active_files(read_version), n,
+                meta=self.latest_meta(), expected_version=read_version + 1,
+                schema=self.schema_at(read_version),
+            )
+        except ConcurrentWriteConflict:
+            self._cleanup_staged(added)
+            raise
 
-    def vacuum(self, *, retain_versions: int = 1) -> "list[str]":
+    def vacuum(self, *, retain_versions: int = 1,
+               orphan_age_seconds: float = 3600.0) -> "list[str]":
         """Physically delete files not referenced by the newest
         ``retain_versions`` versions (1 = current snapshot only).  The
-        ONLY destructive operation."""
+        ONLY destructive operation.
+
+        Also sweeps ORPHANED staging subdirs — ``data-*`` dirs no log
+        entry ever referenced (a writer that crashed between staging
+        and commit; failure paths clean up after themselves, a kill -9
+        cannot).  ``orphan_age_seconds`` is the in-flight-writer guard:
+        a subdir younger than it may belong to a writer still between
+        staging and commit and is left alone (Delta's vacuum applies
+        the same mtime horizon to unreferenced files)."""
         if retain_versions < 1:
             raise ValueError(
                 f"retain_versions must be >= 1 (the current snapshot is "
@@ -451,6 +611,27 @@ class TxTable:
                     if os.path.exists(full):
                         os.remove(full)
                         removed.append(f)
+        # orphan sweep: staging subdirs no log entry references at all
+        ever = {f for v in vs for f in v.added}
+        now = time.time()
+        for sub in sorted(os.listdir(self.path)):
+            full_sub = os.path.join(self.path, sub)
+            if not sub.startswith("data-") or not os.path.isdir(full_sub):
+                continue
+            rels = [
+                os.path.join(sub, name)
+                for name in os.listdir(full_sub)
+                if name.endswith(".parquet")
+            ]
+            if any(r in ever for r in rels):
+                continue  # committed data — the version walk above owns it
+            try:
+                age = now - os.path.getmtime(full_sub)
+            except OSError:
+                continue  # raced with a concurrent cleanup
+            if age >= orphan_age_seconds:
+                removed.extend(rels)
+                shutil.rmtree(full_sub, ignore_errors=True)
         return sorted(removed)
 
     # -- reads -------------------------------------------------------------
@@ -472,9 +653,12 @@ class TxTable:
         the later columns and time travel sees the historical column
         set, never footers (at 100 TB a mergeSchema footer sweep is a
         full metadata pass; the log entry is O(columns)).  Logs written
-        before schema tracking fall back to footer inference."""
-        vs = self.versions()  # one log read for files + schema
-        files = self._active_files(version, versions=vs)
+        before schema tracking fall back to footer inference.
+
+        Resolution is checkpoint-accelerated: one checkpoint read plus
+        at most ``checkpoint_interval`` tail entries, however old the
+        table is."""
+        files, schema = self._snapshot(version)
         if not files:
             raise ValueError(f"table {self.path} has no data at version {version}")
         if version is not None:
@@ -490,7 +674,6 @@ class TxTable:
                     "vacuum retention horizon"
                 )
         reader = self.spark.read
-        schema = self.schema_at(version, versions=vs)
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[os.path.join(self.path, f) for f in files])
@@ -525,19 +708,34 @@ class TxTable:
         """
         from pyspark.sql import functions as F
 
-        vs = self.versions()  # one log read for the whole operation
-        v_to = (vs[-1].version if vs else -1) if v_to is None else v_to
+        v_to = self.latest_version() if v_to is None else v_to
         if v_to < v_from:
             raise ValueError(f"v_to {v_to} < v_from {v_from}")
-        between = [v for v in vs if v_from < v.version <= v_to]
-        before_files = self._active_files(v_from, versions=vs)
-        after_files = self._active_files(v_to, versions=vs)
+        # checkpoint-accelerated: the BEFORE endpoint resolves through
+        # the nearest checkpoint; the after endpoint and the feed
+        # schema fold forward over only the in-range entries — total
+        # metadata reads O(interval + range), never O(table age)
+        between = self._entries(v_from + 1, v_to)
+        before_files, before_schema = self._snapshot(v_from)
+        after_live = set(before_files)
+        feed_schema_json = (
+            before_schema.jsonValue() if before_schema is not None else None
+        )
+        for e in between:
+            after_live -= set(e.removed)
+            after_live |= set(e.added)
+            if e.schema is not None:
+                feed_schema_json = e.schema
+        after_files = sorted(after_live)
 
         # both endpoints read with the schema AS OF v_to (Delta CDF's
         # convention): an exceptAll diff needs one schema, and reading
         # the older snapshot under the newer schema NULL-fills evolved
         # columns instead of failing the union
-        feed_schema = self.schema_at(v_to, versions=vs)
+        feed_schema = (
+            T.StructType.fromJson(feed_schema_json)
+            if feed_schema_json is not None else None
+        )
 
         def snap(files: "list[str]") -> DataFrame:
             reader = self.spark.read
@@ -552,8 +750,9 @@ class TxTable:
             # typed (in priority order) from the caller-supplied schema,
             # then from any file the log ever referenced (appended then
             # deleted rows still pin the row schema), else only the
-            # column the feed itself guarantees
-            ever = [f for v in vs for f in v.added]
+            # column the feed itself guarantees.  (Full log walk — fine:
+            # only reachable while the table has no data at all.)
+            ever = [f for v in self.versions() for f in v.added]
             if schema is not None:
                 empty = self.spark.createDataFrame([], schema)
             elif ever:
@@ -571,7 +770,35 @@ class TxTable:
                     .withColumn("_change_type", F.lit("insert"))
                     .limit(0)
                 )
+            # files appended in the range can be compacted away by a
+            # LATER commit and then physically deleted by vacuum() —
+            # refuse cleanly like read(version=) does instead of a
+            # scan-time path-not-found deep inside the reader
+            gone = [
+                f for f in added
+                if not os.path.exists(os.path.join(self.path, f))
+            ]
+            if gone:
+                raise ValueError(
+                    f"change feed over ({v_from}, {v_to}] references "
+                    f"{len(gone)} file(s) removed by vacuum() "
+                    f"(e.g. {gone[0]}); change feeds are bounded by the "
+                    "vacuum retention horizon"
+                )
             return snap(added).withColumn("_change_type", F.lit("insert"))
+        # the diff endpoints are historical snapshots too — same
+        # retention-horizon refusal as the fast path
+        gone = [
+            f for f in (*before_files, *after_files)
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if gone:
+            raise ValueError(
+                f"change feed over ({v_from}, {v_to}] references "
+                f"{len(gone)} file(s) removed by vacuum() "
+                f"(e.g. {gone[0]}); change feeds are bounded by the "
+                "vacuum retention horizon"
+            )
         # an empty endpoint of a diff range (e.g. v_from=-1 bootstrap
         # against a table whose first commit was an overwrite) is an
         # empty relation typed like the other endpoint

@@ -1056,3 +1056,273 @@ class TestTxTable:
             del b._write_files
         # every interleaved append survived; b's merge never landed
         assert {r["v"] for r in a.read().collect()} == {"x", "w"}
+
+    # -- schema OCC + orphan reclamation (round 9) ---------------------
+
+    def test_concurrent_schema_evolution_is_not_lost(self, spark, tmp_path):
+        """A commit evolving the schema while another append is staging
+        must NOT be regressed by that append: the late commit's slot is
+        pinned to the head its schema was resolved against, so it
+        conflicts, retries, and re-resolves — landing with the union
+        schema instead of silently dropping the evolved column from all
+        subsequent reads (a lost update on schema metadata)."""
+        a, b = self._two_writers(spark, tmp_path)
+        a.append(spark.range(2).select("id"))                          # v0
+
+        real_write = type(b)._write_files
+        fired = {"n": 0}
+
+        def evolve_mid_staging(df):
+            files = real_write(b, df)
+            if fired["n"] == 0:
+                fired["n"] += 1
+                a.append(
+                    spark.range(2, 4).select("id", F.lit("t").alias("tag")),
+                    merge_schema=True,
+                )                                                      # v1
+            return files
+
+        b._write_files = evolve_mid_staging
+        try:
+            v = b.append(spark.range(4, 6).select("id"), merge_schema=True)
+        finally:
+            del b._write_files
+        assert v == 2  # landed AFTER the evolution, not over it
+        # the evolved column survived b's commit...
+        assert a.schema_at().fieldNames() == ["id", "tag"]
+        got = {(r["id"], r["tag"]) for r in a.read().collect()}
+        assert got == {(0, None), (1, None), (2, "t"), (3, "t"),
+                       (4, None), (5, None)}
+        # ...and the historical schema sequence is monotone
+        assert a.schema_at(1).fieldNames() == ["id", "tag"]
+        assert a.schema_at(2).fieldNames() == ["id", "tag"]
+
+    def _data_subdirs(self, t):
+        import os as _os
+
+        return {
+            n for n in _os.listdir(t.path)
+            if n.startswith("data-") and _os.path.isdir(
+                _os.path.join(t.path, n))
+        }
+
+    def test_failed_commits_reclaim_staged_files(self, spark, tmp_path):
+        """Staged parquet from a commit that never lands is referenced
+        by no log entry; the failure path must delete it (vacuum's
+        version walk cannot see it)."""
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.txlog import (
+            ConcurrentWriteConflict, SchemaEvolutionError,
+        )
+
+        a, b = self._two_writers(spark, tmp_path)
+        a.append(spark.range(0, 5))
+
+        committed = {f.split("/", 1)[0] for v in a.versions() for f in v.added}
+        assert self._data_subdirs(a) == committed
+
+        # conflicted overwrite: staged rewrite reclaimed
+        real_write = type(b)._write_files
+
+        def interleave(df):
+            files = real_write(b, df)
+            a.append(spark.range(5, 7))
+            return files
+
+        b._write_files = interleave
+        try:
+            with _pytest.raises(ConcurrentWriteConflict):
+                b.overwrite(b.read().withColumn("id", F.col("id") + 9))
+        finally:
+            del b._write_files
+        committed = {f.split("/", 1)[0] for v in a.versions() for f in v.added}
+        assert self._data_subdirs(a) == committed
+
+        # schema refusal on retry re-resolution: staged append reclaimed
+        def evolve(df):
+            files = real_write(b, df)
+            a.append(spark.range(7, 8).select(
+                "id", F.lit("t").alias("tag")), merge_schema=True)
+            return files
+
+        b._write_files = evolve
+        try:
+            with _pytest.raises(SchemaEvolutionError):
+                # merge_schema=False: fine at staging time, refused on
+                # re-resolution after the conflict
+                b.append(spark.range(8, 9).select("id"))
+        finally:
+            del b._write_files
+        committed = {f.split("/", 1)[0] for v in a.versions() for f in v.added}
+        assert self._data_subdirs(a) == committed
+        # the table itself is intact throughout
+        assert sorted(r["id"] for r in a.read().collect()) == list(range(8))
+
+    def test_vacuum_sweeps_aged_orphans_only(self, spark, tmp_path):
+        """vacuum() reclaims staging dirs no log entry references —
+        a crashed writer's leftovers — but only past the age guard
+        (a younger dir may belong to a writer between staging and
+        commit)."""
+        import os as _os
+
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(0, 5))
+        # simulate a writer killed between staging and commit
+        orphan = _os.path.join(t.path, "data-deadbeef")
+        spark.range(99).write.mode("overwrite").parquet(orphan)
+        assert "data-deadbeef" in self._data_subdirs(t)
+        # younger than the guard: untouched
+        assert t.vacuum(retain_versions=1) == []
+        assert "data-deadbeef" in self._data_subdirs(t)
+        # past the guard: swept, and reported
+        removed = t.vacuum(retain_versions=1, orphan_age_seconds=0.0)
+        assert removed and all(f.startswith("data-deadbeef/") for f in removed)
+        assert "data-deadbeef" not in self._data_subdirs(t)
+        assert t.read().count() == 5  # committed data untouched
+
+    def test_change_feed_past_vacuum_horizon_refuses_cleanly(
+        self, spark, tmp_path
+    ):
+        """A change feed whose range references vacuumed files must
+        raise the retention-horizon ValueError up front — not a
+        scan-time path-not-found deep inside the reader — on BOTH the
+        all-append fast path and the snapshot-diff path."""
+        import pytest as _pytest
+
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(0, 10))           # v0
+        t.append(spark.range(10, 15))          # v1
+        t.compact(target_files=1)              # v2
+        t.vacuum(retain_versions=1)            # v0/v1 files gone
+        with _pytest.raises(ValueError, match="vacuum"):
+            t.changes(0, 1).collect()          # fast path
+        t.overwrite(spark.range(20, 25))       # v3
+        assert t.changes(2, 3).count() > 0     # in-horizon diff works...
+        t.vacuum(retain_versions=1)            # ...then v2 files go
+        with _pytest.raises(ValueError, match="vacuum"):
+            t.changes(2, 3).collect()          # diff path refuses
+        # the current snapshot alone is always readable
+        assert t.changes(3, 3).count() == 0
+
+    # -- log checkpointing (round 9) -----------------------------------
+
+    def test_checkpoints_written_and_reads_identical(self, spark, tmp_path):
+        """Every Nth commit writes a checkpoint; snapshot resolution
+        through checkpoints must be bit-identical to the raw full-log
+        fold at EVERY version — and keep working if a checkpoint file
+        is deleted (checkpoints are derived data, the entry log is
+        authoritative)."""
+        import os as _os
+
+        from etl_batch_spark.sources.txlog import TxTable
+
+        t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=4)
+        for lo in range(0, 110, 10):
+            t.append(spark.range(lo, lo + 10))                 # v0..v10
+        cks = sorted(
+            n for n in _os.listdir(t.log_dir) if n.endswith(".checkpoint.json")
+        )
+        assert cks == ["00000004.checkpoint.json", "00000008.checkpoint.json"]
+        raw = t.versions()  # authoritative full log
+        for v in (0, 3, 4, 5, 8, 10, None):
+            fast_files, fast_schema = t._snapshot(v)  # noqa: SLF001
+            assert fast_files == t._active_files(v, versions=raw)  # noqa: SLF001
+            assert fast_schema == t.schema_at(v, versions=raw)
+        assert t.read().count() == 110
+        assert t.read(version=4).count() == 50  # time travel via ckpt
+        # deleting a checkpoint only removes the acceleration
+        _os.remove(_os.path.join(t.log_dir, "00000008.checkpoint.json"))
+        assert t.read(version=8).count() == 90
+        assert sorted(r["id"] for r in t.read().collect()) == list(range(110))
+
+    def test_checkpoint_carries_schema_and_meta(self, spark, tmp_path):
+        from etl_batch_spark.sources.txlog import TxTable
+
+        t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=2)
+        t.append(spark.range(2).select("id"))                        # v0
+        t.append(
+            spark.range(2, 4).select("id", F.lit("x").alias("tag")),
+            merge_schema=True,
+        )                                                            # v1
+        t.append(spark.range(4, 6).select("id"), merge_schema=True,
+                 meta={"batch": 7})                                  # v2 → ckpt
+        # a fresh handle resolving THROUGH the checkpoint sees the
+        # evolved schema and the commit meta
+        t2 = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=2)
+        assert t2.schema_at().fieldNames() == ["id", "tag"]
+        assert t2.latest_meta() == {"batch": 7}
+        assert t2.read(version=0).columns == ["id"]  # history intact
+
+    def test_occ_interleave_across_checkpoint_boundary(self, spark, tmp_path):
+        """The OCC guarantees must hold unchanged when the conflict
+        straddles a checkpoint write: a commit landing mid-rewrite
+        still fails the stale rewrite, and the retry composes."""
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.txlog import (
+            ConcurrentWriteConflict, TxTable,
+        )
+
+        path = str(tmp_path / "tx")
+        a = TxTable(spark, path, checkpoint_interval=2)
+        b = TxTable(spark, path, checkpoint_interval=2)
+        a.append(spark.range(0, 5))   # v0
+        a.append(spark.range(5, 8))   # v1
+
+        real_write = type(b)._write_files
+
+        def interleaved(df):
+            files = real_write(b, df)
+            a.append(spark.range(8, 10))  # v2 → writes the checkpoint
+            return files
+
+        b._write_files = interleaved
+        try:
+            with _pytest.raises(ConcurrentWriteConflict):
+                b.overwrite(b.read().withColumn("id", F.col("id") + 100))
+        finally:
+            del b._write_files
+        # a's interleaved commit (and its checkpoint) survived
+        assert sorted(r["id"] for r in b.read().collect()) == list(range(10))
+        # retry from the fresh snapshot lands ON the checkpointed head
+        b.overwrite(b.read().withColumn("id", F.col("id") + 100),
+                    read_version=b.latest_version())
+        assert sorted(r["id"] for r in a.read().collect()) == list(
+            range(100, 110)
+        )
+
+    def test_change_feed_across_checkpoint_boundary(self, spark, tmp_path):
+        from etl_batch_spark.sources.txlog import TxTable
+
+        t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=2)
+        t.append(spark.range(0, 5))         # v0
+        t.append(spark.range(5, 8))         # v1
+        t.append(spark.range(8, 12))        # v2 → checkpoint
+        t.overwrite(spark.range(10, 15))    # v3
+        # fast path spanning the checkpointed version
+        feed = t.changes(0, 2)
+        assert sorted(r["id"] for r in feed.collect()) == list(range(5, 12))
+        # diff path anchored BEFORE the checkpoint: before = v1 {0..7},
+        # after = v3 {10..14}
+        got = {(r["id"], r["_change_type"]) for r in t.changes(1, 3).collect()}
+        assert got == (
+            {(i, "delete") for i in range(0, 8)}
+            | {(i, "insert") for i in range(10, 15)}
+        )
+
+    def test_vacuum_time_travel_refusal_with_checkpoints(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.txlog import TxTable
+
+        t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=2)
+        for lo in range(0, 40, 10):
+            t.append(spark.range(lo, lo + 10))  # v0..v3 (ckpt at v2)
+        t.compact(target_files=1)               # v4 → checkpoint
+        t.vacuum(retain_versions=1)
+        # the checkpoint at v2 references vacuumed files: the refusal
+        # must stay clean, not become a scan-time path-not-found
+        with _pytest.raises(ValueError, match="vacuum"):
+            t.read(version=2)
+        assert t.read().count() == 40
