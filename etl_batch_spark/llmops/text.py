@@ -737,16 +737,12 @@ def gopher_rules(
 # ---------------------------------------------------------------------------
 
 # query params that identify a click, not a resource (the usual strip
-# set: Google/Facebook/Microsoft click ids + utm_* campaign tags)
-_TRACKING_PARAM_RE = "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)="
+# set: Google/Facebook/Microsoft click ids + utm_* campaign tags).
+# Case-insensitive and valueless-param tolerant: '?UTM_SOURCE=x',
+# '?Gclid=1' and a bare '?fbclid' must all canonicalize away or the
+# same resource escapes URL dedup under trivially-varied tracking tags.
+_TRACKING_PARAM_RE = "(?i)^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)(=|$)"
 
-# multi-label public suffixes the registered-domain heuristic knows.
-# A real deployment ships the full Mozilla public-suffix list as a
-# broadcast lookup; these cover the fixture TLDs and the common shapes.
-_MULTI_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp", "com.br",
-    "co.in", "com.cn", "com.mx",
-)
 
 
 def normalize_url(url: Column) -> Column:
@@ -789,18 +785,207 @@ def normalize_url(url: Column) -> Column:
 
 
 def registered_domain(host: Column) -> Column:
-    """eTLD+1 from a hostname: the last two labels, or three when the
-    last two form a known multi-label public suffix (``co.uk`` family).
-    Lowercases and strips any port.  NULL host stays NULL."""
+    """eTLD+1 from a hostname under the FULL Public Suffix List
+    (https://publicsuffix.org/list/ — the vendored Mozilla list,
+    ``llmops.psl``), as a pure native column expression:
+
+    - exact rules (``co.uk``, ``github.io``, 5-label ``*.jp`` city
+      rules) match the longest suffix;
+    - wildcard rules (``*.ck``) make any single extra label under the
+      parent a public suffix;
+    - exception rules (``!www.ck``) ARE the registrable domain for any
+      host ending in them;
+    - no rule matching falls to the PSL default ``*`` rule (the last
+      label is the suffix).
+
+    The rule sets become ``isin`` predicates, which Catalyst compiles
+    to ``InSet`` hash-set probes — O(1) per row inside whole-stage
+    codegen, no join, no Python; at 100 TB this runs at scan speed,
+    with the rule sets riding the task binary (~4 MB serialized,
+    broadcast once per stage) — the column-expression equivalent of a
+    broadcast join against the PSL, without the join.
+
+    Lowercases and strips any port first.  A host that IS a public
+    suffix (or a single label, e.g. ``localhost``) returns itself —
+    the graceful degradation a curation quota wants, rather than NULL.
+    NULL host stays NULL.  Matching uses the Unicode rule form as
+    published; Punycode hosts fall under the default rule."""
+    from etl_batch_spark.llmops.psl import (
+        MAX_SUFFIX_LABELS, load_rules, rules_in,
+    )
+
+    _, _, exc = load_rules()
+
     h = F.lower(F.regexp_replace(host, r":\d+$", ""))
     labels = F.split(h, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2),
-        F.element_at(labels, -1),
+
+    def cand(k: int) -> Column:
+        """Suffix of the last ``k`` labels; NULL when the host is
+        shorter (``when`` evaluates lazily, so the out-of-range
+        element_at never runs under ANSI mode)."""
+        parts = [F.element_at(labels, -i) for i in range(k, 0, -1)]
+        return F.when(n >= k, F.concat_ws(".", *parts))
+
+    cands = {k: cand(k) for k in range(1, MAX_SUFFIX_LABELS + 2)}
+
+    def nlabels(c: Column) -> Column:
+        # label count of a candidate = dots + 1 (cheaper than re-split)
+        return (
+            F.length(c) - F.length(F.replace(c, F.lit("."), F.lit(""))) + 1
+        ).cast("int")
+
+    # Each rule set appears in the plan EXACTLY ONCE, as a lambda
+    # predicate over the candidate array (NULL candidates — host
+    # shorter than k — fail the IN and drop out of filter()).  The
+    # public-suffix length is the longest match; the default '*' rule
+    # guarantees at least 1, so 1-label exact rules need no testing.
+    exact_max = F.array_max(
+        F.transform(
+            F.filter(
+                F.array(*[cands[k] for k in range(2, MAX_SUFFIX_LABELS + 1)]),
+                lambda c: rules_in(c, "exact"),
+            ),
+            nlabels,
+        )
     )
-    is_multi = last2.isin(*_MULTI_SUFFIXES)
-    return F.when(h.isNull() | (n <= 1), h).when(
-        is_multi & (n >= 3), last3
-    ).otherwise(last2)
+    # a wildcard parent of j labels makes the (j+1)-label suffix
+    # public — only when that extra label actually exists (j < n)
+    wild_max = F.array_max(
+        F.transform(
+            F.filter(
+                F.array(*[cands[k] for k in range(1, MAX_SUFFIX_LABELS)]),
+                lambda c: rules_in(c, "wild") & (nlabels(c) < n),
+            ),
+            lambda c: nlabels(c) + 1,
+        )
+    )
+    # greatest() skips NULLs (empty filter results)
+    suffix_len = F.greatest(F.lit(1), exact_max, wild_max)
+
+    # registrable domain = suffix + 1 label (suffix_len picks which
+    # candidate; chained highest-first so exactly one branch fires)
+    reg = None
+    for k in range(MAX_SUFFIX_LABELS + 1, 1, -1):
+        branch = F.when((suffix_len == k - 1) & (n >= k), cands[k])
+        reg = branch if reg is None else branch.otherwise(reg)
+
+    # exception rules trump everything: the rule itself is the
+    # registrable domain for any host ending in it (8 rules — plain
+    # isin literals are fine at this size)
+    by_len: "dict[int, list[str]]" = {}
+    for r in exc:
+        by_len.setdefault(r.count(".") + 1, []).append(r)
+    out = F.when(h.isNull() | (n <= 1), h)
+    for k, rules in sorted(by_len.items()):
+        out = out.when(cands[k].isin(*sorted(rules)), cands[k])
+    return out.otherwise(F.when(n > suffix_len, reg).otherwise(h))
+
+
+def psl_rules_df(spark) -> DataFrame:
+    """The Public Suffix List as a tiny dimension table —
+    ``(suffix, is_exact, is_wild_parent, is_exc)``, one row per
+    distinct rule string (a string can be several kinds at once:
+    ``ck`` is both an exact rule and a wildcard parent).  ≈9.5k rows,
+    ~300 KB — the canonical broadcast-join side."""
+    from etl_batch_spark.llmops.psl import load_rules
+
+    exact, wild, exc = load_rules()
+    rows = [
+        (s, s in exact, s in wild, s in exc)
+        for s in sorted(exact | wild | exc)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "suffix string, is_exact boolean, is_wild_parent boolean, "
+        "is_exc boolean",
+    )
+
+
+def with_registered_domain(
+    df: DataFrame, host_col: str, out_col: str = "registered_domain"
+) -> DataFrame:
+    """Adds ``out_col`` = eTLD+1 of ``host_col`` under the full Public
+    Suffix List, via BROADCAST HASH JOINS against :func:`psl_rules_df`
+    — the hot-path form of :func:`registered_domain` (same semantics,
+    same PSL algorithm, bit-identical output).
+
+    Plan shape: one candidate suffix per rule depth (k = 1..5 labels),
+    each probed against the broadcast PSL table with a left equi-join —
+    five O(1) hash probes per row, a single ~300 KB broadcast reused
+    across all five joins (ReusedExchange), zero shuffles of ``df``,
+    zero Python.  Unlike the column-expression variant this keeps the
+    task binary small (the rule set lives in the broadcast, not in a
+    9.4k-literal InSet riding every task) and the query build cheap —
+    what a 100 TB crawl-curation pipeline should call.
+
+    Temporary ``__rd_*`` helper columns are used and dropped;
+    ``host_col`` must not collide with that prefix."""
+    from etl_batch_spark.llmops.psl import MAX_SUFFIX_LABELS, load_rules
+
+    _, _, exc = load_rules()
+    exc_lens = sorted({r.count(".") + 1 for r in exc})
+
+    psl = psl_rules_df(df.sparkSession)
+
+    h = F.lower(F.regexp_replace(F.col(host_col), r":\d+$", ""))
+    cur = (
+        df.withColumn("__rd_h", h)
+        .withColumn("__rd_labels", F.split(F.col("__rd_h"), r"\."))
+        .withColumn("__rd_n", F.size("__rd_labels"))
+    )
+    n = F.col("__rd_n")
+    for k in range(1, MAX_SUFFIX_LABELS + 2):
+        parts = [
+            F.element_at("__rd_labels", -i) for i in range(k, 0, -1)
+        ]
+        cur = cur.withColumn(
+            f"__rd_c{k}", F.when(n >= k, F.concat_ws(".", *parts))
+        )
+    for k in range(1, MAX_SUFFIX_LABELS + 1):
+        p = psl.select(
+            F.col("suffix").alias(f"__rd_s{k}"),
+            F.col("is_exact").alias(f"__rd_e{k}"),
+            F.col("is_wild_parent").alias(f"__rd_w{k}"),
+            F.col("is_exc").alias(f"__rd_x{k}"),
+        )
+        cur = cur.join(
+            F.broadcast(p),
+            F.col(f"__rd_c{k}") == F.col(f"__rd_s{k}"),
+            "left",
+        )
+
+    # public-suffix length: longest match wins; default '*' rule → 1.
+    # A wildcard parent at k-1 labels makes the k-label suffix public
+    # (when that label exists).  greatest() skips the NULLs of
+    # non-matching branches.
+    suffix_len = F.greatest(
+        F.lit(1),
+        *[
+            F.when(F.col(f"__rd_e{k}"), k)
+            for k in range(2, MAX_SUFFIX_LABELS + 1)
+        ],
+        *[
+            F.when(F.col(f"__rd_w{k - 1}") & (n >= k), k)
+            for k in range(2, MAX_SUFFIX_LABELS + 1)
+        ],
+    )
+    reg = None
+    for k in range(MAX_SUFFIX_LABELS + 1, 1, -1):
+        branch = F.when(
+            (suffix_len == k - 1) & (n >= k), F.col(f"__rd_c{k}")
+        )
+        reg = branch if reg is None else branch.otherwise(reg)
+
+    out = F.when(F.col("__rd_h").isNull() | (n <= 1), F.col("__rd_h"))
+    for k in exc_lens:
+        out = out.when(
+            F.coalesce(F.col(f"__rd_x{k}"), F.lit(False)),
+            F.col(f"__rd_c{k}"),
+        )
+    out = out.otherwise(
+        F.when(n > suffix_len, reg).otherwise(F.col("__rd_h"))
+    )
+
+    helper = [c for c in cur.columns if c.startswith("__rd_")]
+    return cur.withColumn(out_col, out).drop(*helper)

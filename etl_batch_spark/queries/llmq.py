@@ -3977,7 +3977,9 @@ def mm12_webp_structure_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx22_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from etl_batch_spark.llmops.text import normalize_url, registered_domain
+    from etl_batch_spark.llmops.text import (
+        normalize_url, with_registered_domain,
+    )
 
     d = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
     h = F.md5(F.col("text"))
@@ -4011,13 +4013,16 @@ def tx22_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         port, path, F.lit("?"), qs, frag,
     )
 
-    d = d.select("doc_id", "n_chars", messy.alias("url"))
+    d = d.select(
+        "doc_id", "n_chars", messy.alias("url"),
+        F.parse_url(messy, F.lit("HOST")).alias("__host"),
+    )
+    # broadcast-join PSL variant: full public-suffix list, small plan
+    d = with_registered_domain(d, "__host", "domain")
     d = d.select(
         "doc_id", "n_chars",
         normalize_url(F.col("url")).alias("url_norm"),
-        registered_domain(
-            F.parse_url(F.col("url"), F.lit("HOST"))
-        ).alias("domain"),
+        "domain",
     )
     rn = F.row_number().over(
         W.partitionBy("domain").orderBy(
@@ -4028,6 +4033,88 @@ def tx22_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "url_norm", "domain", (rn <= 20).alias("kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx23 — registered-domain extraction under the FULL Public Suffix List
+# (llmops/text.py::registered_domain over llmops/psl.py's vendored
+# Mozilla list).  Hosts are fabricated natively from md5(text) bits to
+# cover every PSL rule class a crawl-curation pipeline hits on day one:
+# a private-section suffix (github.io), a 3-label exact rule
+# (act.edu.au), a wildcard rule (*.ck), an exception rule (!www.ck),
+# the co.uk family, an unknown TLD (the default '*' rule), and a host
+# that IS a public suffix (graceful self-return).  The operator is an
+# InSet-compiled native when-chain — no join, no Python; the oracle
+# states the expected eTLD+1 PER SHAPE in closed form, an independent
+# construction that does not re-run any suffix matching.
+# ---------------------------------------------------------------------------
+@query(
+    "tx23_registered_domain_psl",
+    doc="full-PSL eTLD+1: exact/private/wildcard/exception/default rule "
+    "classes over fabricated hosts, matched against a closed-form "
+    "per-shape oracle",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT % 8 AS shape_i,
+             ('0x' || substr(md5(text), 5, 2))::BIGINT % 2 AS up_bit,
+             ('0x' || substr(md5(text), 7, 4))::BIGINT % 1000 AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    u AS (
+      SELECT doc_id, up_bit,
+             CASE shape_i
+               WHEN 0 THEN 'site' || n || '.com'
+               WHEN 1 THEN 'a.user' || n || '.github.io'
+               WHEN 2 THEN 'www.x' || n || '.act.edu.au'
+               WHEN 3 THEN 'a.b' || n || '.zone.ck'
+               WHEN 4 THEN 'foo' || n || '.www.ck'
+               WHEN 5 THEN 'cdn.site' || n || '.co.uk'
+               WHEN 6 THEN 'site' || n || '.unknowntld'
+               ELSE 'com.au' END AS host_lc,
+             CASE shape_i
+               WHEN 0 THEN 'site' || n || '.com'
+               WHEN 1 THEN 'user' || n || '.github.io'
+               WHEN 2 THEN 'x' || n || '.act.edu.au'
+               WHEN 3 THEN 'b' || n || '.zone.ck'
+               WHEN 4 THEN 'www.ck'
+               WHEN 5 THEN 'site' || n || '.co.uk'
+               WHEN 6 THEN 'site' || n || '.unknowntld'
+               ELSE 'com.au' END AS domain
+      FROM p
+    )
+    SELECT doc_id,
+           CASE WHEN up_bit = 1 THEN upper(host_lc) ELSE host_lc END
+             AS host,
+           domain
+    FROM u
+    """,
+)
+def tx23_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_batch_spark.llmops.text import with_registered_domain
+
+    d = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
+    h = F.md5(F.col("text"))
+
+    def hx(pos: int, ln: int):
+        return F.conv(F.substring(h, pos, ln), 16, 10).cast("long")
+
+    shape = hx(1, 2) % 8
+    up = hx(5, 2) % 2 == 1
+    n = hx(7, 4) % 1000
+    host = (
+        F.when(shape == 0, F.concat(F.lit("site"), n, F.lit(".com")))
+        .when(shape == 1, F.concat(F.lit("a.user"), n, F.lit(".github.io")))
+        .when(shape == 2, F.concat(F.lit("www.x"), n, F.lit(".act.edu.au")))
+        .when(shape == 3, F.concat(F.lit("a.b"), n, F.lit(".zone.ck")))
+        .when(shape == 4, F.concat(F.lit("foo"), n, F.lit(".www.ck")))
+        .when(shape == 5, F.concat(F.lit("cdn.site"), n, F.lit(".co.uk")))
+        .when(shape == 6, F.concat(F.lit("site"), n, F.lit(".unknowntld")))
+        .otherwise(F.lit("com.au"))
+    )
+    messy = F.when(up, F.upper(host)).otherwise(host)
+    d = d.select("doc_id", messy.alias("host"))
+    return with_registered_domain(d, "host", "domain")
 
 
 # ---------------------------------------------------------------------------

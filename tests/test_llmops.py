@@ -1225,6 +1225,13 @@ class TestUrlCuration:
             ("http://x.org:443/p", "http://x.org:443/p"),
             # param ORDER of kept params preserved
             ("http://x.org/p?b=2&utm_medium=m&a=1", "http://x.org/p?b=2&a=1"),
+            # tracking strip is case-insensitive and valueless-tolerant:
+            # the same resource under shouting/bare tags must converge
+            ("http://x.org/p?UTM_SOURCE=x&id=5", "http://x.org/p?id=5"),
+            ("http://x.org/p?Gclid=1&id=5", "http://x.org/p?id=5"),
+            ("http://x.org/p?fbclid&id=5", "http://x.org/p?id=5"),
+            # but a NON-tracking param that merely prefixes one survives
+            ("http://x.org/p?gclid_like=1", "http://x.org/p?gclid_like=1"),
             (None, None),
         ]
         df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
@@ -1242,11 +1249,74 @@ class TestUrlCuration:
             ("SITE4.ORG", "site4.org"),
             ("localhost", "localhost"),            # single label passes
             (None, None),
+            # full-PSL rule classes (vendored Mozilla list, llmops.psl)
+            ("a.user.github.io", "user.github.io"),  # PRIVATE section
+            ("b.site.com.sg", "site.com.sg"),        # beyond co.uk family
+            ("www.x.act.edu.au", "x.act.edu.au"),    # 3-label exact rule
+            ("a.b.anything.ck", "b.anything.ck"),    # wildcard *.ck
+            ("foo.www.ck", "www.ck"),                # exception !www.ck
+            ("www.ck", "www.ck"),                    # exception IS the host
+            # exception under a wildcard (*.kawasaki.jp family)
+            ("deep.sub.city.kawasaki.jp", "city.kawasaki.jp"),
+            ("x.other.kawasaki.jp", "x.other.kawasaki.jp"),
+            ("site9.unknowntld", "site9.unknowntld"),  # default '*' rule
+            ("com.au", "com.au"),          # host IS a suffix: degrade
+            ("github.io", "github.io"),    # ...private suffix likewise
         ]
         df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
         got = [r["d"] for r in df.select(
             registered_domain(F.col("h")).alias("d")).collect()]
         assert got == [e for _, e in cases]
+
+    def test_join_variant_matches_column_variant(self, spark):
+        """with_registered_domain (broadcast-join hot path) and
+        registered_domain (InSet column expression) are the same PSL
+        algorithm twice — they must agree bit-for-bit, including on
+        every rule class and on hosts that are themselves suffixes."""
+        from etl_batch_spark.llmops.text import (
+            registered_domain, with_registered_domain,
+        )
+
+        hosts = [
+            "www.site1.com:8080", "cdn.a.site2.co.uk", "site3.com.au",
+            "SITE4.ORG", "localhost", None, "a.user.github.io",
+            "www.x.act.edu.au", "a.b.anything.ck", "foo.www.ck", "www.ck",
+            "deep.sub.city.kawasaki.jp", "x.other.kawasaki.jp",
+            "site9.unknowntld", "com.au", "github.io", "b.site.com.sg",
+            "a.b.c.d.e.f.example.com", "xn--bcher-kva.example",
+        ]
+        df = spark.createDataFrame([(h,) for h in hosts], "h string")
+        joined = {
+            r["h"]: r["d"]
+            for r in with_registered_domain(df, "h", "d").collect()
+        }
+        col = {
+            r["h"]: r["d"]
+            for r in df.select(
+                "h", registered_domain(F.col("h")).alias("d")
+            ).collect()
+        }
+        assert joined == col
+        # spot-pin the PSL classes so BOTH variants drifting together
+        # still fails
+        assert joined["a.user.github.io"] == "user.github.io"
+        assert joined["foo.www.ck"] == "www.ck"
+        assert joined["a.b.anything.ck"] == "b.anything.ck"
+        assert joined["deep.sub.city.kawasaki.jp"] == "city.kawasaki.jp"
+
+    def test_psl_rule_sets_parse_sanely(self):
+        from etl_batch_spark.llmops.psl import MAX_SUFFIX_LABELS, load_rules
+
+        exact, wild, exc = load_rules()
+        # shape of the published list (counts drift as the list evolves;
+        # the bounds catch a truncated or mis-parsed vendored file)
+        assert len(exact) > 8_000 and len(wild) > 80 and len(exc) >= 8
+        assert "com" in exact and "co.uk" in exact and "github.io" in exact
+        assert "ck" in wild and "kawasaki.jp" in wild
+        assert "www.ck" in exc and "city.kawasaki.jp" in exc
+        assert not any(r.startswith(("!", "*")) for s in (exact, wild, exc)
+                       for r in s)
+        assert max(r.count(".") + 1 for r in exact) <= MAX_SUFFIX_LABELS
 
 
 class TestLineDedup:
