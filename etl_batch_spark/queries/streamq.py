@@ -679,3 +679,107 @@ def st11_torn_crash_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return back.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st12_streaming_schema_evolution",
+    doc="mid-stream schema evolution under the hash gate (streaming."
+    "events.upsert_latest_versioned): drain 1 builds keyed state, then "
+    "the pipeline is redeployed with a widened transform — the next "
+    "drain REFUSES at the batch boundary (SchemaEvolutionError inside "
+    "the sink, asserted in-query: checkpoint not advanced, table head "
+    "untouched) and the merge_schema=True re-run re-delivers the same "
+    "batch, evolving the state: the union schema lands in the commit "
+    "log, pre-evolution winners NULL-fill the new column.  Value-hash "
+    "compared against the single-pass latest-per-key oracle where the "
+    "new column exists exactly for winners from the post-evolution "
+    "half (reference analogue: resume with changed parameters, "
+    "pkg_batch_util_body.sql:632-645)",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                        event_type DESC NULLS LAST, value DESC NULLS LAST
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, ts, event_id, event_type, value,
+           CASE WHEN COALESCE(((event_id % 2) + 2) % 2, 0) = 1
+                THEN ROUND(value * 2, 2) END AS v2
+    FROM latest
+    WHERE rn = 1 AND event_type IS DISTINCT FROM 'purchase'
+    """,
+)
+def st12_streaming_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.streaming.events import upsert_latest_versioned
+
+    tmp = tempfile.mkdtemp(prefix="st12_evolve_")
+    try:
+        src = os.path.join(tmp, "src")
+        table_path = os.path.join(tmp, "table")
+        ck = os.path.join(tmp, "ck")
+        os.makedirs(src)
+
+        e = load_table(spark, sf_dir, "events")
+        half = F.coalesce(F.pmod(F.col("event_id"), F.lit(2)), F.lit(0))
+
+        def stage_half(k: int) -> str:
+            stage = os.path.join(tmp, f"stage{k}")
+            e.filter(half == k).coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            return part
+
+        part0, part1 = stage_half(0), stage_half(1)
+        base = dict(key_col="user_id", delete_type="purchase")
+        widened = dict(
+            transform=lambda df: df.withColumn(
+                "v2", F.round(F.col("value") * 2, 2)
+            ),
+            **base,
+        )
+
+        shutil.copyfile(part0, os.path.join(src, "events_a.parquet"))
+        _, t, _ = upsert_latest_versioned(spark, src, table_path, ck, **base)
+        v_head = t.latest_version()
+
+        # "redeploy" with the widened transform: the drift must refuse
+        # at the batch boundary, committing nothing
+        shutil.copyfile(part1, os.path.join(src, "events_b.parquet"))
+        try:
+            upsert_latest_versioned(spark, src, table_path, ck, **widened)
+            raise AssertionError(
+                "drifted batch schema was committed without "
+                "merge_schema=True — silent mid-stream schema drift"
+            )
+        except AssertionError:
+            raise
+        except Exception as exc:  # StreamingQueryException wrapper
+            if "SchemaEvolutionError" not in str(exc):
+                raise
+        if t.latest_version() != v_head:
+            raise AssertionError(
+                "refused drain moved the table head: "
+                f"v{t.latest_version()} != v{v_head}"
+            )
+
+        # re-run WITH the flag: the same batch re-delivers (the refusal
+        # never advanced the checkpoint) and the state evolves
+        _, t, live = upsert_latest_versioned(
+            spark, src, table_path, ck, merge_schema=True, **widened
+        )
+        names = t.schema_at().fieldNames() if t.schema_at() else []
+        if names and names[-1] != "v2":
+            raise AssertionError(f"union schema missing v2: {names}")
+        out = live().select(
+            "user_id", "ts", "event_id", "event_type", "value", "v2"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -23,6 +23,8 @@ checkpointed per trigger.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -410,6 +412,7 @@ def ingest_incrementally(
     schema: T.StructType,
     file_format: str = "parquet",
     transform=None,
+    merge_schema: bool = False,
 ) -> int:
     """Incremental file ingestion (the cloud "auto loader" pattern):
     each call discovers files in ``src_dir`` that no previous call
@@ -439,11 +442,59 @@ def ingest_incrementally(
     At 100 TB the file listing is the bottleneck — cap per-batch intake
     with ``maxFilesPerTrigger`` upstream or partition ``src_dir`` by
     arrival date; state stays O(files seen), on storage, not memory.
+
+    **Schema evolution across runs is PINNED** (the checkpoint records
+    the ingest's output schema in ``_engine_ingest_schema.json``): a
+    later run whose output schema drifts REFUSES with
+    :class:`~etl_batch_spark.sources.txlog.SchemaEvolutionError`
+    BEFORE the stream starts — the checkpoint and ``dst_dir`` are
+    untouched — unless ``merge_schema=True``, which admits ADDED
+    nullable columns (older ``dst_dir`` files then lack them; read the
+    landing dir with ``sources.io.read_parquet_evolving`` /
+    ``mergeSchema`` so they NULL-fill).  A type change or a REMOVED
+    column refuses either way: silently narrowing a landing table is
+    how downstream batch jobs start reading garbage (reference
+    analogue: resume with changed parameters,
+    pkg_batch_util_body.sql:632–645 — the run either matches its
+    registered definition or is rejected).
     """
+    from etl_batch_spark.sources.txlog import (
+        SchemaEvolutionError,
+        _merge_schemas,
+        _norm_schema,
+    )
+
     reader = spark.readStream.schema(schema)
     stream = getattr(reader, file_format)(src_dir)
     if transform is not None:
         stream = transform(stream)
+
+    out_schema = _norm_schema(stream.schema)
+    pin_path = os.path.join(checkpoint_dir, "_engine_ingest_schema.json")
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            prior = _norm_schema(T.StructType.fromJson(json.load(f)))
+        if {(x.name, x.dataType) for x in prior.fields} != {
+            (x.name, x.dataType) for x in out_schema.fields
+        }:
+            removed = set(prior.fieldNames()) - set(out_schema.fieldNames())
+            if removed:
+                raise SchemaEvolutionError(
+                    f"ingest output drops column(s) {sorted(removed)} the "
+                    "checkpoint's pinned schema carries; narrowing a "
+                    "landing table needs a new checkpoint + dst, not a "
+                    "resumed stream"
+                )
+            merged = _merge_schemas(prior, out_schema)  # type change raises
+            if not merge_schema:
+                raise SchemaEvolutionError(
+                    f"ingest output schema {out_schema.simpleString()} "
+                    f"drifted from the checkpoint's pinned "
+                    f"{prior.simpleString()}; pass merge_schema=True to "
+                    "evolve (older landed files NULL-fill the new columns "
+                    "under a mergeSchema read)"
+                )
+            out_schema = merged
     n_batches = 0
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -464,6 +515,13 @@ def ingest_incrementally(
         .start()
     )
     q.awaitTermination()
+    # pin (or re-pin, post-evolution) the output schema only after a
+    # successful drain — a failed run must leave the pin untouched
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = pin_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out_schema.jsonValue(), f)
+    os.replace(tmp, pin_path)
     return n_batches
 
 
@@ -757,16 +815,17 @@ def maintain_partials_versioned(
 def _latest_per_key(df: DataFrame, key_col: str) -> DataFrame:
     """Latest event per key by (ts, event_id) — the upsert fold.  Kept
     module-level so the tombstone-vs-late-event merge semantics are
-    directly testable."""
+    directly testable.  Carries EVERY non-key column through the fold
+    (schema evolution adds columns; the fold must not drop them); the
+    struct comparison stays (ts, event_id, <remaining in input
+    order>), so added columns only ever extend the tie-break tail."""
+    rest = [c for c in df.columns if c not in (key_col, "ts", "event_id")]
+    cols = ["ts", "event_id", *rest]
     return (
         df.groupBy(key_col)
-        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+        .agg(F.max(F.struct(*cols)).alias("s"))
         .select(
-            key_col,
-            F.col("s.ts").alias("ts"),
-            F.col("s.event_id").alias("event_id"),
-            F.col("s.event_type").alias("event_type"),
-            F.col("s.value").alias("value"),
+            key_col, *[F.col(f"s.{c}").alias(c) for c in cols]
         )
     )
 
@@ -779,6 +838,8 @@ def upsert_latest_versioned(
     *,
     key_col: str = "user_id",
     delete_type: str = "error",
+    transform=None,
+    merge_schema: bool = False,
 ):
     """Streaming keyed upsert (the row-level sibling of
     :func:`maintain_partials_versioned`): each micro-batch folds to its
@@ -803,11 +864,34 @@ def upsert_latest_versioned(
     O(state + batch), never reprocessing history.  Returns
     ``(n_batches, TxTable, live)`` with ``live()`` the tombstone-free
     view of the current version.
+
+    **Schema evolution across runs is PINNED**: a resumed run whose
+    (post-``transform``) batch schema drifts from the stored state's
+    refuses with :class:`~etl_batch_spark.sources.txlog.
+    SchemaEvolutionError` at the NEXT BATCH boundary — inside the sink,
+    BEFORE any commit, so the streaming checkpoint does not advance and
+    the table head is untouched; the re-run (fixed code, or
+    ``merge_schema=True``) re-delivers the same batch.  With
+    ``merge_schema=True`` the state evolves: the merged snapshot
+    carries the union schema in the commit log (et40 semantics), rows
+    whose latest event predates the evolution NULL-fill the new
+    columns, and a column the new batches no longer produce NULL-fills
+    going forward.  A TYPE change on a shared column refuses either
+    way.  (The rebuild path — lost checkpoint, fresh incarnation —
+    replaces the schema wholesale like any overwrite: the full source
+    re-read defines the state from scratch.)
     """
-    from etl_batch_spark.sources.txlog import TxTable
+    from etl_batch_spark.sources.txlog import (
+        SchemaEvolutionError,
+        TxTable,
+        _merge_schemas,
+        _norm_schema,
+    )
 
     table = TxTable(spark, table_path)
     stream = read_events_stream(spark, src_dir)
+    if transform is not None:
+        stream = transform(stream)
     n_batches = 0
     incarnation = _checkpoint_incarnation(checkpoint_dir)
 
@@ -823,7 +907,27 @@ def upsert_latest_versioned(
             return  # checkpoint replay of a committed batch — skip
         fresh = latest_per_key(batch_df)
         if table.latest_version() >= 0 and same_run:
-            merged = latest_per_key(table.read().unionByName(fresh))
+            cur = table.read()
+            cur_s = _norm_schema(cur.schema)
+            new_s = _norm_schema(fresh.schema)
+            if {(x.name, x.dataType) for x in cur_s.fields} != {
+                (x.name, x.dataType) for x in new_s.fields
+            }:
+                # union schema first: a type change raises regardless
+                union_s = _merge_schemas(cur_s, new_s)
+                if not merge_schema:
+                    raise SchemaEvolutionError(
+                        f"batch schema {new_s.simpleString()} drifted "
+                        f"from stored state {cur_s.simpleString()}; pass "
+                        "merge_schema=True to evolve at this batch "
+                        "boundary (the checkpoint has not advanced)"
+                    )
+                merged = latest_per_key(
+                    cur.unionByName(fresh, allowMissingColumns=True)
+                    .select(*union_s.fieldNames())
+                )
+            else:
+                merged = latest_per_key(cur.unionByName(fresh))
         else:
             # fresh table, or state from a different checkpoint
             # incarnation (checkpoint lost → full source re-read):

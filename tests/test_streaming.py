@@ -1075,3 +1075,159 @@ def test_streaming_multimodal_decode_matches_batch(spark, tmp_path):
     probes = {r["doc_id"]: r for r in spark.sql("SELECT * FROM mm_probe").collect()}
     assert {probes[i]["container"] for i in range(6)} == {"png", "jpeg"}
     assert all(probes[i]["width"] == want[i]["width"] for i in range(6))
+
+
+class TestStreamingSchemaEvolution:
+    """A column added mid-stream: the checkpoint's pinned schema and
+    the evolved state/landing schema must never silently disagree —
+    drift REFUSES at the next run/batch boundary (checkpoint and
+    stored state untouched), evolves only under merge_schema=True, and
+    a type change refuses either way."""
+
+    def test_ingest_drift_refuses_then_evolves(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.io import read_parquet_evolving
+        from etl_batch_spark.sources.txlog import SchemaEvolutionError
+        from etl_batch_spark.streaming.events import ingest_incrementally
+        from pyspark.sql import types as T
+
+        src, dst, cp = (str(tmp_path / n) for n in ("s", "d", "c"))
+        schema = T.StructType([T.StructField("id", T.LongType())])
+        spark.createDataFrame([(1,), (2,)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ingest_incrementally(spark, src, dst, cp, schema=schema)
+
+        spark.createDataFrame([(3,)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        widened = dict(
+            schema=schema,
+            transform=lambda df: df.withColumn("v2", F.col("id") * 2),
+        )
+        # drift refuses BEFORE the stream starts: checkpoint untouched
+        with _pytest.raises(SchemaEvolutionError, match="merge_schema"):
+            ingest_incrementally(spark, src, dst, cp, **widened)
+        assert sorted(
+            r["id"] for r in spark.read.parquet(dst).collect()
+        ) == [1, 2]
+        # evolve: the PENDING file (not yet ingested — the refusal did
+        # not advance the checkpoint) lands with the new column
+        n = ingest_incrementally(spark, src, dst, cp, merge_schema=True,
+                                 **widened)
+        assert n == 1
+        back = read_parquet_evolving(spark, dst)
+        got = {(r["id"], r["v2"]) for r in back.select("id", "v2").collect()}
+        assert got == {(1, None), (2, None), (3, 6)}
+        # the pin follows the evolution: the widened shape now resumes
+        # without the flag
+        spark.createDataFrame([(4,)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ingest_incrementally(spark, src, dst, cp, **widened)
+        assert read_parquet_evolving(spark, dst).count() == 4
+
+    def test_ingest_narrowing_and_type_change_refuse(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_batch_spark.sources.txlog import SchemaEvolutionError
+        from etl_batch_spark.streaming.events import ingest_incrementally
+        from pyspark.sql import types as T
+
+        src, dst, cp = (str(tmp_path / n) for n in ("s", "d", "c"))
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+        )
+        spark.createDataFrame([(1, 1.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ingest_incrementally(spark, src, dst, cp, schema=schema)
+        # dropping a pinned column refuses even with merge_schema=True
+        with _pytest.raises(SchemaEvolutionError, match="drops column"):
+            ingest_incrementally(
+                spark, src, dst, cp, schema=schema, merge_schema=True,
+                transform=lambda df: df.drop("v"),
+            )
+        # so does a type change on a shared column
+        with _pytest.raises(SchemaEvolutionError, match="type change"):
+            ingest_incrementally(
+                spark, src, dst, cp, schema=schema, merge_schema=True,
+                transform=lambda df: df.withColumn(
+                    "v", F.col("v").cast("string")
+                ),
+            )
+
+    def test_upsert_drift_refuses_at_batch_boundary_then_evolves(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from etl_batch_spark.streaming.events import upsert_latest_versioned
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        tbl, cp = str(tmp_path / "state"), str(tmp_path / "ckpt")
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        _write_event_file(
+            os.path.join(src, "events_0001.parquet"),
+            event_id=1, ts=t0, user_id=1, event_type="click", value=5.0,
+        )
+        _, table, _ = upsert_latest_versioned(spark, src, tbl, cp)
+        assert table.latest_version() == 0
+
+        _write_event_file(
+            os.path.join(src, "events_0002.parquet"),
+            event_id=2, ts=t0, user_id=2, event_type="view", value=3.0,
+        )
+        widened = dict(
+            transform=lambda df: df.withColumn(
+                "v2", F.round(F.col("value") * 2, 2)
+            ),
+        )
+        # refusal happens INSIDE the sink, before any commit: the
+        # streaming query fails, the checkpoint does not advance, the
+        # table head is untouched
+        with _pytest.raises(Exception, match="SchemaEvolutionError"):
+            upsert_latest_versioned(spark, src, tbl, cp, **widened)
+        assert table.latest_version() == 0
+
+        # the re-run with merge_schema=True re-delivers the SAME batch
+        n, table, live = upsert_latest_versioned(
+            spark, src, tbl, cp, merge_schema=True, **widened
+        )
+        assert n >= 1 and table.latest_version() == 1
+        got = {r["user_id"]: r["v2"] for r in live().collect()}
+        # pre-evolution state NULL-fills; the new batch carries values
+        assert got == {1: None, 2: 6.0}
+        # the commit log carries the union schema (et40 semantics)
+        assert table.schema_at().fieldNames() == [
+            "user_id", "ts", "event_id", "event_type", "value", "props",
+            "v2",
+        ]
+
+    def test_upsert_type_change_refuses_even_with_merge(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_batch_spark.streaming.events import upsert_latest_versioned
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        tbl, cp = str(tmp_path / "state"), str(tmp_path / "ckpt")
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        _write_event_file(
+            os.path.join(src, "events_0001.parquet"),
+            event_id=1, ts=t0, user_id=1, event_type="click", value=5.0,
+        )
+        upsert_latest_versioned(spark, src, tbl, cp)
+        _write_event_file(
+            os.path.join(src, "events_0002.parquet"),
+            event_id=2, ts=t0, user_id=2, event_type="view", value=3.0,
+        )
+        with _pytest.raises(Exception, match="type change"):
+            upsert_latest_versioned(
+                spark, src, tbl, cp, merge_schema=True,
+                transform=lambda df: df.withColumn(
+                    "value", F.col("value").cast("string")
+                ),
+            )
