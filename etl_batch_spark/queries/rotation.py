@@ -30,34 +30,199 @@ from __future__ import annotations
 # a real value-hash oracle.
 ROWS_ONLY_OK: frozenset[str] = frozenset()
 
-# Round 8 window (rotated from CORRECTNESS_r07.json, 50/50 green —
-# cumulative 240/240 driver-green at latest check).  Leads: the ten
-# round-8 changed/new entries — st09 (NULL-event_id staging fix),
-# mm08 (ID3v2 tag failures isolated from frame-walk stats), mm11
-# (spec-consistent stsc fixtures), st11 (torn-crash SINK-batch replay,
-# the commit-marker-deletion simulation promoted from tests-only to
-# the oracle gate), et39 (TxTable optimistic-concurrency MERGE
-# conflict), mm12 (WebP container census), et40 (log-resolved schema
-# evolution), tx22 (URL normalization + per-domain quota), dd14
-# (C4-style global line dedup), ev20 (time-decay attribution) — ten
-# leads.  Then the round-7 verdict's staleness refill: 40 of the 41
-# rows whose latest driver check is round 3 (q36/q37/q40-q77 block) —
-# four rounds of rewrites sit between that check and HEAD.
-# q78_bloom_semi_filter did not fit; it leads the round-9 refill with
-# the 50 round-4 rows (dd09/dd13/et07/...).
+# Round 9 window (rotated from CORRECTNESS_r08.json, 50/50 green —
+# cumulative 247/247 driver-green at latest check).  Leads: the four
+# round-9 changed/new entries — tx22 (switched to the broadcast-join
+# full-PSL registered_domain), tx23 (full Public Suffix List rule
+# classes: private/3-label/wildcard/exception/default), et41 (TxTable
+# commit-log checkpointing), st12 (mid-stream schema evolution:
+# refuse-then-evolve at the batch boundary).  Then the round-8
+# verdict's staleness refill: q78_bloom_semi_filter (the last round-3
+# row) followed by 45 of the 50 rows whose latest driver check is
+# round 4 (et07/dd13/dd09/et23-et28 sketches, ev06/ev13-ev17,
+# ss12-ss14, tx03-tx10, sm03/sm04, pipe01, q01/q09/q35/q39,
+# q79-q94 block) — four-plus rounds of rewrites sit between those
+# checks and HEAD.  Five r4 rows did not fit and lead the round-10
+# refill: q95_salted_skew_join, q96_pandas_udaf_geomean,
+# q98_grouped_regression, q99_merged_order_spans,
+# q100_window_rank_surface.
 DRIVER_WINDOW: list[str] = [
-    "st09_incremental_ingest_replay",
-    "mm08_mp3_frame_census",
-    "mm11_mp4_track_census",
-    "st11_torn_crash_sink_replay",
-    "et39_concurrent_merge_conflict",
-    "mm12_webp_structure_census",
-    "et40_schema_evolution",
     "tx22_url_curation",
+    "tx23_registered_domain_psl",
+    "et41_log_checkpoint_reads",
+    "st12_streaming_schema_evolution",
+    "q78_bloom_semi_filter",
+    "et07_sketch_rollup",
+    "dd13_lsh_dedup_recall",
+    "dd09_containment",
+    "et23_portable_hll",
+    "et24_histogram_quantiles",
+    "et26_psi_drift",
+    "et27_cusum_changepoints",
+    "et28_audience_bitmap_ops",
+    "ev06_interpolate_at_clicks",
+    "ev13_last_touch_attribution",
+    "ev14_linear_attribution",
+    "ev16_ab_test_zscore",
+    "ev17_markov_attribution",
+    "ss13_multitable_ann",
+    "ss14_hard_negatives",
+    "ss12_ann_recall",
+    "tx03_token_count",
+    "tx05_winnow_fingerprints",
+    "tx06_redact_pii",
+    "tx04_quality_score",
+    "tx07_repetition_stats",
+    "tx08_token_entropy",
+    "tx09_decontaminate",
+    "tx10_sequence_packing",
+    "sm03_temperature_mix",
+    "pipe01_training_mix",
+    "sm04_quality_weighted_sample",
+    "q01_pricing_summary",
+    "q09_multiway_join_revenue",
+    "q35_shipping_priority",
+    "q39_decimal_exact",
+    "q79_string_surface",
+    "q80_null_safe_join",
+    "q81_posexplode_words",
+    "q82_not_in_null_semantics",
+    "q83_variant_props",
+    "q84_udtf_split_fields",
+    "q86_aggregate_surface",
+    "q87_lateral_topn",
+    "q88_union_evolving_schema",
+    "q89_recursive_cte",
+    "q90_xml_roundtrip",
+    "q91_running_distinct",
+    "q92_period_over_period",
+    "q94_rolling_median",
+]
+
+# ROUND 9 PREP: once CORRECTNESS_r08.json lands, run
+# `python tools/rotate.py CORRECTNESS_r08.json --write --prepend
+# <round-9 changed-output queries>`.  The refill priority is the 50
+# r4-stale rows (dd09_containment, dd13_lsh_dedup_recall,
+# et07_sketch_rollup, q01/q09/q35/q39/q79/q100, the ev/pipe r4 block),
+# then the oldest r5 rows.  tests/test_rotation.py pins the
+# invariants.
+
+# Driver-green in a previous round's run (rows+schema+hash all true,
+# with no output change since).  Deprioritized to the back of the
+# registry so the driver window reaches unchecked queries first.
+DRIVER_GREEN: list[str] = [
+    "dd01_dedup_exact",
+    "dd02_fingerprint",
+    "dd03_ngram_jaccard",
+    "dd04_minhash_lsh",
+    "dd05_simhash",
+    "dd06_embedding_neardup",
+    "dd07_neardup_clusters",
+    "dd08_incremental_dedup",
+    "dd10_winnow_pairs",
+    "dd11_hot_span_scrub",
+    "dd12_semantic_dedup",
     "dd14_line_dedup",
+    "et01_scd2_merge",
+    "et02_profile_columns",
+    "et03_fk_audit",
+    "et04_rollup_cascade",
+    "et05_hierarchy_levels",
+    "et06_table_checksum",
+    "et08_snapshot_diff",
+    "et09_expectations",
+    "et10_apply_changelog",
+    "et11_fuzzy_match",
+    "et12_fifo_allocation",
+    "et13_incremental_agg",
+    "et14_mad_outliers",
+    "et15_triangle_count",
+    "et16_lttb_downsample",
+    "et17_skew_profile",
+    "et18_sequence_gaps",
+    "et19_benford_audit",
+    "et20_point_in_time_join",
+    "et21_bitmap_distinct",
+    "et22_ewma_smoothing",
+    "et25_count_min_freq",
+    "et29_ivm_apply_feed",
+    "et30_time_travel",
+    "et31_merge_upsert",
+    "et32_change_feed",
+    "et33_compaction_invariance",
+    "et34_zorder_invariance",
+    "et35_incremental_hll_maintenance",
+    "et36_partitioned_merge",
+    "et37_vacuum_retention",
+    "et38_versioned_rollup_maintenance",
+    "et39_concurrent_merge_conflict",
+    "et40_schema_evolution",
+    "ev01_funnel",
+    "ev02_retention_cohorts",
+    "ev03_active_users",
+    "ev04_top_paths",
+    "ev05_asof_operator",
+    "ev07_session_window_builtin",
+    "ev08_time_weighted_avg",
+    "ev09_ohlc_bars",
+    "ev10_markov_transitions",
+    "ev11_time_since_purchase",
+    "ev12_windowed_funnel",
+    "ev15_peak_concurrency",
+    "ev18_rfm_segments",
+    "ev19_interarrival_stats",
     "ev20_time_decay_attribution",
+    "mm01_decode_resize",
+    "mm02_frame_sample",
+    "mm03_window_energy",
+    "mm04_phash_neardup",
+    "mm05_patch_grid",
+    "mm06_decode_audio_stats",
+    "mm07_media_triage",
+    "mm08_mp3_frame_census",
+    "mm09_ogg_metadata_census",
+    "mm10_flac_frame_census",
+    "mm11_mp4_track_census",
+    "mm12_webp_structure_census",
+    "pipe02_rag_corpus",
+    "pipe03_curation_report",
+    "pipe04_pretraining_mix",
+    "pipe05_multimodal_curation",
+    "pipe06_audio_curation",
+    "q02_point_lookup",
+    "q03_min_default",
+    "q04_next_run_id",
+    "q05_date_trunc_daily",
+    "q06_latest_order_per_customer",
+    "q07_exists_semi_join",
+    "q08_not_exists_anti_join",
+    "q100_window_rank_surface",
+    "q10_decode_status_matrix",
+    "q11_prefix_match",
+    "q12_topk_orders",
+    "q13_union_all_branches",
+    "q14_string_agg_ordered",
+    "q15_window_running",
+    "q16_rollup",
+    "q17_cube",
+    "q18_intersect",
+    "q19_except",
+    "q20_json_props",
+    "q21_explode_words",
+    "q22_asof_join",
+    "q23_range_join_bands",
+    "q24_full_outer_join",
+    "q25_pivot_linestatus",
+    "q26_percentiles",
+    "q27_sessionize",
+    "q30_field_counter",
+    "q31_nth_field",
+    "q32_atoi_priority",
+    "q33_datediff_hms",
+    "q34_check_date_codes",
     "q36_forecast_revenue",
     "q37_from_json_map",
+    "q38_approx_aggregates",
     "q40_grouping_sets",
     "q41_lag_lead",
     "q42_small_qty_revenue",
@@ -96,154 +261,8 @@ DRIVER_WINDOW: list[str] = [
     "q75_revenue_share",
     "q76_calendar_breakdown",
     "q77_topk_per_group",
-]
-
-# ROUND 9 PREP: once CORRECTNESS_r08.json lands, run
-# `python tools/rotate.py CORRECTNESS_r08.json --write --prepend
-# <round-9 changed-output queries>`.  The refill priority is the 50
-# r4-stale rows (dd09_containment, dd13_lsh_dedup_recall,
-# et07_sketch_rollup, q01/q09/q35/q39/q79/q100, the ev/pipe r4 block),
-# then the oldest r5 rows.  tests/test_rotation.py pins the
-# invariants.
-
-# Driver-green in a previous round's run (rows+schema+hash all true,
-# with no output change since).  Deprioritized to the back of the
-# registry so the driver window reaches unchecked queries first.
-DRIVER_GREEN: list[str] = [
-    "dd01_dedup_exact",
-    "dd02_fingerprint",
-    "dd03_ngram_jaccard",
-    "dd04_minhash_lsh",
-    "dd05_simhash",
-    "dd06_embedding_neardup",
-    "dd07_neardup_clusters",
-    "dd08_incremental_dedup",
-    "dd10_winnow_pairs",
-    "dd11_hot_span_scrub",
-    "dd12_semantic_dedup",
-    "et01_scd2_merge",
-    "et02_profile_columns",
-    "et03_fk_audit",
-    "et04_rollup_cascade",
-    "et05_hierarchy_levels",
-    "et06_table_checksum",
-    "et08_snapshot_diff",
-    "et09_expectations",
-    "et10_apply_changelog",
-    "et11_fuzzy_match",
-    "et12_fifo_allocation",
-    "et13_incremental_agg",
-    "et14_mad_outliers",
-    "et15_triangle_count",
-    "et16_lttb_downsample",
-    "et17_skew_profile",
-    "et18_sequence_gaps",
-    "et19_benford_audit",
-    "et20_point_in_time_join",
-    "et21_bitmap_distinct",
-    "et22_ewma_smoothing",
-    "et23_portable_hll",
-    "et24_histogram_quantiles",
-    "et25_count_min_freq",
-    "et26_psi_drift",
-    "et27_cusum_changepoints",
-    "et28_audience_bitmap_ops",
-    "et29_ivm_apply_feed",
-    "et30_time_travel",
-    "et31_merge_upsert",
-    "et32_change_feed",
-    "et33_compaction_invariance",
-    "et34_zorder_invariance",
-    "et35_incremental_hll_maintenance",
-    "et36_partitioned_merge",
-    "et37_vacuum_retention",
-    "et38_versioned_rollup_maintenance",
-    "ev01_funnel",
-    "ev02_retention_cohorts",
-    "ev03_active_users",
-    "ev04_top_paths",
-    "ev05_asof_operator",
-    "ev06_interpolate_at_clicks",
-    "ev07_session_window_builtin",
-    "ev08_time_weighted_avg",
-    "ev09_ohlc_bars",
-    "ev10_markov_transitions",
-    "ev11_time_since_purchase",
-    "ev12_windowed_funnel",
-    "ev13_last_touch_attribution",
-    "ev14_linear_attribution",
-    "ev15_peak_concurrency",
-    "ev16_ab_test_zscore",
-    "ev17_markov_attribution",
-    "ev18_rfm_segments",
-    "ev19_interarrival_stats",
-    "mm01_decode_resize",
-    "mm02_frame_sample",
-    "mm03_window_energy",
-    "mm04_phash_neardup",
-    "mm05_patch_grid",
-    "mm06_decode_audio_stats",
-    "mm07_media_triage",
-    "mm09_ogg_metadata_census",
-    "mm10_flac_frame_census",
-    "pipe01_training_mix",
-    "pipe02_rag_corpus",
-    "pipe03_curation_report",
-    "pipe04_pretraining_mix",
-    "pipe05_multimodal_curation",
-    "pipe06_audio_curation",
-    "q01_pricing_summary",
-    "q02_point_lookup",
-    "q03_min_default",
-    "q04_next_run_id",
-    "q05_date_trunc_daily",
-    "q06_latest_order_per_customer",
-    "q07_exists_semi_join",
-    "q08_not_exists_anti_join",
-    "q09_multiway_join_revenue",
-    "q100_window_rank_surface",
-    "q10_decode_status_matrix",
-    "q11_prefix_match",
-    "q12_topk_orders",
-    "q13_union_all_branches",
-    "q14_string_agg_ordered",
-    "q15_window_running",
-    "q16_rollup",
-    "q17_cube",
-    "q18_intersect",
-    "q19_except",
-    "q20_json_props",
-    "q21_explode_words",
-    "q22_asof_join",
-    "q23_range_join_bands",
-    "q24_full_outer_join",
-    "q25_pivot_linestatus",
-    "q26_percentiles",
-    "q27_sessionize",
-    "q30_field_counter",
-    "q31_nth_field",
-    "q32_atoi_priority",
-    "q33_datediff_hms",
-    "q34_check_date_codes",
-    "q35_shipping_priority",
-    "q38_approx_aggregates",
-    "q39_decimal_exact",
-    "q79_string_surface",
-    "q80_null_safe_join",
-    "q81_posexplode_words",
-    "q82_not_in_null_semantics",
-    "q83_variant_props",
-    "q84_udtf_split_fields",
     "q85_null_ordering",
-    "q86_aggregate_surface",
-    "q87_lateral_topn",
-    "q88_union_evolving_schema",
-    "q89_recursive_cte",
-    "q90_xml_roundtrip",
-    "q91_running_distinct",
-    "q92_period_over_period",
     "q93_try_function_surface",
-    "q94_rolling_median",
     "q95_salted_skew_join",
     "q96_pandas_udaf_geomean",
     "q97_skyline_pareto",
@@ -251,8 +270,6 @@ DRIVER_GREEN: list[str] = [
     "q99_merged_order_spans",
     "sm01_hash_sample",
     "sm02_stratified_sample",
-    "sm03_temperature_mix",
-    "sm04_quality_weighted_sample",
     "sm05_fixed_quota_sample",
     "sm06_training_shards",
     "sm07_weighted_topk_sample",
@@ -271,9 +288,6 @@ DRIVER_GREEN: list[str] = [
     "ss09_centroid_confusion",
     "ss10_pq_ann",
     "ss11_random_projection",
-    "ss12_ann_recall",
-    "ss13_multitable_ann",
-    "ss14_hard_negatives",
     "st01_streaming_window_counts",
     "st02_streaming_dedup",
     "st03_stream_static_enrich",
@@ -282,17 +296,11 @@ DRIVER_GREEN: list[str] = [
     "st06_stream_stream_attribution",
     "st07_streaming_sliding_windows",
     "st08_streaming_file_sink",
+    "st09_incremental_ingest_replay",
     "st10_streaming_upsert_tombstones",
+    "st11_torn_crash_sink_replay",
     "tx01_text_stats",
     "tx02_langid",
-    "tx03_token_count",
-    "tx04_quality_score",
-    "tx05_winnow_fingerprints",
-    "tx06_redact_pii",
-    "tx07_repetition_stats",
-    "tx08_token_entropy",
-    "tx09_decontaminate",
-    "tx10_sequence_packing",
     "tx12_batch_inference",
     "tx13_regexp_surface",
     "tx14_bm25_search",
