@@ -2809,3 +2809,98 @@ def et41_log_checkpoint_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fast.select("custkey", "acctbal", "slice")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# et42 — data skipping from log statistics (sources/txlog.py::read_where):
+# every commit stores per-file [min, max] column envelopes harvested
+# from the parquet footers ONCE at write time; a range read then drops
+# files whose envelope is disjoint from the predicate using METADATA
+# ALONE — Delta's data-skipping design, and at 100 TB the difference
+# between scanning the table and scanning the handful of files a
+# narrow predicate can touch.  The table is built from range-clustered
+# appends (one per ship year) so envelopes are tight — layout is the
+# other half of data skipping, exactly as with OPTIMIZE ZORDER.  The
+# in-query assert requires the pruned scan to touch strictly fewer
+# files than the snapshot holds (when the layout makes pruning
+# possible); the value-hash oracle is the plain WHERE-BETWEEN
+# aggregate, proving pruning never changes results.
+# ---------------------------------------------------------------------------
+@query(
+    "et42_data_skipping",
+    doc="TxTable data skipping: per-file column envelopes in the commit "
+    "log prune a date-range scan to the matching files only (asserted "
+    "in-query on inputFiles), value-hash compared against the "
+    "unpruned WHERE-BETWEEN aggregate",
+    oracle="""
+    SELECT l_shipdate,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1996-03-31 23:59:59'
+    GROUP BY l_shipdate
+    """,
+)
+def et42_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from etl_batch_spark.sources.txlog import TxTable
+
+    seed = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    out_schema = (
+        "l_shipdate timestamp, n_rows bigint, sum_qty double, "
+        "sum_price double"
+    )
+    if not seed.head(1):
+        return spark.createDataFrame([], out_schema)
+    seed = seed.localCheckpoint(eager=True)  # year slices re-read this
+    years = sorted(
+        r["y"]
+        for r in seed.select(F.year("l_shipdate").alias("y"))
+        .distinct().collect()
+        if r["y"] is not None
+    )
+
+    tmp = tempfile.mkdtemp(prefix="et42_skip_")
+    try:
+        t = TxTable(spark, os.path.join(tmp, "table"), checkpoint_interval=4)
+        # range-clustered layout in ONE shuffle+commit: tight per-file
+        # date envelopes (the layout half of data skipping).  NULL
+        # shipdates land in the first range partition; its non-NULL
+        # envelope stays sound because NULL rows can never satisfy the
+        # range predicate anyway.
+        # file count: enough range buckets for fine pruning AND full
+        # write parallelism at large SF (14 buckets over 32 cores left
+        # most of the cluster idle during the sf10 write)
+        n_buckets = max(2 * len(years), 32)
+        t.append(
+            seed.repartitionByRange(n_buckets, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+        )
+
+        lo = datetime.datetime(1996, 1, 1, 0, 0, 0)
+        hi = datetime.datetime(1996, 3, 31, 23, 59, 59)
+        pruned = t.read_where(l_shipdate=(lo, hi))
+        n_live = len(t._snapshot()[0])  # noqa: SLF001
+        n_scanned = len(pruned.inputFiles())
+        if len(years) >= 2 and n_live >= 4 and n_scanned >= n_live:
+            raise AssertionError(
+                f"range read scanned all {n_live} files — the log "
+                "envelopes pruned nothing despite a range-clustered "
+                "layout"
+            )
+        out = pruned.groupBy("l_shipdate").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

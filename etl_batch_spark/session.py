@@ -37,6 +37,12 @@ def get_spark(app_name: str = "etl_batch_spark", *, master: str | None = None) -
         # ragged embeddings instead of silently reading bit 0)
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # INT64 micros instead of the legacy INT96: INT96 carries NO
+        # parquet min/max statistics, which blinds both the built-in
+        # scan-level row-group skipping and the TxTable commit-log
+        # data skipping (read_where) for timestamp columns.  Every
+        # modern engine (Delta, Iceberg, DuckDB) reads INT64 natively.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

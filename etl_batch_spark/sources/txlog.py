@@ -97,6 +97,72 @@ class Version:
     # metadata pass; the log entry is O(columns).  Entries written
     # before round 8 lack it; read() falls back to footer inference.
     schema: "dict | None" = None
+    # per-ADDED-file column envelopes {relpath: {col: [min, max]}},
+    # harvested from the parquet footers of the files THIS commit wrote
+    # (one footer read per new file, at write time — never again).
+    # read_where() prunes files whose envelope is disjoint from the
+    # query range: Delta's data-skipping-from-log-statistics, the read
+    # optimization that makes a 100 TB table answer a narrow query by
+    # scanning the handful of files that can contain it.  Entries
+    # written before round 9 lack it; their files are simply never
+    # pruned (correct, just unskipped).
+    stats: "dict | None" = None
+
+
+def _stat_value(v):
+    """Normalize a parquet-footer statistic (or a query bound) into the
+    JSON-safe total order pruning compares in: numbers stay numbers,
+    strings stay strings, timestamps → epoch micros, dates → ordinals.
+    None = not statable (NaN, bytes that aren't UTF-8, exotic types) —
+    a file with an unstatable envelope is read, never skipped."""
+    import datetime
+
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, float):
+        return None if v != v else v  # NaN poisons comparisons
+    if isinstance(v, int):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, datetime.datetime):  # before date: datetime IS a date
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    return None
+
+
+def _file_stats(full_path: str) -> "tuple[int, dict[str, list]]":
+    """(row count, {col: [min, max]}) from one parquet footer — only
+    columns whose every row group carries usable stats (a partially-
+    statted column cannot give a sound envelope)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    names = md.schema.to_arrow_schema().names
+    out: "dict[str, list]" = {}
+    for ci, col in enumerate(names):
+        los, his = [], []
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None:
+                ok = False
+                break
+            los.append(lo)
+            his.append(hi)
+        if ok and los:
+            out[col] = [min(los), max(his)]
+    return md.num_rows, out
 
 
 def _norm_schema(schema: T.StructType) -> T.StructType:
@@ -190,15 +256,16 @@ class TxTable:
 
     def _snapshot(
         self, version: "int | None" = None
-    ) -> "tuple[list[str], T.StructType | None]":
-        """(live files, schema) of the snapshot at ``version`` (newest
-        when None), resolved from the latest checkpoint at-or-before
-        it plus the tail entries after — O(checkpoint_interval) file
-        reads regardless of table age."""
+    ) -> "tuple[list[str], T.StructType | None, dict]":
+        """(live files, schema, per-file stats) of the snapshot at
+        ``version`` (newest when None), resolved from the latest
+        checkpoint at-or-before it plus the tail entries after —
+        O(checkpoint_interval) file reads regardless of table age."""
         present, ckpts = self._log_names()
         v = (present[-1] if present else -1) if version is None else version
         base = max((c for c in ckpts if c <= v), default=None)
         live: "set[str]" = set()
+        stats: "dict[str, dict]" = {}
         schema_json = None
         start = 0
         if base is not None:
@@ -206,16 +273,23 @@ class TxTable:
                     self.log_dir, f"{base:08d}.checkpoint.json")) as f:
                 ck = json.load(f)
             live = set(ck["live"])
+            stats = dict(ck.get("stats") or {})
             schema_json = ck.get("schema")
             start = base + 1
         for e in self._entries(start, v):
             live -= set(e.removed)
             live |= set(e.added)
+            for f in e.removed:
+                stats.pop(f, None)
+            if e.stats:
+                stats.update(e.stats)
             if e.schema is not None:
                 schema_json = e.schema
         schema = (T.StructType.fromJson(schema_json)
                   if schema_json is not None else None)
-        return sorted(live), schema
+        return sorted(live), schema, {
+            f: s for f, s in stats.items() if f in live
+        }
 
     def _write_checkpoint(self, version: int) -> None:
         """Best-effort: checkpoints are deterministic folds of the
@@ -223,13 +297,14 @@ class TxTable:
         write produces identical content (os.replace clobber is
         safe)."""
         try:
-            live, schema = self._snapshot(version)
+            live, schema, stats = self._snapshot(version)
             entry = self._read_entry(version)
             payload = {
                 "version": version,
                 "live": live,
                 "schema": schema.jsonValue() if schema is not None else None,
                 "meta": entry.meta,
+                "stats": stats,
             }
             tmp = os.path.join(self.log_dir, f".tmp-ck-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
@@ -281,7 +356,8 @@ class TxTable:
     def _commit(self, action: str, added: "list[str]", removed: "list[str]",
                 n_rows: int, meta: "dict | None" = None,
                 expected_version: "int | None" = None,
-                schema: "T.StructType | None" = None) -> int:
+                schema: "T.StructType | None" = None,
+                stats: "dict | None" = None) -> int:
         """Write one log entry at exactly one version slot, atomically
         and WITHOUT clobbering: the visibility point is ``os.link`` of a
         private tmp file onto ``{version:08d}.json``, which fails with
@@ -301,7 +377,8 @@ class TxTable:
                    if expected_version is None else expected_version)
         entry = Version(version=version, action=action, added=added,
                         removed=removed, n_rows=n_rows, meta=meta,
-                        schema=schema.jsonValue() if schema is not None else None)
+                        schema=schema.jsonValue() if schema is not None else None,
+                        stats=stats or None)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(entry.__dict__, f)
@@ -325,20 +402,30 @@ class TxTable:
 
     # -- writes ------------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> "tuple[list[str], int]":
+    def _write_files(self, df: DataFrame) -> "tuple[list[str], int, dict]":
         """Write df as new parquet files under a unique subdir; returns
-        (relative file paths, row count).  Files are invisible until a
-        commit references them."""
+        (relative file paths, row count, per-file column envelopes).
+        Files are invisible until a commit references them.  The
+        envelope harvest is one footer read per NEW file at write time
+        — the only moment footers are ever touched; readers get the
+        stats from the log.  The commit's row count comes from the
+        same footers (exact, no second data scan)."""
         sub = f"data-{uuid.uuid4().hex}"
         out = os.path.join(self.path, sub)
         df.write.mode("overwrite").parquet(out)
-        files = [
+        files = sorted(
             os.path.join(sub, n)
             for n in os.listdir(out)
             if n.endswith(".parquet")
-        ]
-        n_rows = self.spark.read.parquet(out).count()
-        return sorted(files), n_rows
+        )
+        n_rows = 0
+        stats = {}
+        for f in files:
+            n, s = _file_stats(os.path.join(self.path, f))
+            n_rows += n
+            if s:
+                stats[f] = s
+        return files, n_rows, stats
 
     def _cleanup_staged(self, files: "list[str] | None") -> None:
         """Best-effort delete of parquet staged for a commit that will
@@ -403,6 +490,7 @@ class TxTable:
         """
         added: "list[str] | None" = None
         n = 0
+        stats: dict = {}
         try:
             for _ in range(_APPEND_RETRIES):
                 head = self.latest_version()
@@ -410,11 +498,11 @@ class TxTable:
                     df, merge_schema=merge_schema, version=head
                 )
                 if added is None:  # stage the parquet exactly once
-                    added, n = self._write_files(df)
+                    added, n, stats = self._write_files(df)
                 try:
                     return self._commit("append", added, [], n, meta,
                                         expected_version=head + 1,
-                                        schema=schema)
+                                        schema=schema, stats=stats)
                 except ConcurrentWriteConflict:
                     continue
             raise ConcurrentWriteConflict(
@@ -443,7 +531,7 @@ class TxTable:
         collision still refuses rather than clobbering."""
         if read_version is None:
             read_version = self.latest_version()
-        added, n = self._write_files(df)
+        added, n, stats = self._write_files(df)
         try:
             # an overwrite replaces the rows, so it may replace the schema
             # too (Delta's overwriteSchema shape) — the new snapshot's
@@ -451,7 +539,7 @@ class TxTable:
             return self._commit(
                 "overwrite", added, self._active_files(read_version), n, meta,
                 expected_version=read_version + 1,
-                schema=_norm_schema(df.schema),
+                schema=_norm_schema(df.schema), stats=stats,
             )
         except ConcurrentWriteConflict:
             # the rewrite is stale and will be recomputed from the fresh
@@ -553,7 +641,7 @@ class TxTable:
             )
         else:
             clustered = current.coalesce(target_files)
-        added, n = self._write_files(clustered)
+        added, n, stats = self._write_files(clustered)
         # carry the previous commit's meta forward: compaction is a
         # logical no-op, and consumers of latest_meta() (the streaming
         # sinks' replay/incarnation detection) must still see the state's
@@ -566,7 +654,7 @@ class TxTable:
             return self._commit(
                 "compact", added, self._active_files(read_version), n,
                 meta=self.latest_meta(), expected_version=read_version + 1,
-                schema=self.schema_at(read_version),
+                schema=self.schema_at(read_version), stats=stats,
             )
         except ConcurrentWriteConflict:
             self._cleanup_staged(added)
@@ -658,7 +746,7 @@ class TxTable:
         Resolution is checkpoint-accelerated: one checkpoint read plus
         at most ``checkpoint_interval`` tail entries, however old the
         table is."""
-        files, schema = self._snapshot(version)
+        files, schema, _ = self._snapshot(version)
         if not files:
             raise ValueError(f"table {self.path} has no data at version {version}")
         if version is not None:
@@ -677,6 +765,84 @@ class TxTable:
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[os.path.join(self.path, f) for f in files])
+
+    def read_where(
+        self, version: "int | None" = None, **ranges
+    ) -> DataFrame:
+        """Stats-pruned snapshot read — Delta's data skipping from log
+        statistics.  ``ranges`` maps column → ``(lo, hi)`` closed
+        bounds (either side None = unbounded); files whose logged
+        [min, max] envelope is DISJOINT from every bound are dropped
+        from the scan using METADATA ALONE, and the residual row
+        filter is applied to the files that remain, so the result is
+        exactly ``read(version).filter(col BETWEEN lo AND hi ...)``.
+
+        At 100 TB this is the difference between scanning the table
+        and scanning the handful of files a narrow predicate can
+        touch: the envelopes were harvested once at write time (one
+        footer read per new file) and travel in the commit log /
+        checkpoints, so pruning costs zero data-file IO.  Files
+        without logged stats (pre-round-9 commits, unstatable column
+        types, all-NULL envelopes) are conservatively read.  NULL rows
+        never satisfy a range predicate, so skipping a file on its
+        non-NULL envelope agrees with the residual filter.
+
+        Layout matters exactly as in Delta: cluster the table
+        (``compact(zorder_cols=...)`` or range-partitioned appends) so
+        envelopes are tight; a randomly-laid-out table prunes
+        nothing."""
+        from pyspark.sql import functions as F
+
+        if not ranges:
+            return self.read(version)
+        files, schema, stats = self._snapshot(version)
+        if not files:
+            raise ValueError(
+                f"table {self.path} has no data at version {version}"
+            )
+        norm = {
+            col: (
+                _stat_value(lo) if lo is not None else None,
+                _stat_value(hi) if hi is not None else None,
+            )
+            for col, (lo, hi) in ranges.items()
+        }
+        keep = []
+        for f in files:
+            fs = stats.get(f) or {}
+            skip = False
+            for col, (lo, hi) in norm.items():
+                env = fs.get(col)
+                if env is None:
+                    continue  # no envelope: must read
+                fmin, fmax = env
+                try:
+                    if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo
+                    ):
+                        skip = True
+                        break
+                except TypeError:  # incomparable bound vs envelope
+                    continue
+            if not skip:
+                keep.append(f)
+        residual = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                residual = residual & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                residual = residual & (F.col(col) <= F.lit(hi))
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if not keep:
+            # every file pruned: an empty, correctly-typed relation
+            return reader.parquet(
+                os.path.join(self.path, files[0])
+            ).limit(0).filter(residual)
+        return reader.parquet(
+            *[os.path.join(self.path, f) for f in keep]
+        ).filter(residual)
 
     def changes(
         self,
@@ -716,7 +882,7 @@ class TxTable:
         # schema fold forward over only the in-range entries — total
         # metadata reads O(interval + range), never O(table age)
         between = self._entries(v_from + 1, v_to)
-        before_files, before_schema = self._snapshot(v_from)
+        before_files, before_schema, _ = self._snapshot(v_from)
         after_live = set(before_files)
         feed_schema_json = (
             before_schema.jsonValue() if before_schema is not None else None

@@ -1226,7 +1226,7 @@ class TestTxTable:
         assert cks == ["00000004.checkpoint.json", "00000008.checkpoint.json"]
         raw = t.versions()  # authoritative full log
         for v in (0, 3, 4, 5, 8, 10, None):
-            fast_files, fast_schema = t._snapshot(v)  # noqa: SLF001
+            fast_files, fast_schema, _ = t._snapshot(v)  # noqa: SLF001
             assert fast_files == t._active_files(v, versions=raw)  # noqa: SLF001
             assert fast_schema == t.schema_at(v, versions=raw)
         assert t.read().count() == 110
@@ -1326,3 +1326,95 @@ class TestTxTable:
         with _pytest.raises(ValueError, match="vacuum"):
             t.read(version=2)
         assert t.read().count() == 40
+
+    # -- data skipping from log statistics (round 9) -------------------
+
+    def _clustered_table(self, spark, tmp_path, interval=3):
+        from etl_batch_spark.sources.txlog import TxTable
+
+        t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=interval)
+        for lo in range(0, 100, 20):
+            df = spark.range(lo, lo + 20).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).cast("double").alias("v"),
+                F.concat(
+                    F.lit("s"),
+                    F.lpad(F.col("id").cast("string"), 4, "0"),
+                ).alias("s"),
+            )
+            t.append(df.repartitionByRange(2, "k").sortWithinPartitions("k"))
+        return t
+
+    def test_read_where_prunes_files_and_matches_filter(self, spark, tmp_path):
+        t = self._clustered_table(spark, tmp_path)
+        total = len(t._snapshot()[0])  # noqa: SLF001
+        pruned = t.read_where(k=(30, 45))
+        full = t.read().filter((F.col("k") >= 30) & (F.col("k") <= 45))
+        assert sorted(r["k"] for r in pruned.collect()) == sorted(
+            r["k"] for r in full.collect()
+        )
+        # the point: metadata alone dropped most of the scan
+        assert 0 < len(pruned.inputFiles()) < total
+        # string envelopes prune too
+        ps = t.read_where(s=("s0010", "s0019"))
+        assert ps.count() == 10 and len(ps.inputFiles()) < total
+        # open-ended bound
+        assert t.read_where(k=(90, None)).count() == 10
+        # multi-column conjunction
+        got = sorted(r["k"] for r in t.read_where(k=(0, 9), v=(10.0, 12.0)).collect())
+        assert got == [5, 6]
+
+    def test_read_where_all_pruned_and_no_stats_paths(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        t = self._clustered_table(spark, tmp_path)
+        # disjoint range: zero files scanned, typed empty result
+        empty = t.read_where(k=(10_000, 20_000))
+        assert empty.count() == 0
+        assert empty.columns == t.read().columns
+        # strip the stats from every log entry + checkpoint (pre-round-9
+        # table shape): pruning degrades to reading everything — same
+        # rows, no skips, no crash
+        for name in _os.listdir(t.log_dir):
+            p = _os.path.join(t.log_dir, name)
+            with open(p) as f:
+                e = _json.load(f)
+            e["stats"] = None if name.endswith(".json") and "checkpoint" not in name else e.get("stats")
+            if "checkpoint" in name:
+                e["stats"] = {}
+            with open(p, "w") as f:
+                _json.dump(e, f)
+        legacy = t.read_where(k=(30, 45))
+        assert legacy.count() == 16
+        assert len(legacy.inputFiles()) == len(t._snapshot()[0])  # noqa: SLF001
+
+    def test_read_where_stats_survive_checkpoint_and_compact(
+        self, spark, tmp_path
+    ):
+        t = self._clustered_table(spark, tmp_path, interval=2)
+        # resolution through a checkpoint carries the envelopes
+        _, _, stats = t._snapshot()  # noqa: SLF001
+        assert stats and all("k" in s for s in stats.values())
+        # compaction re-harvests envelopes for the rewritten files
+        t.compact(target_files=4, zorder_cols=["k"])
+        pruned = t.read_where(k=(30, 45))
+        assert sorted(r["k"] for r in pruned.collect()) == list(range(30, 46))
+        assert len(pruned.inputFiles()) < 4
+        # time travel prunes with the HISTORICAL snapshot's stats
+        old = t.read_where(version=2, k=(0, 9))
+        assert old.count() == 10
+
+    def test_read_where_null_rows_consistent(self, spark, tmp_path):
+        """Rows with NULL in the range column never satisfy the
+        predicate, so a file skipped on its non-NULL envelope agrees
+        with the residual filter."""
+        from etl_batch_spark.sources.txlog import TxTable
+
+        t = TxTable(spark, str(tmp_path / "tx"))
+        t.append(spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"))
+        t.append(spark.createDataFrame(
+            [(4, None), (5, None)], "k long, v double"))  # all-NULL v
+        got = sorted(r["k"] for r in t.read_where(v=(5.0, 15.0)).collect())
+        assert got == [1]
