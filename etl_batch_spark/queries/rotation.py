@@ -31,19 +31,20 @@ from __future__ import annotations
 ROWS_ONLY_OK: frozenset[str] = frozenset()
 
 # Round 9 window (rotated from CORRECTNESS_r08.json, 50/50 green —
-# cumulative 247/247 driver-green at latest check).  Leads: the four
+# cumulative 247/247 driver-green at latest check).  Leads: the five
 # round-9 changed/new entries — tx22 (switched to the broadcast-join
 # full-PSL registered_domain), tx23 (full Public Suffix List rule
 # classes: private/3-label/wildcard/exception/default), et41 (TxTable
 # commit-log checkpointing), st12 (mid-stream schema evolution:
-# refuse-then-evolve at the batch boundary).  Then the round-8
-# verdict's staleness refill: q78_bloom_semi_filter (the last round-3
-# row) followed by 45 of the 50 rows whose latest driver check is
-# round 4 (et07/dd13/dd09/et23-et28 sketches, ev06/ev13-ev17,
-# ss12-ss14, tx03-tx10, sm03/sm04, pipe01, q01/q09/q35/q39,
-# q79-q94 block) — four-plus rounds of rewrites sit between those
-# checks and HEAD.  Five r4 rows did not fit and lead the round-10
-# refill: q95_salted_skew_join, q96_pandas_udaf_geomean,
+# refuse-then-evolve at the batch boundary), et42 (data skipping from
+# commit-log statistics).  Then the round-8 verdict's staleness
+# refill: q78_bloom_semi_filter (the last round-3 row) followed by 44
+# of the 50 rows whose latest driver check is round 4
+# (et07/dd13/dd09/et23-et28 sketches, ev06/ev13-ev17, ss12-ss14,
+# tx03-tx10, sm03/sm04, pipe01, q01/q09/q35/q39, q79-q92 block) —
+# four-plus rounds of rewrites sit between those checks and HEAD.
+# Six r4 rows did not fit and lead the round-10 refill:
+# q94_rolling_median, q95_salted_skew_join, q96_pandas_udaf_geomean,
 # q98_grouped_regression, q99_merged_order_spans,
 # q100_window_rank_surface.
 DRIVER_WINDOW: list[str] = [
@@ -51,6 +52,7 @@ DRIVER_WINDOW: list[str] = [
     "tx23_registered_domain_psl",
     "et41_log_checkpoint_reads",
     "st12_streaming_schema_evolution",
+    "et42_data_skipping",
     "q78_bloom_semi_filter",
     "et07_sketch_rollup",
     "dd13_lsh_dedup_recall",
@@ -96,16 +98,16 @@ DRIVER_WINDOW: list[str] = [
     "q90_xml_roundtrip",
     "q91_running_distinct",
     "q92_period_over_period",
-    "q94_rolling_median",
 ]
 
-# ROUND 9 PREP: once CORRECTNESS_r08.json lands, run
-# `python tools/rotate.py CORRECTNESS_r08.json --write --prepend
-# <round-9 changed-output queries>`.  The refill priority is the 50
-# r4-stale rows (dd09_containment, dd13_lsh_dedup_recall,
-# et07_sketch_rollup, q01/q09/q35/q39/q79/q100, the ev/pipe r4 block),
-# then the oldest r5 rows.  tests/test_rotation.py pins the
-# invariants.
+# ROUND 10 PREP: once CORRECTNESS_r09.json lands, run
+# `python tools/rotate.py CORRECTNESS_r09.json --write --prepend
+# <round-10 changed-output queries> q94_rolling_median
+# q95_salted_skew_join q96_pandas_udaf_geomean q98_grouped_regression
+# q99_merged_order_spans q100_window_rank_surface <oldest r5 rows>`.
+# The refill priority after those six r4 leftovers is the round-5
+# cohort (et01/et04/et06/et10-et13/et20, ev01..., 50 rows).
+# tests/test_rotation.py pins the invariants.
 
 # Driver-green in a previous round's run (rows+schema+hash all true,
 # with no output change since).  Deprioritized to the back of the
