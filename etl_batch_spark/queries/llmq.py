@@ -3917,19 +3917,21 @@ def mm12_webp_structure_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# tx22 — URL curation (llmops/text.py::normalize_url/registered_domain):
-# the crawl-pipeline staple (CCNet / RefinedWeb / FineWeb cap documents
-# per registered domain and dedupe by canonical URL).  Messy URLs are
-# fabricated natively from md5(text) — mixed-case scheme/host, www/cdn
-# subdomains, default and explicit ports, trailing slashes, utm_*/gclid
-# tracking params sandwiching the real param, fragments — then the
-# native normalizer (parse_url + codegen'd string expressions, zero
-# Python) canonicalizes, the eTLD+1 heuristic extracts the registered
-# domain (co.uk family included), and a per-domain quota keeps the 20
+# tx22 — URL curation (llmops/text.py::normalize_url /
+# with_registered_domain): the crawl-pipeline staple (CCNet /
+# RefinedWeb / FineWeb cap documents per registered domain and dedupe
+# by canonical URL).  Messy URLs are fabricated natively from
+# md5(text) — mixed-case scheme/host, www/cdn subdomains, default and
+# explicit ports, trailing slashes, utm_*/gclid tracking params
+# sandwiching the real param, fragments — then the native normalizer
+# (parse_url + codegen'd string expressions, zero Python)
+# canonicalizes, the FULL-Public-Suffix-List eTLD+1 (five broadcast
+# hash probes against the vendored PSL dimension, llmops/psl.py)
+# extracts the registered domain, and a per-domain quota keeps the 20
 # longest docs (n_chars DESC NULLS LAST, doc_id ASC tiebreak, both
-# sides pinned).  The oracle reconstructs the EXPECTED canonical URL in
-# closed form from the same hash bits — an independent construction,
-# not a re-implementation of the normalizer.
+# sides pinned).  The oracle reconstructs the EXPECTED canonical URL
+# in closed form from the same hash bits — an independent
+# construction, not a re-implementation of the normalizer.
 # ---------------------------------------------------------------------------
 @query(
     "tx22_url_curation",
