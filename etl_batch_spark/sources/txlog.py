@@ -112,9 +112,18 @@ class Version:
 def _stat_value(v):
     """Normalize a parquet-footer statistic (or a query bound) into the
     JSON-safe total order pruning compares in: numbers stay numbers,
-    strings stay strings, timestamps → epoch micros, dates → ordinals.
-    None = not statable (NaN, bytes that aren't UTF-8, exotic types) —
-    a file with an unstatable envelope is read, never skipped."""
+    strings stay strings, timestamps AND dates → epoch micros (one
+    shared scale, so a date bound on a timestamp column — or vice
+    versa — compares correctly instead of silently pruning
+    everything).  Naive datetimes are interpreted as UTC, matching the
+    engine's pinned ``spark.sql.session.timeZone`` so the pruning
+    decision and the residual filter read the same instant (a
+    local-tz interpretation would mis-prune whenever driver tz ≠
+    session tz).  None = not statable (NaN, bytes that aren't UTF-8,
+    exotic types) — a file with an unstatable envelope is read, never
+    skipped; a cross-type comparison (string bound vs numeric
+    envelope) raises TypeError at the compare site and is likewise
+    treated as unprunable."""
     import datetime
 
     if v is None or isinstance(v, bool):
@@ -131,37 +140,53 @@ def _stat_value(v):
     if isinstance(v, str):
         return v
     if isinstance(v, datetime.datetime):  # before date: datetime IS a date
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
         return int(v.timestamp() * 1_000_000)
     if isinstance(v, datetime.date):
-        return v.toordinal()
+        epoch = datetime.date(1970, 1, 1).toordinal()
+        return (v.toordinal() - epoch) * 86_400_000_000
     return None
 
 
 def _file_stats(full_path: str) -> "tuple[int, dict[str, list]]":
     """(row count, {col: [min, max]}) from one parquet footer — only
-    columns whose every row group carries usable stats (a partially-
-    statted column cannot give a sound envelope)."""
+    TOP-LEVEL columns whose every row group carries usable stats.
+    Parquet footer metadata is per LEAF column (a struct explodes into
+    one chunk per field), so columns are matched by ``path_in_schema``
+    — indexing leaves by top-level schema position would attribute a
+    nested field's envelope to the wrong column name and make
+    read_where prune on the wrong column's stats.  Nested columns are
+    simply not statted (range predicates on them aren't supported
+    here)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(full_path).metadata
-    names = md.schema.to_arrow_schema().names
-    out: "dict[str, list]" = {}
-    for ci, col in enumerate(names):
-        los, his = [], []
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            lo, hi = _stat_value(st.min), _stat_value(st.max)
+    per_col: "dict[str, list[list]]" = {}
+    unusable: "set[str]" = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            chunk = md.row_group(rg).column(ci)
+            path = chunk.path_in_schema
+            if "." in path:  # leaf of a nested column
+                unusable.add(path.split(".", 1)[0])
+                continue
+            if path in unusable:
+                continue
+            st = chunk.statistics
+            lo = hi = None
+            if st is not None and st.has_min_max:
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
             if lo is None or hi is None:
-                ok = False
-                break
-            los.append(lo)
-            his.append(hi)
-        if ok and los:
-            out[col] = [min(los), max(his)]
+                unusable.add(path)  # one unstatted row group poisons
+                per_col.pop(path, None)
+                continue
+            per_col.setdefault(path, []).append([lo, hi])
+    out = {
+        col: [min(e[0] for e in envs), max(e[1] for e in envs)]
+        for col, envs in per_col.items()
+        if envs and col not in unusable
+    }
     return md.num_rows, out
 
 
@@ -238,11 +263,32 @@ class TxTable:
         with open(os.path.join(self.log_dir, f"{version:08d}.json")) as f:
             return Version(**json.load(f))
 
-    def _entries(self, lo: int, hi: int) -> "list[Version]":
+    def _entries(self, lo: int, hi: int,
+                 present: "list[int] | None" = None) -> "list[Version]":
         """Log entries with ``lo <= version <= hi`` — reads exactly
-        those files, not the whole log."""
-        present, _ = self._log_names()
+        those files, not the whole log.  Pass ``present`` (an
+        already-obtained ``_log_names()`` listing) to avoid a second
+        directory LIST — on an object-store log every listing is a
+        paid round trip."""
+        if present is None:
+            present, _ = self._log_names()
         return [self._read_entry(v) for v in present if lo <= v <= hi]
+
+    def _require_present(self, files: "list[str]", what: str) -> None:
+        """The vacuum-retention-horizon refusal every historical read
+        shares: raise a clean ValueError when any resolved file was
+        physically deleted, instead of a scan-time path-not-found from
+        deep inside the reader."""
+        gone = [
+            f for f in files
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if gone:
+            raise ValueError(
+                f"{what} references {len(gone)} file(s) removed by "
+                f"vacuum() (e.g. {gone[0]}); historical reads are "
+                "bounded by the vacuum retention horizon"
+            )
 
     def versions(self) -> "list[Version]":
         """The FULL entry log (audit surface; vacuum/history need it).
@@ -255,13 +301,16 @@ class TxTable:
         return present[-1] if present else -1
 
     def _snapshot(
-        self, version: "int | None" = None
+        self, version: "int | None" = None,
+        names: "tuple[list[int], list[int]] | None" = None,
     ) -> "tuple[list[str], T.StructType | None, dict]":
         """(live files, schema, per-file stats) of the snapshot at
         ``version`` (newest when None), resolved from the latest
         checkpoint at-or-before it plus the tail entries after —
-        O(checkpoint_interval) file reads regardless of table age."""
-        present, ckpts = self._log_names()
+        O(checkpoint_interval) file reads regardless of table age.
+        Pass ``names`` (a prior ``_log_names()`` result) to reuse one
+        directory listing across an operation."""
+        present, ckpts = self._log_names() if names is None else names
         v = (present[-1] if present else -1) if version is None else version
         base = max((c for c in ckpts if c <= v), default=None)
         live: "set[str]" = set()
@@ -276,7 +325,7 @@ class TxTable:
             stats = dict(ck.get("stats") or {})
             schema_json = ck.get("schema")
             start = base + 1
-        for e in self._entries(start, v):
+        for e in self._entries(start, v, present=present):
             live -= set(e.removed)
             live |= set(e.added)
             for f in e.removed:
@@ -313,7 +362,11 @@ class TxTable:
                 tmp,
                 os.path.join(self.log_dir, f"{version:08d}.checkpoint.json"),
             )
-        except OSError:  # pragma: no cover — derived data, never fatal
+        except Exception:  # pragma: no cover — derived data, never
+            # fatal: the commit ALREADY landed when this runs, so any
+            # escape here (corrupt prior checkpoint JSON, schema parse
+            # error, IO) would report a successful commit as a failure
+            # and push the caller into a duplicating retry
             pass
 
     def schema_at(
@@ -750,17 +803,7 @@ class TxTable:
         if not files:
             raise ValueError(f"table {self.path} has no data at version {version}")
         if version is not None:
-            gone = [
-                f for f in files
-                if not os.path.exists(os.path.join(self.path, f))
-            ]
-            if gone:
-                raise ValueError(
-                    f"snapshot at version {version} references "
-                    f"{len(gone)} file(s) removed by vacuum() "
-                    f"(e.g. {gone[0]}); time travel is bounded by the "
-                    "vacuum retention horizon"
-                )
+            self._require_present(files, f"snapshot at version {version}")
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
@@ -800,6 +843,11 @@ class TxTable:
             raise ValueError(
                 f"table {self.path} has no data at version {version}"
             )
+        if version is not None:
+            # same retention-horizon contract as read(version=): the
+            # result must be exactly read(version).filter(...), clean
+            # refusal included
+            self._require_present(files, f"snapshot at version {version}")
         norm = {
             col: (
                 _stat_value(lo) if lo is not None else None,
@@ -874,15 +922,17 @@ class TxTable:
         """
         from pyspark.sql import functions as F
 
-        v_to = self.latest_version() if v_to is None else v_to
+        names = self._log_names()  # ONE listing for the whole call
+        present = names[0]
+        v_to = (present[-1] if present else -1) if v_to is None else v_to
         if v_to < v_from:
             raise ValueError(f"v_to {v_to} < v_from {v_from}")
         # checkpoint-accelerated: the BEFORE endpoint resolves through
         # the nearest checkpoint; the after endpoint and the feed
         # schema fold forward over only the in-range entries — total
         # metadata reads O(interval + range), never O(table age)
-        between = self._entries(v_from + 1, v_to)
-        before_files, before_schema, _ = self._snapshot(v_from)
+        between = self._entries(v_from + 1, v_to, present=present)
+        before_files, before_schema, _ = self._snapshot(v_from, names=names)
         after_live = set(before_files)
         feed_schema_json = (
             before_schema.jsonValue() if before_schema is not None else None
@@ -940,31 +990,14 @@ class TxTable:
             # LATER commit and then physically deleted by vacuum() —
             # refuse cleanly like read(version=) does instead of a
             # scan-time path-not-found deep inside the reader
-            gone = [
-                f for f in added
-                if not os.path.exists(os.path.join(self.path, f))
-            ]
-            if gone:
-                raise ValueError(
-                    f"change feed over ({v_from}, {v_to}] references "
-                    f"{len(gone)} file(s) removed by vacuum() "
-                    f"(e.g. {gone[0]}); change feeds are bounded by the "
-                    "vacuum retention horizon"
-                )
+            self._require_present(added, f"change feed over ({v_from}, {v_to}]")
             return snap(added).withColumn("_change_type", F.lit("insert"))
         # the diff endpoints are historical snapshots too — same
         # retention-horizon refusal as the fast path
-        gone = [
-            f for f in (*before_files, *after_files)
-            if not os.path.exists(os.path.join(self.path, f))
-        ]
-        if gone:
-            raise ValueError(
-                f"change feed over ({v_from}, {v_to}] references "
-                f"{len(gone)} file(s) removed by vacuum() "
-                f"(e.g. {gone[0]}); change feeds are bounded by the "
-                "vacuum retention horizon"
-            )
+        self._require_present(
+            [*before_files, *after_files],
+            f"change feed over ({v_from}, {v_to}]",
+        )
         # an empty endpoint of a diff range (e.g. v_from=-1 bootstrap
         # against a table whose first commit was an overwrite) is an
         # empty relation typed like the other endpoint

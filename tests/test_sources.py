@@ -1418,3 +1418,75 @@ class TestTxTable:
             [(4, None), (5, None)], "k long, v double"))  # all-NULL v
         got = sorted(r["k"] for r in t.read_where(v=(5.0, 15.0)).collect())
         assert got == [1]
+
+    def test_stats_nested_schema_not_misattributed(self, spark, tmp_path):
+        """Parquet footers are per LEAF column: a struct column explodes
+        into one chunk per field, so positional indexing would attribute
+        a nested field's envelope to the next top-level name and prune
+        on the wrong column.  Stats must key by path_in_schema, skip
+        nested columns, and keep pruning sound for the flat ones."""
+        from etl_batch_spark.sources.txlog import TxTable
+
+        t = TxTable(spark, str(tmp_path / "tx"))
+        df = spark.range(0, 40).select(
+            F.col("id").alias("a"),
+            F.struct(
+                (F.col("id") % 3).alias("x"), (F.col("id") % 5).alias("y")
+            ).alias("b"),
+            (F.col("id") + 1000).alias("c"),
+        )
+        t.append(df.repartitionByRange(4, "c").sortWithinPartitions("c"))
+        _, _, stats = t._snapshot()  # noqa: SLF001
+        for env in stats.values():
+            assert "b" not in env           # nested: never statted
+            assert env["c"][0] >= 1000      # c's envelope is C's values
+        got = sorted(
+            r["c"] for r in t.read_where(c=(1015, 1020)).collect()
+        )
+        assert got == list(range(1015, 1021))
+        assert len(t.read_where(c=(1015, 1020)).inputFiles()) < 4
+
+    def test_read_where_mixed_date_timestamp_bounds(self, spark, tmp_path):
+        """Dates and timestamps normalize onto ONE scale (epoch
+        micros), so a date bound on a timestamp column — and a
+        datetime bound on a date column — prunes correctly instead of
+        silently emptying the result."""
+        import datetime as _dt
+
+        from etl_batch_spark.sources.txlog import TxTable
+
+        t = TxTable(spark, str(tmp_path / "tx"))
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       F.col("id").cast("int")).alias("d"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(days=F.col("id").cast("int"))).alias("ts"),
+        )
+        t.append(df.repartitionByRange(4, "k").sortWithinPartitions("k"))
+        # datetime bounds on a DATE column
+        got = t.read_where(
+            d=(_dt.datetime(2024, 1, 11), _dt.datetime(2024, 1, 20))
+        )
+        assert got.count() == 10 and len(got.inputFiles()) < 4
+        # date bounds on a TIMESTAMP column
+        got2 = t.read_where(
+            ts=(_dt.date(2024, 1, 11), _dt.date(2024, 1, 20))
+        )
+        assert got2.count() == 10 and len(got2.inputFiles()) < 4
+
+    def test_read_where_past_vacuum_horizon_refuses_cleanly(
+        self, spark, tmp_path
+    ):
+        """read_where(version=) must honor the same retention-horizon
+        contract as read(version=): clean refusal, not a scan-time
+        path-not-found."""
+        import pytest as _pytest
+
+        t = self._clustered_table(spark, tmp_path)
+        t.compact(target_files=2)
+        t.vacuum(retain_versions=1)
+        with _pytest.raises(ValueError, match="vacuum"):
+            t.read_where(version=1, k=(0, 50)).collect()
+        # the current snapshot still prunes fine
+        assert t.read_where(k=(0, 9)).count() == 10
