@@ -919,9 +919,17 @@ def with_registered_domain(
     9.4k-literal InSet riding every task) and the query build cheap —
     what a 100 TB crawl-curation pipeline should call.
 
-    Temporary ``__rd_*`` helper columns are used and dropped;
-    ``host_col`` must not collide with that prefix."""
+    Temporary ``__rd_*`` helper columns are used and dropped; input
+    columns under that prefix are rejected up front (they would be
+    silently consumed and dropped)."""
     from etl_batch_spark.llmops.psl import MAX_SUFFIX_LABELS, load_rules
+
+    clash = [c for c in df.columns if c.startswith("__rd_")]
+    if clash:
+        raise ValueError(
+            f"with_registered_domain reserves the '__rd_' column prefix; "
+            f"rename input column(s) {clash}"
+        )
 
     _, _, exc = load_rules()
     exc_lens = sorted({r.count(".") + 1 for r in exc})
