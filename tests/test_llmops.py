@@ -1357,3 +1357,85 @@ class TestLineDedup:
         )
         assert "Window" not in plan
         assert "partial_min" in plan or "HashAggregate" in plan
+
+
+class TestPslReferenceCross:
+    """Third-implementation cross-check: a direct Python transcription
+    of the PSL algorithm (https://publicsuffix.org/list/) validated
+    against BOTH Spark forms over generated hosts spanning every rule
+    class.  The two Spark variants already cross-check each other
+    (test_join_variant_matches_column_variant); this pins them to an
+    independent reading of the spec, so all three drifting together
+    would require the same misreading three times."""
+
+    @staticmethod
+    def _py_registered_domain(host, exact, wild, exc):
+        import re as _re
+
+        if host is None:
+            return None
+        h = _re.sub(r":\d+$", "", host.lower())
+        labels = h.split(".")
+        n = len(labels)
+        if n <= 1:
+            return h
+        # exception rules prevail: the rule itself is the registrable
+        # domain for any host ending in it
+        for k in range(min(n, 5), 1, -1):
+            if ".".join(labels[n - k:]) in exc:
+                return ".".join(labels[n - k:])
+        s = 1  # default '*' rule
+        for k in range(2, min(n, 5) + 1):
+            cand = ".".join(labels[n - k:])
+            parent = ".".join(labels[n - (k - 1):])
+            if cand in exact or parent in wild:
+                s = max(s, k)
+        return ".".join(labels[n - (s + 1):]) if n > s else h
+
+    def test_generated_hosts_agree_with_python_reference(self, spark):
+        import random
+
+        from etl_batch_spark.llmops.psl import load_rules
+        from etl_batch_spark.llmops.text import (
+            registered_domain, with_registered_domain,
+        )
+
+        exact, wild, exc = load_rules()
+        rng = random.Random(42)
+        ascii_exact = sorted(r for r in exact if r.isascii())
+        prefixes = ["", "a.", "www.", "x9.deep.sub.", "A.B."]
+        hosts: "list[str]" = []
+        for rule in rng.sample(ascii_exact, 120):
+            hosts.append(rng.choice(prefixes) + "site" +
+                         str(rng.randint(0, 99)) + "." + rule)
+            if rng.random() < 0.2:
+                hosts.append(rule)  # host IS a suffix
+        for parent in rng.sample(sorted(wild), 40):
+            hosts.append(rng.choice(prefixes) + "zone" +
+                         str(rng.randint(0, 99)) + "." + parent)
+            hosts.append(parent)  # wildcard parent with no child label
+        for rule in sorted(exc):
+            hosts.append(rule)
+            hosts.append("deep.sub." + rule)
+        hosts += ["plainhost", "a.b.unknowntld", "x:8080",
+                  "UPPER.CASE.COM:443"]
+        rng.shuffle(hosts)
+
+        expected = {
+            h: self._py_registered_domain(h, exact, wild, exc)
+            for h in hosts
+        }
+        df = spark.createDataFrame([(h,) for h in hosts], "h string") \
+            .dropDuplicates(["h"])
+        got_join = {
+            r["h"]: r["d"]
+            for r in with_registered_domain(df, "h", "d").collect()
+        }
+        assert got_join == {h: expected[h] for h in got_join}
+        got_col = {
+            r["h"]: r["d"]
+            for r in df.select(
+                "h", registered_domain(F.col("h")).alias("d")
+            ).collect()
+        }
+        assert got_col == got_join
