@@ -309,9 +309,22 @@ class TxTable:
         checkpoint at-or-before it plus the tail entries after —
         O(checkpoint_interval) file reads regardless of table age.
         Pass ``names`` (a prior ``_log_names()`` result) to reuse one
-        directory listing across an operation."""
+        directory listing across an operation.
+
+        An explicit ``version`` must EXIST: asking for a version past
+        the head (or below -1, the canonical empty snapshot) raises
+        instead of silently resolving to the newest state — a caller
+        tracking versions of a lagging replica must find out, not get
+        current data labeled historical (Delta raises VersionNotFound
+        for the same reason)."""
         present, ckpts = self._log_names() if names is None else names
-        v = (present[-1] if present else -1) if version is None else version
+        head = present[-1] if present else -1
+        if version is not None and not (-1 <= version <= head):
+            raise ValueError(
+                f"version {version} of {self.path} does not exist "
+                f"(head is v{head})"
+            )
+        v = head if version is None else version
         base = max((c for c in ckpts if c <= v), default=None)
         live: "set[str]" = set()
         stats: "dict[str, dict]" = {}
@@ -433,8 +446,17 @@ class TxTable:
                         schema=schema.jsonValue() if schema is not None else None,
                         stats=stats or None)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(entry.__dict__, f)
+        try:
+            with open(tmp, "w") as f:
+                json.dump(entry.__dict__, f)
+        except BaseException:
+            # e.g. non-JSON-serializable meta: don't leave the tmp file
+            # stranded in _txlog (nothing ever sweeps it)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         final = os.path.join(self.log_dir, f"{version:08d}.json")
         try:
             # the atomic visibility point (create-if-absent, never clobber)
@@ -446,11 +468,17 @@ class TxTable:
                 "re-read the snapshot and retry"
             ) from None
         finally:
-            os.unlink(tmp)
+            try:
+                os.unlink(tmp)
+            except OSError:  # pragma: no cover — a failed cleanup of a
+                pass         # linked commit must not fail the commit
         if (self.checkpoint_interval
                 and version > 0
                 and version % self.checkpoint_interval == 0):
             self._write_checkpoint(version)
+        # INVARIANT: once os.link succeeded, nothing after it raises —
+        # callers' failure-path cleanup may therefore assume a raised
+        # _commit means the staged files are unreferenced
         return version
 
     # -- writes ------------------------------------------------------------
@@ -479,6 +507,19 @@ class TxTable:
             if s:
                 stats[f] = s
         return files, n_rows, stats
+
+    @staticmethod
+    def _check_meta(meta: "dict | None") -> None:
+        """Fail BEFORE staging data: a non-JSON-serializable meta would
+        otherwise be discovered only at commit time, after the full
+        parquet write."""
+        if meta is not None:
+            try:
+                json.dumps(meta)
+            except TypeError as exc:
+                raise TypeError(
+                    f"commit meta must be JSON-serializable: {exc}"
+                ) from None
 
     def _cleanup_staged(self, files: "list[str] | None") -> None:
         """Best-effort delete of parquet staged for a commit that will
@@ -541,6 +582,7 @@ class TxTable:
         on schema metadata — Delta's conflict checker likewise treats
         metadata changes as conflicting with every concurrent commit).
         """
+        self._check_meta(meta)
         added: "list[str] | None" = None
         n = 0
         stats: dict = {}
@@ -562,10 +604,13 @@ class TxTable:
                 f"append to {self.path} lost the commit race "
                 f"{_APPEND_RETRIES} times; head is moving too fast"
             )
-        except (ConcurrentWriteConflict, SchemaEvolutionError):
-            # this commit will never land — reclaim its staged parquet
-            # (the inner retry loop swallows per-attempt conflicts; only
-            # terminal failures reach here)
+        except BaseException:
+            # this commit will never land — reclaim its staged parquet.
+            # Safe for ANY failure: _commit's invariant is that nothing
+            # raises after the log entry links, so a raised commit
+            # always means the staged files are unreferenced.  (The
+            # inner retry loop swallows per-attempt conflicts; only
+            # terminal failures reach here.)
             self._cleanup_staged(added)
             raise
 
@@ -582,6 +627,7 @@ class TxTable:
         serializable for read-modify-write).  When None, the snapshot is
         resolved at commit time (single-writer legacy path); a slot
         collision still refuses rather than clobbering."""
+        self._check_meta(meta)
         if read_version is None:
             read_version = self.latest_version()
         added, n, stats = self._write_files(df)
@@ -594,9 +640,10 @@ class TxTable:
                 expected_version=read_version + 1,
                 schema=_norm_schema(df.schema), stats=stats,
             )
-        except ConcurrentWriteConflict:
-            # the rewrite is stale and will be recomputed from the fresh
-            # snapshot — its staged files can never become referenced
+        except BaseException:
+            # the rewrite will never be referenced (conflict: stale and
+            # recomputed from the fresh snapshot; any other failure:
+            # _commit raises only before the entry links)
             self._cleanup_staged(added)
             raise
 
@@ -678,8 +725,31 @@ class TxTable:
         keep snapshot isolation throughout: the clustered rewrite is one
         atomic commit like any other.
         """
-        read_version = self.latest_version()  # CAS anchor for the rewrite
-        current = self.read()
+        # ONE listing + ONE snapshot fold for the whole rewrite, and —
+        # crucially — the rows are read AT the CAS anchor: an unpinned
+        # self.read() could observe a commit landing between the anchor
+        # and the read, staging a full clustered rewrite that the
+        # guaranteed slot conflict then throws away
+        names = self._log_names()
+        present = names[0]
+        read_version = present[-1] if present else -1
+        if read_version < 0:
+            raise ValueError(f"table {self.path} has no commits to compact")
+        files, schema, _ = self._snapshot(read_version, names=names)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if files:
+            current = reader.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+        elif schema is not None:  # emptied table: a valid (empty) rewrite
+            current = self.spark.createDataFrame([], schema)
+        else:
+            raise ValueError(
+                f"table {self.path} has no data at version {read_version} "
+                "and no log-recorded schema to type an empty snapshot"
+            )
         if zorder_cols:
             from etl_batch_spark.sources.io import zorder_key
 
@@ -705,11 +775,12 @@ class TxTable:
         # its files would drop the concurrent commit's effect
         try:
             return self._commit(
-                "compact", added, self._active_files(read_version), n,
-                meta=self.latest_meta(), expected_version=read_version + 1,
-                schema=self.schema_at(read_version), stats=stats,
+                "compact", added, files, n,
+                meta=self._read_entry(read_version).meta,
+                expected_version=read_version + 1,
+                schema=schema, stats=stats,
             )
-        except ConcurrentWriteConflict:
+        except BaseException:
             self._cleanup_staged(added)
             raise
 
@@ -801,7 +872,16 @@ class TxTable:
         table is."""
         files, schema, _ = self._snapshot(version)
         if not files:
-            raise ValueError(f"table {self.path} has no data at version {version}")
+            if schema is not None:
+                # an EMPTIED table (e.g. a merge that deleted every
+                # row) is a valid snapshot: return it typed from the
+                # log schema, so merge/compact/streaming sinks keep
+                # working instead of bricking until a non-empty write
+                return self.spark.createDataFrame([], schema)
+            raise ValueError(
+                f"table {self.path} has no data at version {version} "
+                "and no log-recorded schema to type an empty snapshot"
+            )
         if version is not None:
             self._require_present(files, f"snapshot at version {version}")
         reader = self.spark.read
@@ -840,9 +920,7 @@ class TxTable:
             return self.read(version)
         files, schema, stats = self._snapshot(version)
         if not files:
-            raise ValueError(
-                f"table {self.path} has no data at version {version}"
-            )
+            return self.read(version)  # typed-empty / no-schema refusal
         if version is not None:
             # same retention-horizon contract as read(version=): the
             # result must be exactly read(version).filter(...), clean
@@ -924,7 +1002,13 @@ class TxTable:
 
         names = self._log_names()  # ONE listing for the whole call
         present = names[0]
-        v_to = (present[-1] if present else -1) if v_to is None else v_to
+        head = present[-1] if present else -1
+        if v_to is not None and not (-1 <= v_to <= head):
+            raise ValueError(
+                f"version {v_to} of {self.path} does not exist "
+                f"(head is v{head})"
+            )
+        v_to = head if v_to is None else v_to
         if v_to < v_from:
             raise ValueError(f"v_to {v_to} < v_from {v_from}")
         # checkpoint-accelerated: the BEFORE endpoint resolves through
@@ -968,9 +1052,18 @@ class TxTable:
             # deleted rows still pin the row schema), else only the
             # column the feed itself guarantees.  (Full log walk — fine:
             # only reachable while the table has no data at all.)
-            ever = [f for v in self.versions() for f in v.added]
+            # Only files that still EXIST can type the probe — a
+            # vacuumed ever-file would crash the limit(0) read with a
+            # scan-time path-not-found.
+            ever = [
+                f for v in self.versions() for f in v.added
+                if os.path.exists(os.path.join(self.path, f))
+            ]
             if schema is not None:
                 empty = self.spark.createDataFrame([], schema)
+            elif feed_schema is not None:
+                # schema-tracked log: no file probe needed at all
+                empty = self.spark.createDataFrame([], feed_schema)
             elif ever:
                 empty = snap(ever[-1:]).limit(0)
             else:

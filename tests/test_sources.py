@@ -1490,3 +1490,87 @@ class TestTxTable:
             t.read_where(version=1, k=(0, 50)).collect()
         # the current snapshot still prunes fine
         assert t.read_where(k=(0, 9)).count() == 10
+
+    # -- whole-file review findings (round 9, second pass) -------------
+
+    def test_nonexistent_version_raises(self, spark, tmp_path):
+        """Time travel to a version past the head must raise, not
+        silently return current data labeled historical."""
+        import pytest as _pytest
+
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(3))  # head = v0
+        for bad in (1, 99):
+            with _pytest.raises(ValueError, match="does not exist"):
+                t.read(version=bad)
+            with _pytest.raises(ValueError, match="does not exist"):
+                t.schema_at(version=bad)
+        with _pytest.raises(ValueError, match="does not exist"):
+            t.changes(0, 5)
+        with _pytest.raises(ValueError, match="does not exist"):
+            t.read_where(version=7, id=(0, 1))
+        with _pytest.raises(ValueError, match="does not exist"):
+            t.read(version=-2)
+        assert t.read(version=0).count() == 3  # valid version still fine
+
+    def test_emptied_table_stays_operational(self, spark, tmp_path):
+        """A merge that deletes every row leaves a VALID empty
+        snapshot: reads return a typed empty frame from the log
+        schema, and subsequent merge/compact keep working instead of
+        bricking until a non-empty overwrite."""
+        t = self._table(spark, tmp_path)
+        rows = spark.createDataFrame(
+            [(1, "a", False), (2, "b", False)], "k int, v string, del boolean"
+        )
+        t.merge(rows, ["k"], delete_col="del")          # v0: 2 rows
+        wipe = spark.createDataFrame(
+            [(1, None, True), (2, None, True)], "k int, v string, del boolean"
+        )
+        t.merge(wipe, ["k"], delete_col="del")          # v1: empty
+        empty = t.read()
+        assert empty.count() == 0 and empty.columns == ["k", "v"]
+        assert t.read_where(k=(0, 10)).count() == 0
+        # the table is still writable through every path
+        t.compact(target_files=1)                       # v2: empty no-op
+        t.merge(spark.createDataFrame(
+            [(9, "z", False)], "k int, v string, del boolean"
+        ), ["k"], delete_col="del")                     # v3: repopulated
+        assert {(r["k"], r["v"]) for r in t.read().collect()} == {(9, "z")}
+
+    def test_bootstrap_feed_survives_vacuumed_probe_file(self, spark, tmp_path):
+        """changes(-1) over a table whose every data file was emptied
+        out and vacuumed must type the empty feed from the LOG schema,
+        not crash probing a deleted file."""
+        t = self._table(spark, tmp_path)
+        t.append(spark.range(3).select(F.col("id").alias("k")))   # v0
+        t.overwrite(
+            spark.createDataFrame([], "k bigint"),
+            read_version=t.latest_version(),
+        )                                                         # v1 empty
+        t.vacuum(retain_versions=1)  # v0's file physically gone
+        feed = t.changes(-1)
+        assert feed.count() == 0
+        assert set(feed.columns) == {"k", "_change_type"}
+
+    def test_unserializable_meta_fails_fast_without_staging(
+        self, spark, tmp_path
+    ):
+        import datetime as _dt
+
+        import pytest as _pytest
+
+        t = self._table(spark, tmp_path)
+        with _pytest.raises(TypeError, match="JSON-serializable"):
+            t.append(spark.range(3), meta={"ts": _dt.datetime.now()})
+        # failed BEFORE staging: no data dirs, no log entries, no tmp
+        import os as _os
+
+        assert self._data_subdirs(t) == set()
+        assert t.latest_version() == -1
+        assert not [n for n in _os.listdir(t.log_dir) if n.startswith(".tmp")]
+        # overwrite path fails fast too
+        t.append(spark.range(2))
+        with _pytest.raises(TypeError, match="JSON-serializable"):
+            t.overwrite(spark.range(5), meta={"d": _dt.date.today()})
+        committed = {f.split("/", 1)[0] for v in t.versions() for f in v.added}
+        assert self._data_subdirs(t) == committed
