@@ -102,9 +102,18 @@ def rules_in(col, which: str):
     except ImportError:  # pragma: no cover — Connect-only environments
         return col.isin(rules)
     sc = get_active_spark_context()
-    key = (which, id(sc._jsc))  # new wrapper per context → cache rolls
+    # stable context identity: id(sc._jsc) can be REUSED by CPython for
+    # a new context's wrapper after the old one is GC'd, handing back a
+    # JVM sequence from a stopped gateway.  applicationId + startTime
+    # survive wrapper churn and differ across restarts.
+    try:
+        key = (which, sc.applicationId, sc.startTime)
+    except Exception:  # stopped context mid-teardown — skip the cache
+        return col.isin(rules)
     seq = _SEQ_CACHE.get(key)
     if seq is None:
         seq = _to_seq(sc, [_create_column_from_literal(r) for r in rules])
+        for k in [k for k in _SEQ_CACHE if k[1:] != key[1:]]:
+            del _SEQ_CACHE[k]  # entries from dead contexts are useless
         _SEQ_CACHE[key] = seq
     return _Col(col._jc.isin(seq))

@@ -760,8 +760,15 @@ def st12_streaming_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
             )
         except AssertionError:
             raise
-        except Exception as exc:  # StreamingQueryException wrapper
-            if "SchemaEvolutionError" not in str(exc):
+        except Exception as exc:
+            # upsert_latest_versioned now unwraps the foreachBatch
+            # wrapper to the documented SchemaEvolutionError; keep the
+            # substring fallback so the gate stays meaningful either way
+            from etl_batch_spark.sources.txlog import SchemaEvolutionError
+
+            if not isinstance(exc, SchemaEvolutionError) and (
+                "SchemaEvolutionError" not in str(exc)
+            ):
                 raise
         if t.latest_version() != v_head:
             raise AssertionError(

@@ -15,12 +15,38 @@ Oracle.  The engine's IO layer makes the scale decisions explicit:
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_batch_spark.orchestration.loader import get_loader_file_name
 from etl_batch_spark.orchestration.store import ControlStore
+
+
+@contextlib.contextmanager
+def pinned_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a block, then restore the
+    caller's value (or unset if it was unset).  Operators whose
+    CORRECTNESS depends on a session conf must pin it at the use site —
+    the driver contract hands the engine a session it did not build, so
+    anything only ``session.py`` sets silently evaporates there (the
+    et42 lesson: a stock session writes INT96 timestamps, which carry no
+    parquet min/max statistics, and data skipping degrades to
+    scan-everything)."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def read_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -511,11 +537,19 @@ def write_range_sorted(
     """
     if not sort_cols:
         raise ValueError("sort_cols must be non-empty")
-    (
-        df.repartitionByRange(num_files, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # TIMESTAMP_MICROS pinned at the write site: this function's whole
+    # promise is usable footer envelopes, and INT96 (the stock-session
+    # default) carries no min/max statistics for timestamp columns
+    with pinned_conf(
+        df.sparkSession,
+        "spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS",
+    ):
+        (
+            df.repartitionByRange(num_files, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
 
 

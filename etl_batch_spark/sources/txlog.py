@@ -161,7 +161,9 @@ def _file_stats(full_path: str) -> "tuple[int, dict[str, list]]":
     here)."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(full_path).metadata
+    with pq.ParquetFile(full_path) as pf:  # close deterministically —
+        md = pf.metadata  # a large append stages hundreds of files and
+        # must not hold an fd per file until GC
     per_col: "dict[str, list[list]]" = {}
     unusable: "set[str]" = set()
     for rg in range(md.num_row_groups):
@@ -491,9 +493,23 @@ class TxTable:
         — the only moment footers are ever touched; readers get the
         stats from the log.  The commit's row count comes from the
         same footers (exact, no second data scan)."""
+        from etl_batch_spark.sources.io import pinned_conf
+
         sub = f"data-{uuid.uuid4().hex}"
         out = os.path.join(self.path, sub)
-        df.write.mode("overwrite").parquet(out)
+        # Pinned at the write site, not just in the engine's session
+        # factory: the driver contract hands TxTable whatever session it
+        # built, and PySpark's stock default (INT96) writes timestamp
+        # columns with NO parquet min/max statistics — the footer
+        # harvest below would silently record no envelope and
+        # read_where would degrade to scan-everything (et42's round-9
+        # driver failure).  set/restore so the caller's conf survives.
+        with pinned_conf(
+            df.sparkSession,
+            "spark.sql.parquet.outputTimestampType",
+            "TIMESTAMP_MICROS",
+        ):
+            df.write.mode("overwrite").parquet(out)
         files = sorted(
             os.path.join(sub, n)
             for n in os.listdir(out)
@@ -604,13 +620,19 @@ class TxTable:
                 f"append to {self.path} lost the commit race "
                 f"{_APPEND_RETRIES} times; head is moving too fast"
             )
-        except BaseException:
+        except Exception:
             # this commit will never land — reclaim its staged parquet.
-            # Safe for ANY failure: _commit's invariant is that nothing
-            # raises after the log entry links, so a raised commit
-            # always means the staged files are unreferenced.  (The
-            # inner retry loop swallows per-attempt conflicts; only
-            # terminal failures reach here.)
+            # Safe: _commit's invariant is that no *Exception* escapes
+            # after the log entry links, so a raised commit means the
+            # staged files are unreferenced.  (The inner retry loop
+            # swallows per-attempt conflicts; only terminal failures
+            # reach here.)  Deliberately NOT BaseException: a
+            # KeyboardInterrupt/SystemExit can land between the link
+            # and _commit's return (e.g. mid-checkpoint-write), and
+            # deleting the staged files then would corrupt a version
+            # that already committed — an interrupted writer instead
+            # leaks the staging dir, which vacuum's orphan sweep
+            # reclaims behind its age guard.
             self._cleanup_staged(added)
             raise
 
@@ -640,10 +662,13 @@ class TxTable:
                 expected_version=read_version + 1,
                 schema=_norm_schema(df.schema), stats=stats,
             )
-        except BaseException:
+        except Exception:
             # the rewrite will never be referenced (conflict: stale and
             # recomputed from the fresh snapshot; any other failure:
-            # _commit raises only before the entry links)
+            # _commit raises only before the entry links).  Exception,
+            # not BaseException — see append's handler: an interrupt
+            # escaping _commit post-link must leak staging (vacuum
+            # sweeps it), never delete a committed version's data.
             self._cleanup_staged(added)
             raise
 
@@ -780,7 +805,8 @@ class TxTable:
                 expected_version=read_version + 1,
                 schema=schema, stats=stats,
             )
-        except BaseException:
+        except Exception:
+            # Exception, not BaseException — see append's handler
             self._cleanup_staged(added)
             raise
 
@@ -842,8 +868,13 @@ class TxTable:
             except OSError:
                 continue  # raced with a concurrent cleanup
             if age >= orphan_age_seconds:
-                removed.extend(rels)
                 shutil.rmtree(full_sub, ignore_errors=True)
+                # report only what actually went away: a partially
+                # failed rmtree must not claim files as deleted
+                removed.extend(
+                    r for r in rels
+                    if not os.path.exists(os.path.join(self.path, r))
+                )
         return sorted(removed)
 
     # -- reads -------------------------------------------------------------

@@ -898,6 +898,12 @@ def upsert_latest_versioned(
     def latest_per_key(df: DataFrame) -> DataFrame:
         return _latest_per_key(df, key_col)
 
+    # the drift refusal raises INSIDE foreachBatch, which Spark wraps in
+    # a StreamingQueryException at awaitTermination — record the real
+    # exception so callers catch the documented SchemaEvolutionError,
+    # not a wrapper they must string-match
+    drift_refusal: "list[SchemaEvolutionError]" = []
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
@@ -916,12 +922,14 @@ def upsert_latest_versioned(
                 # union schema first: a type change raises regardless
                 union_s = _merge_schemas(cur_s, new_s)
                 if not merge_schema:
-                    raise SchemaEvolutionError(
+                    refusal = SchemaEvolutionError(
                         f"batch schema {new_s.simpleString()} drifted "
                         f"from stored state {cur_s.simpleString()}; pass "
                         "merge_schema=True to evolve at this batch "
                         "boundary (the checkpoint has not advanced)"
                     )
+                    drift_refusal.append(refusal)
+                    raise refusal
                 merged = latest_per_key(
                     cur.unionByName(fresh, allowMissingColumns=True)
                     .select(*union_s.fieldNames())
@@ -944,7 +952,12 @@ def upsert_latest_versioned(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    except Exception as exc:
+        if drift_refusal:  # unwrap to the documented exception type
+            raise drift_refusal[0] from exc
+        raise
 
     def live() -> DataFrame:
         # null-safe: a stored row whose latest event_type is NULL is not

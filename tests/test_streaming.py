@@ -1187,8 +1187,12 @@ class TestStreamingSchemaEvolution:
         )
         # refusal happens INSIDE the sink, before any commit: the
         # streaming query fails, the checkpoint does not advance, the
-        # table head is untouched
-        with _pytest.raises(Exception, match="SchemaEvolutionError"):
+        # table head is untouched.  The raised type is the DOCUMENTED
+        # SchemaEvolutionError (awaitTermination's wrapper unwrapped),
+        # not a StreamingQueryException callers must string-match.
+        from etl_batch_spark.sources.txlog import SchemaEvolutionError
+
+        with _pytest.raises(SchemaEvolutionError, match="drifted"):
             upsert_latest_versioned(spark, src, tbl, cp, **widened)
         assert table.latest_version() == 0
 
