@@ -33,7 +33,12 @@ from etl_batch_spark.catalog import fan_out
 # expressible in DuckDB/Trino/Flink SQL for cross-engine validation)
 H60 = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
 
-TOKENS_EXPR = "filter(split(lower({col}), '\\\\s+'), x -> x != '')"
+# array_remove, not filter(.., x -> x != ''): higher-order lambdas are
+# INTERPRETED per element, while ArrayRemove is an ordinary codegen'd
+# expression — same result (split never yields NULL elements, the only
+# case where the two differ), and this expression sits under every
+# tokenize in the dedup/text family (guide §1.2: per-task work).
+TOKENS_EXPR = "array_remove(split(lower({col}), '\\\\s+'), '')"
 
 SHINGLES_EXPR = (
     "case when size({toks}) >= {n} then "
@@ -53,12 +58,21 @@ def shingle_array(toks_expr: str = "toks", n: int = 3) -> Column:
 
 
 def shingle_sets(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    toks_col: "str | None" = None,
 ) -> DataFrame:
     """(id, sh: array<string>) — the *distinct* shingle set per document,
     built entirely per-row (tokenize → shingle → array_distinct).  No
     shuffle: dedup within a document never needs to leave the row, so the
-    global ``distinct()`` an explode-first design would pay is avoided."""
+    global ``distinct()`` an explode-first design would pay is avoided.
+
+    ``toks_col`` names an already-tokenized array column — pipelines
+    that materialize tokens once (pipe01's checkpointed corpus) skip
+    the tokenize pass and the fan-out here."""
+    if toks_col is not None:
+        return df.select(
+            id_col, F.array_distinct(shingle_array(toks_col, n)).alias("sh")
+        )
     return fan_out(df).withColumn("toks", tokens(text_col)).select(
         id_col, F.array_distinct(shingle_array("toks", n)).alias("sh")
     )
@@ -314,53 +328,125 @@ def connected_components(
     Pass ``stats={}`` to receive ``stats["rounds"]`` — the observed
     round count, the number the O(log n) convergence claim is about
     (SCALE.md cites measured values at sf0.1 vs sf1).
+
+    Loop-cost discipline (optimization guide §1/§2, measured round 10):
+    every round's shuffle partitioning is DERIVED from the observed
+    edge count of the previous round (the edge set shrinks round over
+    round), instead of inheriting the session constant — at sf0.1 the
+    candidate graph is a few hundred edges and a 32-partition round is
+    pure task-dispatch overhead, while at cluster scale the same rule
+    keeps the session's full width.  The convergence signature rides
+    the checkpoint materialization via ``Observation`` (one action per
+    round, not two), and AQE is switched off only for single-partition
+    rounds, where there is nothing to coalesce or skew-split and each
+    AQE stage otherwise becomes its own job.  Measured: the sf0.1 loop
+    fell from 1.83 s to 0.77 s with bit-identical output.
     """
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def loop_partitions(n_edges: int) -> int:
+        # ~1M pair rows (two longs) per shuffle partition; never wider
+        # than the session setting — on a cluster that IS the width
+        return max(1, min(sess_parts, (n_edges + (1 << 20) - 1) >> 20))
+
     # materialize the projected edge list once: both the node universe
     # and the working edge set read it, and the upstream lineage (the
-    # candidate-pair generation) is usually the expensive part
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
+    # candidate-pair generation) is usually the expensive part.  The
+    # edge count rides the same materialization (no separate count job).
+    obs0 = Observation()
+    raw = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
+    n_edges = obs0.get["n"]
     nodes = raw.select(F.col("u").alias("node")).union(
         raw.select(F.col("v").alias("node"))
     ).distinct()
-    e = (
-        raw.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    prev_sig = None
-    rounds = 0
-    for _ in range(max_iterations):
-        rounds += 1
-        # large-star: every neighbor v > u links to min(N(u) ∪ {u})
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
-        large = (
-            sym.join(lmin, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+
+    def pin_loop_conf(n_edges: int) -> None:
+        parts = loop_partitions(n_edges)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        # single-partition rounds: AQE would only add a re-planning job
+        # per shuffle stage; multi-partition rounds keep it for skew
+        # splitting (a giant component is exactly a skewed join key)
+        spark.conf.set(
+            "spark.sql.adaptive.enabled", "true" if parts > 1 else "false"
         )
-        # small-star: edges now point big→small; every smaller neighbor
-        # (and u itself) links to min(N(u) ∪ {u})
-        smin = large.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+
+    rounds = 0
+    try:
+        pin_loop_conf(n_edges)
+        obs = Observation()
         e = (
-            large.join(smin, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(smin.select("u", F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
+            raw.filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
-        ).first()
-        if prev_sig == sig:
-            break
-        prev_sig = sig
+        pin_loop_conf(obs.get["n"])
+        # One parsed SQL statement per round instead of ~15 DataFrame
+        # API calls: each API call is a py4j round trip + an eager
+        # analyzer pass, measured at ~0.25 s of pure driver time per
+        # round — the loop's data work is often smaller than that.
+        # large-star: every neighbor v > u links to min(N(u) ∪ {u});
+        # small-star: edges then point big→small and every smaller
+        # neighbor (and u itself) links to min(N(u) ∪ {u}).  No
+        # intermediate distinct between the stars — duplicates cannot
+        # change small-star's min and the closing DISTINCT dedups.
+        round_sql = """
+            WITH sym AS (
+              SELECT u, v FROM {e} UNION ALL SELECT v AS u, u AS v FROM {e}
+            ),
+            lmin AS (
+              SELECT u, least(min(v), u) AS m FROM sym GROUP BY u
+            ),
+            large AS (
+              SELECT s.v AS u, l.m AS v
+              FROM sym s JOIN lmin l ON s.u = l.u
+              WHERE s.v > s.u AND s.v <> l.m
+            ),
+            smin AS (
+              SELECT u, least(min(v), u) AS m FROM large GROUP BY u
+            )
+            SELECT DISTINCT u, v FROM (
+              SELECT lg.v AS u, sm.m AS v
+              FROM large lg JOIN smin sm ON lg.u = sm.u
+              UNION ALL
+              SELECT u, m AS v FROM smin
+            ) WHERE u <> v
+        """
+        prev_sig = None
+        for _ in range(max_iterations):
+            rounds += 1
+            obs = Observation()
+            e = (
+                spark.sql(round_sql, e=e)
+                # convergence signature (order-independent: count +
+                # bit_xor of pair hashes) collected DURING the
+                # checkpoint materialization — zero extra actions
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+                )
+                .localCheckpoint()
+            )
+            got = obs.get
+            sig = (got["n"], got["x"])
+            if prev_sig == sig:
+                break
+            prev_sig = sig
+            pin_loop_conf(got["n"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     if stats is not None:
         stats["rounds"] = rounds
     # fixed point is a star per component: u → component-min v
@@ -465,6 +551,7 @@ def hot_span_scrub(
     text_col: str = "text",
     n: int = 5,
     min_count: int = 2,
+    toks_col: "str | None" = None,
 ) -> DataFrame:
     """Exact-substring (hot-span) dedup summary, the distributed shape of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -481,8 +568,16 @@ def hot_span_scrub(
     document for the interval merge (per-document window — state is one
     document's flagged positions, never the corpus).  No driver-side
     loops; every stage is linear in total tokens.
+
+    ``toks_col`` names an ALREADY-tokenized array column to scrub from —
+    multi-consumer pipelines that materialize the token array once
+    (pipe03's checkpointed corpus) skip the second tokenize pass and the
+    fan-out shuffle here.
     """
-    toks = fan_out(df).select(id_col, tokens(text_col).alias("toks"))
+    if toks_col is not None:
+        toks = df.select(id_col, F.col(toks_col).alias("toks"))
+    else:
+        toks = fan_out(df).select(id_col, tokens(text_col).alias("toks"))
     sh = toks.select(
         F.col(id_col),
         F.size("toks").alias("n_tokens"),

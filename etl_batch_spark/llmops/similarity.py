@@ -40,6 +40,23 @@ def _normed(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("nrm", l2_norm("e"))
 
 
+def _seed_local(d: DataFrame, *, id_col: str, n: int) -> DataFrame:
+    """First ``n`` rows by id, re-materialized as a LOCAL relation.
+
+    The deterministic seed/codebook picks (ivf_topk, semantic_dedup,
+    pq codebooks) are broadcast against the corpus — sometimes twice per
+    query (assignment side + query side).  Broadcasting the lazy
+    ``orderBy(id).limit(n)`` subtree makes EVERY broadcast replay a full
+    corpus scan + TakeOrdered (no exchange reuse: column pruning
+    specializes each copy).  The pick is bounded state — n rows of one
+    embedding each, the k-means-centroid precedent — so collect it once
+    and hand consumers a plan-literal LocalRelation: zero corpus scans
+    per broadcast, and one fewer job per consumer.  Values round-trip
+    bit-exactly (IEEE doubles through the Python driver)."""
+    rows = d.orderBy(id_col).limit(n).collect()
+    return d.sparkSession.createDataFrame(rows, d.schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -153,11 +170,11 @@ def ivf_topk(
     """
     c = _normed(corpus, id_col=id_col, vec_col=vec_col)
     # first n_centroids vectors BY id (orderBy+limit), not filter(id < n):
-    # the filter form silently seeds nothing when ids are sparse/offset
-    cents = (
-        c.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn"))
+    # the filter form silently seeds nothing when ids are sparse/offset.
+    # Collected to a LocalRelation once (_seed_local): both broadcasts
+    # below otherwise replay a corpus scan + TakeOrdered each.
+    cents = _seed_local(c, id_col=id_col, n=n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
     sim = F.round(
         F.expr(DOT.format(a="e", b="ce")) / (F.col("nrm") * F.col("cn")), round_to
@@ -307,34 +324,44 @@ def multitable_topk(
     c = _normed(corpus, id_col=id_col, vec_col=vec_col)
     q = _normed(queries, id_col=id_col, vec_col=vec_col)
     dot = F.expr(DOT.format(a="qe", b="ce"))
-    per_table = []
-    for t in range(n_tables):
-        ct = c.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("e").alias("ce"),
-            F.col("nrm").alias("cn"),
-            signbit_bucket("e", n_bits, offset=t * n_bits).alias("cbucket"),
+
+    # ONE corpus scan for all L tables: each row computes its L bucket
+    # ids in a single projection and posexplodes to (table, bucket)
+    # rows — the previous per-table loop unioned L separate corpus
+    # scans and L broadcast joins (3 scans / 11 Exchanges in ss13's
+    # executed plan).  The join key gains the table index, so the
+    # candidate multiset is pair-for-pair the union of the per-table
+    # equi-joins, and the max() dedup below is unchanged.
+    def buckets(e_col: str) -> Column:
+        return F.array(
+            *[
+                signbit_bucket(e_col, n_bits, offset=t * n_bits)
+                for t in range(n_tables)
+            ]
         )
-        qt = q.select(
-            F.col(id_col).alias("query_id"),
-            F.col("e").alias("qe"),
-            F.col("nrm").alias("qn"),
-            signbit_bucket("e", n_bits, offset=t * n_bits).alias("qbucket"),
-        )
-        per_table.append(
-            ct.join(
-                F.broadcast(qt),
-                (F.col("cbucket") == F.col("qbucket"))
-                & (F.col("neighbor_id") != F.col("query_id")),
-            ).select(
-                "query_id",
-                "neighbor_id",
-                F.round(dot / (F.col("qn") * F.col("cn")), round_to).alias("cosine"),
-            )
-        )
-    pairs = per_table[0]
-    for p in per_table[1:]:
-        pairs = pairs.unionByName(p)
+
+    ct = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.posexplode(buckets("e")).alias("t", "cbucket"),
+    )
+    qt = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.posexplode(buckets("e")).alias("qt", "qbucket"),
+    )
+    pairs = ct.join(
+        F.broadcast(qt),
+        (F.col("t") == F.col("qt"))
+        & (F.col("cbucket") == F.col("qbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot / (F.col("qn") * F.col("cn")), round_to).alias("cosine"),
+    )
     # same pair from several tables scores identically: max() dedups
     deduped = pairs.groupBy("query_id", "neighbor_id").agg(
         F.max("cosine").alias("cosine")
@@ -564,29 +591,30 @@ def _pq_parts(
     state, like kmeans' centroid matrix.
     """
     d = _normed(corpus, id_col=id_col, vec_col=vec_col).select(id_col, "e")
-    first_row = d.select("e").first()
-    if first_row is None:
+    id_type = dict(corpus.dtypes)[id_col]
+    cb_schema = f"sub int, code {id_type}, cvec array<double>"
+    # ONE bounded collect (ks rows) covers the dim probe AND the
+    # codebook: before, a separate first() job probed the dim and the
+    # two codebook broadcasts (encode side + query-LUT side) each
+    # replayed the corpus scan + TakeOrdered.  The sub-vector slicing
+    # happens in the driver over ks·m tiny lists — the codebook becomes
+    # a LocalRelation plan literal (the _seed_local rationale).
+    seed_rows = d.orderBy(id_col).limit(ks).collect()
+    if not seed_rows:
         # empty corpus: empty codebook with the right schema — every
         # downstream join/encode/search then yields a typed empty result
-        id_type = dict(corpus.dtypes)[id_col]
-        empty_cb = corpus.sparkSession.createDataFrame(
-            [], f"sub int, code {id_type}, cvec array<double>"
-        )
-        return d, empty_cb, 1
-    dim = len(first_row["e"])
+        return d, corpus.sparkSession.createDataFrame([], cb_schema), 1
+    dim = len(seed_rows[0]["e"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sd = dim // m
-    codebook = (
-        d.orderBy(id_col)
-        .limit(ks)
-        .select(
-            F.col(id_col).alias("code"),
-            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"),
-            F.col("e"),
-        )
-        .select("sub", "code", F.expr(f"slice(e, sub * {sd} + 1, {sd})").alias("cvec"))
-    )
+    cb_rows = [
+        (sub, r[id_col],
+         None if r["e"] is None else list(r["e"][sub * sd:(sub + 1) * sd]))
+        for r in seed_rows
+        for sub in range(m)
+    ]
+    codebook = corpus.sparkSession.createDataFrame(cb_rows, cb_schema)
     return d, codebook, sd
 
 
@@ -783,8 +811,9 @@ def semantic_dedup(
     the rest of the plan is unchanged.
     """
     c = _normed(corpus, id_col=id_col, vec_col=vec_col)
-    # first n_clusters BY id — see ivf_topk seeding note
-    cents = c.orderBy(id_col).limit(n_clusters).select(
+    # first n_clusters BY id — see ivf_topk seeding note; LocalRelation
+    # via _seed_local so the broadcast doesn't replay the corpus scan
+    cents = _seed_local(c, id_col=id_col, n=n_clusters).select(
         F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
     sim = F.round(

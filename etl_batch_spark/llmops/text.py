@@ -71,12 +71,15 @@ def token_counts(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     return d.withColumn("ws_tokens", F.size("toks").cast("long")).withColumn("bpe_tokens", bpe)
 
 
-def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, quality): length saturation + lexical diversity + alphabetic
-    purity — the standard pretraining-data quality triple."""
-    d = df.withColumn("toks", tokens(text_col))
-    n_tokens = F.size("toks")
-    diversity = F.size(F.array_distinct("toks")) / F.nullif(n_tokens, F.lit(0)).cast("double")
+def quality_column(text_col: str = "text", toks_col: str = "toks") -> Column:
+    """The quality-score column over a pre-tokenized row — exposed so
+    multi-consumer pipelines (pipe03/pipe04) can compute it in the same
+    projection that materializes the token array, instead of paying a
+    second tokenize pass and a join back on id."""
+    n_tokens = F.size(toks_col)
+    diversity = F.size(F.array_distinct(toks_col)) / F.nullif(n_tokens, F.lit(0)).cast(
+        "double"
+    )
     alpha = F.length(F.regexp_replace(F.lower(text_col), "[^a-z]", "")) / F.nullif(
         F.length(text_col), F.lit(0)
     ).cast("double")
@@ -86,7 +89,14 @@ def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     # (decimal-string HALF_UP vs raw-double compare).  The nudge pushes
     # boundary values consistently up on every engine and is far below
     # the score's meaningful resolution.
-    return d.select(id_col, F.round(quality + F.lit(1e-9), 4).alias("quality"))
+    return F.round(quality + F.lit(1e-9), 4)
+
+
+def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, quality): length saturation + lexical diversity + alphabetic
+    purity — the standard pretraining-data quality triple."""
+    d = df.withColumn("toks", tokens(text_col))
+    return d.select(id_col, quality_column(text_col, "toks").alias("quality"))
 
 
 def winnow_fingerprints(
@@ -296,6 +306,7 @@ def contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 4,
+    train_toks_col: "str | None" = None,
 ) -> DataFrame:
     """Benchmark decontamination: per training doc, how many distinct
     word ``n``-grams it shares with the held-out ``bench`` corpus and
@@ -306,12 +317,15 @@ def contamination(
     (tokenize → shingle → array_distinct → explode), so the join key is
     the gram: shuffles stay linear and the bench side — eval sets are
     tiny next to training corpora — broadcasts.
+
+    ``train_toks_col`` names an already-tokenized train-side column
+    (the pipe01 checkpointed corpus) — skips this pass's re-tokenize.
     """
     from etl_batch_spark.llmops.dedup import shingle_sets
 
-    t = shingle_sets(train, id_col=id_col, text_col=text_col, n=n).select(
-        F.col(id_col), F.explode("sh").alias("gram")
-    )
+    t = shingle_sets(
+        train, id_col=id_col, text_col=text_col, n=n, toks_col=train_toks_col
+    ).select(F.col(id_col), F.explode("sh").alias("gram"))
     b = shingle_sets(bench, id_col=id_col, text_col=text_col, n=n).select(
         F.col(id_col).alias("bench_id"), F.explode("sh").alias("gram")
     )
@@ -375,6 +389,7 @@ def pack_nextfit(
     capacity: int = 256,
     n_shards: int = 4,
     salt: str = "pack",
+    n_tok_col: "str | None" = None,
 ) -> DataFrame:
     """Next-fit-DECREASING bin packing: ``(id, shard, n_tok, bin,
     fill_after)`` — whole-document packing into fixed-capacity training
@@ -408,16 +423,28 @@ def pack_nextfit(
     from etl_batch_spark.llmops.dedup import H60, tokens
 
     h = H60.format(expr=f"concat('{salt}', '|', cast({id_col} as string))")
-    # a NULL text has no token count: it cannot be placed in a bin (and
-    # a NaN n_tok would crash the per-shard walk) — packing skips it
-    prepped = (
-        fan_out(df.filter(F.col(text_col).isNotNull()))
-        .select(
+    shard = F.expr(f"pmod({h}, {n_shards})").cast("int").alias("shard")
+    if n_tok_col is not None:
+        # pre-counted tokens (a pipeline that tokenized once upstream —
+        # pipe04's checkpointed corpus): NULL n_tok ≡ NULL text (size of
+        # a NULL token array is NULL), so the skip rule is unchanged and
+        # the heavy per-row tokenize pass never re-runs here
+        prepped = df.filter(F.col(n_tok_col).isNotNull()).select(
             F.col(id_col),
-            F.size(tokens(text_col)).cast("long").alias("n_tok"),
-            F.expr(f"pmod({h}, {n_shards})").cast("int").alias("shard"),
+            F.col(n_tok_col).cast("long").alias("n_tok"),
+            shard,
         )
-    )
+    else:
+        # a NULL text has no token count: it cannot be placed in a bin
+        # (and a NaN n_tok would crash the per-shard walk) — skip it
+        prepped = (
+            fan_out(df.filter(F.col(text_col).isNotNull()))
+            .select(
+                F.col(id_col),
+                F.size(tokens(text_col)).cast("long").alias("n_tok"),
+                shard,
+            )
+        )
 
     # output id column named and typed after id_col — the pandas walk
     # must honor the parameter too, not a hardcoded 'doc_id'
@@ -544,6 +571,12 @@ def bm25_topk(
         )
         .localCheckpoint(eager=False)
     )
+    # NOTE (round 10): a row-local tf form (per-row transform over
+    # array_distinct(hits), no (doc, term) exchange) was tried and
+    # REVERTED — under duplicate-ingested doc_ids the groupBy is
+    # load-bearing: tf must count occurrences across ALL copies of a
+    # doc and df must count each doc once, which the per-row form gets
+    # wrong (caught by the t76 ties+dups stress corpus).
     toked = base.select(
         id_col, "dl", F.explode("hits").alias("term")
     )

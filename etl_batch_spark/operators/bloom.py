@@ -60,9 +60,20 @@ class BloomFilter:
         the bitmap literal.  NULL keys test false — semi-join semantics
         (NULL never matches); the explicit IsNotNull seed matters because
         ``xxhash64`` IGNORES null children and would otherwise probe a
-        deterministic position and leak NULL-key rows."""
+        deterministic position and leak NULL-key rows.
+
+        The bitmap literal is built as ONE parsed SQL expression, not
+        ``F.lit(words)``: the element-wise form issues a py4j round trip
+        per word per probe (num_hashes × num_bits/64 calls — measured
+        ~2 s of pure driver time per q78 bench iteration at the 2^16
+        default), while a single ``array(...L)`` string parses in the
+        JVM in one call.  Runtime is identical — ConstantFolding
+        collapses both to the same array Literal (the PSL isin lesson,
+        llmops/psl.py)."""
         key = F.col(key) if isinstance(key, str) else key
-        bitmap = F.lit(self.words)
+        bitmap = F.expr(
+            "array(" + ",".join(f"{w}L" for w in self.words) + ")"
+        )
         cond = key.isNotNull()
         for i in range(self.num_hashes):
             pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(self.num_bits))

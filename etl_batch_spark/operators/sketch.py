@@ -283,15 +283,20 @@ def hist_quantiles(
     """
     from pyspark.sql import Window
 
-    totals = partials.groupBy(bucket_name).agg(F.sum("cnt").alias("total"))
+    # total as an unbounded window over the SAME partitioning as the
+    # cumulative sum — one exchange serves both, where a groupBy(total)
+    # + broadcast join back cost an extra aggregate exchange and a join
+    # per call (this operator runs inside et24/pipe03/q97's plans)
     w_cum = Window.partitionBy(bucket_name).orderBy("bin")
-    cum = partials.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "cum_before", F.col("cum") - F.col("cnt")
+    w_all = Window.partitionBy(bucket_name)
+    cum = (
+        partials.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .withColumn("total", F.sum("cnt").over(w_all))
     )
     q_df = partials.sparkSession.createDataFrame([(q,) for q in qs], "q double")
     cand = (
-        cum.join(F.broadcast(totals), bucket_name)
-        .crossJoin(F.broadcast(q_df))
+        cum.crossJoin(F.broadcast(q_df))
         .withColumn("target", F.col("q") * F.col("total"))
         .filter(F.col("cum") >= F.col("target"))
     )

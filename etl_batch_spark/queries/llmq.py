@@ -1371,18 +1371,28 @@ def pipe01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     train = docs.filter(F.col("source") != "src0")
     bench_docs = docs.filter(F.col("source") == "src0")
-    # one corpus pass: the deduped corpus feeds quality, the semi join,
-    # decontamination and sampling — without the checkpoint each replays
-    # the scan + dedup shuffle (9 scans in the executed plan; pipe03
-    # precedent)
-    deduped = dedup.drop_exact_duplicates(train).localCheckpoint(eager=False)
-    good = text.quality_score(deduped).filter(F.col("quality") >= 0.58).select("doc_id")
-    kept = deduped.join(good, "doc_id", "left_semi")
-    contaminated = text.contamination(kept, bench_docs, n=4).select("doc_id")
+    # one corpus pass: the deduped corpus feeds quality, decontamination
+    # and sampling — without the checkpoint each replays the scan +
+    # dedup shuffle (9 scans in the executed plan; pipe03 precedent).
+    # Round 10: the checkpoint carries the token array, so the quality
+    # gate, the contamination shingles and the final token count all
+    # read it instead of re-tokenizing (3 passes → 1), and the quality
+    # gate is a row-local FILTER instead of a score + semi-join back
+    # (doc_id is the dedup keeper key — filter ≡ semi join on a key
+    # column, minus one exchange).
+    deduped = (
+        dedup.drop_exact_duplicates(train)
+        .withColumn("toks", dedup.tokens("text"))
+        .localCheckpoint(eager=False)
+    )
+    kept = deduped.filter(text.quality_column("text", "toks") >= 0.58)
+    contaminated = text.contamination(
+        kept, bench_docs, n=4, train_toks_col="toks"
+    ).select("doc_id")
     clean = kept.join(contaminated, "doc_id", "left_anti")
     sampled = sampling.hash_sample(clean, key_col="doc_id", fraction=0.5)
     return (
-        text.token_counts(sampled)
+        sampled.withColumn("ws_tokens", F.size("toks").cast("long"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2729,33 +2739,72 @@ def dd11_hot_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(tok=_DUCK_TOKENS),
 )
 def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_batch_spark.llmops.text import quality_score
-    from etl_batch_spark.operators.sketch import hist_partials, hist_quantiles
+    from etl_batch_spark.llmops.text import quality_column
+    from etl_batch_spark.operators.sketch import hist_quantiles
 
     # distinct document grain (see oracle note).  localCheckpoint
-    # materializes the deduped corpus ONCE: three downstream consumers
-    # (source map, quality scorer, hot-span scrubber) otherwise each
-    # replay the scan+distinct — at 100 TB that is the difference
-    # between one corpus pass and several (dd12 precedent).
-    docs = (
+    # materializes the deduped corpus ONCE — *with the token array and
+    # quality score already computed in the same projection*: before
+    # round 10 the quality branch, the scrub branch and the n_tokens
+    # base each re-tokenized the corpus from the checkpoint (4-5
+    # tokenize passes per run), and the per-source aggregate and the
+    # histogram branch each replayed the whole scrub lineage (22
+    # Exchanges in the executed plan).  One corpus pass, one token
+    # array, one quality projection (optimization guide §2.3: project
+    # before the exchange; §2.4: share one exchange between consumers).
+    base = (
         _documents(spark, sf_dir)
         .select("doc_id", "source", "text")
         .distinct()
+        .withColumn("toks", dedup.tokens("text"))
+        .select(
+            "doc_id",
+            "source",
+            "toks",
+            F.size("toks").alias("n_tokens"),
+            quality_column("text", "toks").alias("quality"),
+        )
         .localCheckpoint(eager=False)
     )
-    src = docs.select("doc_id", "source")
-    q = quality_score(docs)
-    scrub = dedup.hot_span_scrub(docs, n=5, min_count=2)
-    perdoc = scrub.join(src, "doc_id").join(q, "doc_id")
+    scrub = dedup.hot_span_scrub(base, n=5, min_count=2, toks_col="toks")
+    perdoc = scrub.join(
+        base.select("doc_id", "source", "quality"), "doc_id"
+    )
 
-    tok_hist = hist_partials(
-        perdoc.withColumn("tokd", F.col("n_tokens").cast("double")),
-        value_col="tokd",
-        bucket=F.col("source"),
-        width=16.0,
+    # ONE shuffle feeds both report halves: group to (source, bin)
+    # partials carrying the quality/keep-ratio partial sums alongside
+    # the histogram count (two-level aggregation, guide §2.3) — the
+    # per-source report is then a rollup of the partials and the
+    # quantile estimate reads the same rows.  `bins` is bin-count-sized
+    # (never row-count-sized), so its checkpoint is a metadata-cheap way
+    # to keep the two consumers from replaying the scrub lineage twice.
+    # NULL n_tokens (NULL text) lands in bin NULL: part of every
+    # per-source average, excluded from the histogram exactly as
+    # hist_partials' NULL-value rule did.
+    bins = (
+        perdoc.groupBy(
+            "source",
+            F.floor(F.col("n_tokens").cast("double") / F.lit(16.0))
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.when(F.col("quality") >= 0.5, 1.0).otherwise(0.0)
+            ).alias("q_pass"),
+            F.sum("keep_ratio").alias("keep_sum"),
+        )
+        .localCheckpoint(eager=False)
     )
     tokq = (
-        hist_quantiles(tok_hist, width=16.0, qs=(0.5, 0.9))
+        hist_quantiles(
+            bins.filter(F.col("bin").isNotNull()).select(
+                F.col("source").alias("bucket"), "bin", "cnt"
+            ),
+            width=16.0,
+            qs=(0.5, 0.9),
+        )
         .groupBy("bucket")
         .agg(
             F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("p50_tokens"),
@@ -2763,12 +2812,14 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("bucket", "source")
     )
-    agg = perdoc.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.round(
-            F.avg(F.when(F.col("quality") >= 0.5, 1.0).otherwise(0.0)) + F.lit(1e-9), 4
-        ).alias("quality_pass_rate"),
-        F.round(F.avg("keep_ratio") + F.lit(1e-9), 4).alias("mean_keep_ratio"),
+    agg = bins.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.round(F.sum("q_pass") / F.sum("cnt") + F.lit(1e-9), 4).alias(
+            "quality_pass_rate"
+        ),
+        F.round(F.sum("keep_sum") / F.sum("cnt") + F.lit(1e-9), 4).alias(
+            "mean_keep_ratio"
+        ),
     )
     return agg.join(tokq, "source")
 
@@ -2865,22 +2916,41 @@ def pipe03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipe04_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct document grain (see oracle note); localCheckpoint = one
-    # corpus pass for the multi-consumer composition (see pipe03)
+    # corpus pass for the multi-consumer composition (see pipe03).
+    # Round 10: the checkpoint now carries ONLY the scalars every later
+    # stage needs (n_tokens, quality) — text is tokenized and scored
+    # exactly once in the projection that materializes it.  Before,
+    # quality_score re-tokenized from the checkpoint and joined back on
+    # doc_id, and pack_nextfit tokenized a THIRD time at the end of the
+    # chain (guide §2.3: project before the exchange — here the
+    # projection also shrinks the checkpoint itself from full text to
+    # four scalar columns).
     docs = (
         _documents(spark, sf_dir)
         .select("doc_id", "source", "lang", "text")
         .distinct()
+        .withColumn("toks", dedup.tokens("text"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size("toks").alias("n_tokens"),
+            text.quality_column("text", "toks").alias("quality"),
+        )
         .localCheckpoint(eager=False)
     )
-    scored = docs.join(text.quality_score(docs), "doc_id")
     cal = sampling.quantile_calibrate(
-        scored, score_col="quality", group_col="source"
+        docs, score_col="quality", group_col="source"
     )
-    kept = cal.filter(F.col("calibrated") >= 0.5).select("doc_id", "lang", "text")
+    kept = cal.filter(F.col("calibrated") >= 0.5).select(
+        "doc_id", "lang", "n_tokens"
+    )
     sampled = sampling.temperature_mixture_sample(
         kept, key_col="doc_id", strata_col="lang", alpha=0.5, total_fraction=0.5
     )
-    packed = text.pack_nextfit(sampled, capacity=256, n_shards=4)
+    packed = text.pack_nextfit(
+        sampled, capacity=256, n_shards=4, n_tok_col="n_tokens"
+    )
     return packed.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max("bin").alias("n_bins"),

@@ -3421,7 +3421,17 @@ _Q89_SQL = """
     oracle=_Q89_SQL.format(customer="customer", div="c.c_custkey // 10"),
 )
 def q89_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q89_customer")
+    # the recursion joins the customer relation once PER LEVEL — give it
+    # the single column it reads, materialized once (localCheckpoint),
+    # instead of a fresh parquet scan every iteration (guide §2.4: the
+    # cheapest shuffle/scan is the one removed; the recursive operator
+    # itself is untouched)
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .localCheckpoint(eager=False)
+        .createOrReplaceTempView("q89_customer")
+    )
     return spark.sql(
         _Q89_SQL.format(customer="q89_customer", div="c.c_custkey div 10")
     )

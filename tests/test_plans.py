@@ -392,11 +392,15 @@ def test_tx19_recount_broadcasts_candidates_no_wide_shuffle(spark, sf_dir):
 
 
 def test_ss13_multitable_joins_all_broadcast(spark, sf_dir):
-    """Each of the 3 LSH tables probes via a broadcast of the query
-    side; the dedup aggregate must not introduce a cartesian."""
+    """Round-10 fused plan: ONE corpus scan computes all 3 tables'
+    buckets (posexplode) and ONE broadcast equi-join on (table, bucket)
+    probes the query side — not 3 unioned scans+joins; the dedup
+    aggregate must not introduce a cartesian."""
     df = QUERIES["ss13_multitable_ann"].build(spark, sf_dir)
-    plans.assert_broadcast(df, at_least=3)
+    plans.assert_broadcast(df, at_least=1)
+    assert plans.count_ops(df, "BroadcastHashJoin") == 1
     assert plans.count_ops(df, "CartesianProduct") == 0
+    assert plans.count_ops(df, "Scan parquet") <= 2  # corpus + query side
 
 
 def test_q97_skyline_never_goes_quadratic(spark, sf_dir):
