@@ -40,8 +40,10 @@ def _normed(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("nrm", l2_norm("e"))
 
 
-def _seed_local(d: DataFrame, *, id_col: str, n: int) -> DataFrame:
-    """First ``n`` rows by id, re-materialized as a LOCAL relation.
+def _seed_local(
+    corpus: DataFrame, *, id_col: str, vec_col: str, n: int
+) -> DataFrame:
+    """First ``n`` normed rows by id, re-materialized as a LOCAL relation.
 
     The deterministic seed/codebook picks (ivf_topk, semantic_dedup,
     pq codebooks) are broadcast against the corpus — sometimes twice per
@@ -52,9 +54,20 @@ def _seed_local(d: DataFrame, *, id_col: str, n: int) -> DataFrame:
     embedding each, the k-means-centroid precedent — so collect it once
     and hand consumers a plan-literal LocalRelation: zero corpus scans
     per broadcast, and one fewer job per consumer.  Values round-trip
-    bit-exactly (IEEE doubles through the Python driver)."""
+    bit-exactly (IEEE doubles through the Python driver).
+
+    Deliberately built from the UNFANNED corpus: ``fan_out``'s
+    repartition exists for the downstream per-row cosine folds, but for
+    this pick it would turn a shuffle-free TakeOrderedAndProject
+    (map-side top-n, driver merge) into a full corpus exchange —
+    measured as most of the pick's cost.  e/nrm are computed in the
+    same projection, so the collected values are the exact doubles the
+    fanned path would produce (repartition does not touch values)."""
+    d = corpus.select(F.col(id_col), as_double(vec_col).alias("e")).withColumn(
+        "nrm", l2_norm("e")
+    )
     rows = d.orderBy(id_col).limit(n).collect()
-    return d.sparkSession.createDataFrame(rows, d.schema)
+    return corpus.sparkSession.createDataFrame(rows, d.schema)
 
 
 def cosine_topk(
@@ -173,7 +186,9 @@ def ivf_topk(
     # the filter form silently seeds nothing when ids are sparse/offset.
     # Collected to a LocalRelation once (_seed_local): both broadcasts
     # below otherwise replay a corpus scan + TakeOrdered each.
-    cents = _seed_local(c, id_col=id_col, n=n_centroids).select(
+    cents = _seed_local(
+        corpus, id_col=id_col, vec_col=vec_col, n=n_centroids
+    ).select(
         F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
     sim = F.round(
@@ -598,8 +613,15 @@ def _pq_parts(
     # two codebook broadcasts (encode side + query-LUT side) each
     # replayed the corpus scan + TakeOrdered.  The sub-vector slicing
     # happens in the driver over ks·m tiny lists — the codebook becomes
-    # a LocalRelation plan literal (the _seed_local rationale).
-    seed_rows = d.orderBy(id_col).limit(ks).collect()
+    # a LocalRelation plan literal (the _seed_local rationale).  Picked
+    # from the UNFANNED corpus so the collect is a shuffle-free
+    # TakeOrderedAndProject (see _seed_local).
+    seed_rows = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("e"))
+        .orderBy(id_col)
+        .limit(ks)
+        .collect()
+    )
     if not seed_rows:
         # empty corpus: empty codebook with the right schema — every
         # downstream join/encode/search then yields a typed empty result
@@ -811,9 +833,13 @@ def semantic_dedup(
     the rest of the plan is unchanged.
     """
     c = _normed(corpus, id_col=id_col, vec_col=vec_col)
-    # first n_clusters BY id — see ivf_topk seeding note; LocalRelation
-    # via _seed_local so the broadcast doesn't replay the corpus scan
-    cents = _seed_local(c, id_col=id_col, n=n_clusters).select(
+    # first n_clusters BY id — see ivf_topk seeding note.  NOT
+    # _seed_local here: unlike ivf_topk/pq (two consumers each), this
+    # operator broadcasts the seeds exactly ONCE, so the lazy subtree
+    # costs the same single corpus pass and overlaps with the assign
+    # scan — localizing it measurably lost 0.35 s on dd12 at sf0.1 for
+    # zero scans saved.
+    cents = c.orderBy(id_col).limit(n_clusters).select(
         F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
     sim = F.round(
