@@ -95,7 +95,13 @@ def temperature_mixture_sample(
         if alpha == 0.5
         else F.pow(F.col("n_s").cast("double"), F.lit(alpha))
     )
-    weighted = sizes.withColumn("w_s", weight)
+    # strata-count-sized state, materialized once: the totals aggregate
+    # below and the rates projection both consume it, and without the
+    # checkpoint EACH replays the full groupBy over the input — a whole
+    # extra pass over the corpus per run (guide §2.4; measured in
+    # pipe04's round-11 plan: two identical sizes aggregations, each a
+    # corpus scan + exchange).  The checkpoint is |strata| rows.
+    weighted = sizes.withColumn("w_s", weight).localCheckpoint(eager=False)
     totals = weighted.agg(
         F.sum("n_s").cast("double").alias("n_total"),
         F.sum("w_s").alias("w_total"),

@@ -2942,8 +2942,19 @@ def pipe04_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = sampling.quantile_calibrate(
         docs, score_col="quality", group_col="source"
     )
-    kept = cal.filter(F.col("calibrated") >= 0.5).select(
-        "doc_id", "lang", "n_tokens"
+    # Round 11: materialize the survivors of the calibrated gate ONCE.
+    # temperature_mixture_sample consumes its input three times (the
+    # per-stratum sizes, the totals, and the join-back), and each
+    # consumer replayed the whole per-source PERCENT_RANK window —
+    # three corpus-wide window executions per run (10 Exchanges in the
+    # r10 plan).  `kept` is three scalar columns, far narrower than the
+    # corpus, so checkpointing it trades one cheap materialization for
+    # two full window re-computations (guide §2.4: share one exchange
+    # between consumers; §5: localCheckpoint as the cheap lineage cut).
+    kept = (
+        cal.filter(F.col("calibrated") >= 0.5)
+        .select("doc_id", "lang", "n_tokens")
+        .localCheckpoint(eager=False)
     )
     sampled = sampling.temperature_mixture_sample(
         kept, key_col="doc_id", strata_col="lang", alpha=0.5, total_fraction=0.5
