@@ -116,6 +116,15 @@ def main() -> None:
     medians: dict[str, float] = {}
     spread: dict[str, float] = {}
     min_gap: dict[str, float] = {}
+    # per-query job count + build/exec split (round 11): measured on ONE
+    # extra INSTRUMENTED run per query AFTER its timed runs — the timed
+    # region and the stdout JSON line are untouched (job-group tagging
+    # adds py4j calls that must not land inside the timed window).
+    # Lands in BENCH_DETAIL.json only, so round-over-round comparisons
+    # can separate dispatch drift (jobs × host per-job latency) from
+    # data work mechanically.
+    jobs_split: dict[str, dict] = {}
+    sc = spark.sparkContext
     for name, q in bench_queries.items():
         build = q.bench_build or q.build
         build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -132,6 +141,24 @@ def main() -> None:
         # jackknife bound needs a second sample; degenerate n_runs=1
         # (smoke runs) reports 0 rather than crashing
         min_gap[name] = round(runs[1] - runs[0], 3) if len(runs) > 1 else 0.0
+        gb, ge = f"bench-b-{name}", f"bench-e-{name}"
+        sc.setJobGroup(gb, f"build {name}")
+        t0 = time.perf_counter()
+        df = build(spark, SF_DIR)
+        t1 = time.perf_counter()
+        sc.setJobGroup(ge, f"exec {name}")
+        df.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
+        sc.setJobGroup(None, None)
+        tracker = sc.statusTracker()
+        jobs_split[name] = {
+            "build_sec": round(t1 - t0, 3),
+            "exec_sec": round(t2 - t1, 3),
+            "jobs": len(tracker.getJobIdsForGroup(gb))
+            + len(tracker.getJobIdsForGroup(ge)),
+            "jobs_build": len(tracker.getJobIdsForGroup(gb)),
+            "jobs_exec": len(tracker.getJobIdsForGroup(ge)),
+        }
 
     # The external driver captures only the LAST 2,000 chars of stdout;
     # round 3's line grew to ~3.2k (per-query spread dict) and the
@@ -182,7 +209,8 @@ def main() -> None:
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump({**out, "spread": spread, "medians": medians,
-                   "min_gaps": min_gap},
+                   "min_gaps": min_gap, "jobs_split": jobs_split,
+                   "jobs_total": sum(j["jobs"] for j in jobs_split.values())},
                   fh, indent=1, sort_keys=True)
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= 1800, (

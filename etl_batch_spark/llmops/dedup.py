@@ -341,6 +341,13 @@ def connected_components(
     rounds, where there is nothing to coalesce or skew-split and each
     AQE stage otherwise becomes its own job.  Measured: the sf0.1 loop
     fell from 1.83 s to 0.77 s with bit-identical output.
+
+    Round 11: the loop's conf pinning moved onto a PRIVATE cloned
+    session (``spark.newSession()`` — same SparkContext, separate
+    SQLConf), so the operator is safe under concurrent use of the
+    caller's session; and the up-front ``distinct`` materialization of
+    the edge set was dropped (round 1's group-mins absorb duplicate
+    edges; one fewer checkpoint job + shuffle per call).
     """
     from pyspark.sql import Observation
 
@@ -367,30 +374,41 @@ def connected_components(
         raw.select(F.col("v").alias("node"))
     ).distinct()
 
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # The loop runs in a PRIVATE cloned session (same SparkContext and
+    # checkpointed RDDs, its own SQLConf): the per-round shuffle-
+    # partition/AQE pinning below is invisible to anything planned
+    # concurrently on the caller's session — round 10 mutated the
+    # shared session conf in-loop, which would have handed a concurrent
+    # query 1-partition shuffles.  Checkpointed edge relations cross
+    # sessions through a global temp view (analysis resolves the
+    # LogicalRDD immediately, so the view is dropped right after use).
+    import uuid
+
+    loop = spark.newSession()
+    view = f"cc_loop_{uuid.uuid4().hex}"
 
     def pin_loop_conf(n_edges: int) -> None:
         parts = loop_partitions(n_edges)
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        loop.conf.set("spark.sql.shuffle.partitions", str(parts))
         # single-partition rounds: AQE would only add a re-planning job
         # per shuffle stage; multi-partition rounds keep it for skew
         # splitting (a giant component is exactly a skewed join key)
-        spark.conf.set(
+        loop.conf.set(
             "spark.sql.adaptive.enabled", "true" if parts > 1 else "false"
         )
 
     rounds = 0
     try:
+        raw.createOrReplaceGlobalTempView(view)
+        raw_loop = loop.table(f"global_temp.{view}")
         pin_loop_conf(n_edges)
-        obs = Observation()
-        e = (
-            raw.filter(F.col("u") != F.col("v"))
-            .distinct()
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
-        )
-        pin_loop_conf(obs.get["n"])
+        # No up-front distinct/materialization of the edge set: the
+        # round's group-mins tolerate duplicate edges (duplicates cannot
+        # change a min and the closing DISTINCT dedups), so the dedup
+        # that used to cost its own checkpoint job + shuffle rides the
+        # first round instead.  Convergence needs one round-over-round
+        # signature match either way.
+        e = raw_loop.filter(F.col("u") != F.col("v"))
         # One parsed SQL statement per round instead of ~15 DataFrame
         # API calls: each API call is a py4j round trip + an eager
         # analyzer pass, measured at ~0.25 s of pure driver time per
@@ -427,7 +445,7 @@ def connected_components(
             rounds += 1
             obs = Observation()
             e = (
-                spark.sql(round_sql, e=e)
+                loop.sql(round_sql, e=e)
                 # convergence signature (order-independent: count +
                 # bit_xor of pair hashes) collected DURING the
                 # checkpoint materialization — zero extra actions
@@ -444,9 +462,13 @@ def connected_components(
                 break
             prev_sig = sig
             pin_loop_conf(got["n"])
+        # hand the converged (checkpointed) edge relation back to the
+        # caller's session, so the final assembly below plans and runs
+        # under the caller's configuration
+        e.createOrReplaceGlobalTempView(view)
+        e = spark.table(f"global_temp.{view}")
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.catalog.dropGlobalTempView(view)
     if stats is not None:
         stats["rounds"] = rounds
     # fixed point is a star per component: u → component-min v
@@ -577,7 +599,19 @@ def hot_span_scrub(
     if toks_col is not None:
         toks = df.select(id_col, F.col(toks_col).alias("toks"))
     else:
-        toks = fan_out(df).select(id_col, tokens(text_col).alias("toks"))
+        # materialize the token arrays once: three consumers below (the
+        # n-gram corpus count, the flagged-position side of the join,
+        # and the per-doc n_tokens base) each replay the scan+tokenize
+        # otherwise — the r10 plan ran THREE full tokenize passes over
+        # the corpus per execution (guide §2.4: share one pass between
+        # consumers; pipelines that already hold a token column pass
+        # toks_col and skip this).  The checkpoint is ~1× corpus tokens,
+        # the same order as the exploded shuffle it feeds.
+        toks = (
+            fan_out(df)
+            .select(id_col, tokens(text_col).alias("toks"))
+            .localCheckpoint(eager=False)
+        )
     sh = toks.select(
         F.col(id_col),
         F.size("toks").alias("n_tokens"),

@@ -32,31 +32,60 @@ def l2_norm(col: str = "e") -> Column:
     return F.sqrt(F.expr(f"aggregate({col}, cast(0.0 as double), (acc, x) -> acc + x * x)"))
 
 
-def _normed(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
+def _normed(df: DataFrame, *, id_col: str, vec_col: str, fan: bool = True) -> DataFrame:
     # fan_out: the cosine folds downstream are per-row CPU — a
-    # single-split corpus file must not serialize them on one core
-    return fan_out(df).select(
+    # single-split corpus file must not serialize them on one core.
+    # Query-side relations (bounded by the broadcast contract) pass
+    # fan=False: repartitioning a handful of query vectors only adds an
+    # exchange and a 32-task stage in front of work that collapses into
+    # a broadcast anyway (round 11; values are untouched either way).
+    base = fan_out(df) if fan else df
+    return base.select(
         F.col(id_col), as_double(vec_col).alias("e")
     ).withColumn("nrm", l2_norm("e"))
 
 
-def _seed_local(
-    corpus: DataFrame, *, id_col: str, vec_col: str, n: int
-) -> DataFrame:
-    """First ``n`` normed rows by id, re-materialized as a LOCAL relation.
+def _sql_double(v) -> str:
+    """One double as a bit-exact SQL literal expression.
 
-    The deterministic seed/codebook picks (ivf_topk, semantic_dedup,
-    pq codebooks) are broadcast against the corpus — sometimes twice per
-    query (assignment side + query side).  Broadcasting the lazy
-    ``orderBy(id).limit(n)`` subtree makes EVERY broadcast replay a full
-    corpus scan + TakeOrdered (no exchange reuse: column pruning
-    specializes each copy).  The pick is bounded state — n rows of one
-    embedding each, the k-means-centroid precedent — so collect it once
-    and hand consumers a plan-literal LocalRelation: zero corpus scans
-    per broadcast, and one fewer job per consumer.  Values round-trip
-    bit-exactly (IEEE doubles through the Python driver).
+    ``repr(float)`` emits the shortest decimal that round-trips to the
+    same IEEE double, and a string→double cast parses with
+    round-to-nearest — so the plan literal is the exact collected value.
+    NaN/±Infinity/NULL have no bare-literal spelling; the string cast
+    covers them uniformly."""
+    if v is None:
+        return "cast(null as double)"
+    return f"cast('{float(v)!r}' as double)"
 
-    Deliberately built from the UNFANNED corpus: ``fan_out``'s
+
+def _sql_scalar(v, sql_type: str) -> str:
+    """One id/code value as a typed SQL literal (bigint/int/string...)."""
+    if v is None:
+        return f"cast(null as {sql_type})"
+    if sql_type == "string":
+        escaped = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{escaped}'"
+    return f"cast({v} as {sql_type})"
+
+
+def _sql_vec(vec) -> str:
+    if vec is None:
+        return "cast(null as array<double>)"
+    return "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+
+
+def _seed_rows(corpus: DataFrame, *, id_col: str, vec_col: str, n: int) -> list:
+    """First ``n`` normed rows by id, collected to the driver.
+
+    The deterministic seed/codebook picks (ivf_topk, semantic_dedup, pq
+    codebooks) are bounded state — n rows of one embedding each, the
+    k-means-centroid precedent — so collect them once and inline them as
+    plan literals: the assignment argmin then runs as a row-local
+    expression with NO candidate fan-out, NO sort-aggregate and NO
+    exchange (see ``ivf_topk``).  Values round-trip bit-exactly (IEEE
+    doubles through the Python driver and the shortest-repr literal).
+
+    Deliberately read from the UNFANNED corpus: ``fan_out``'s
     repartition exists for the downstream per-row cosine folds, but for
     this pick it would turn a shuffle-free TakeOrderedAndProject
     (map-side top-n, driver merge) into a full corpus exchange —
@@ -66,8 +95,23 @@ def _seed_local(
     d = corpus.select(F.col(id_col), as_double(vec_col).alias("e")).withColumn(
         "nrm", l2_norm("e")
     )
-    rows = d.orderBy(id_col).limit(n).collect()
-    return corpus.sparkSession.createDataFrame(rows, d.schema)
+    return d.orderBy(id_col).limit(n).collect()
+
+
+def _cents_literal(rows, id_sql_type: str, id_col: str) -> str:
+    """array(named_struct('ce', ..., 'cn', ..., 'cent_id', ...), ...)"""
+    entries = []
+    for r in rows:
+        entries.append(
+            "named_struct('ce', "
+            + _sql_vec(r["e"])
+            + ", 'cn', "
+            + _sql_double(r["nrm"])
+            + ", 'cent_id', "
+            + _sql_scalar(r[id_col], id_sql_type)
+            + ")"
+        )
+    return "array(" + ",".join(entries) + ")"
 
 
 def cosine_topk(
@@ -84,7 +128,7 @@ def cosine_topk(
     c = _normed(corpus, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
-    q = _normed(queries, id_col=id_col, vec_col=vec_col).select(
+    q = _normed(queries, id_col=id_col, vec_col=vec_col, fan=False).select(
         F.col(id_col).alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     dot = F.expr(DOT.format(a="qe", b="ce"))
@@ -176,60 +220,81 @@ def ivf_topk(
     deterministic seed pick that keeps the operator engine-portable and
     oracle-checkable; a production index would train them with
     ``pyspark.ml.clustering.KMeans`` and the rest of the plan is
-    unchanged.  Costs at scale: assignment is one broadcast of C
-    centroids against a single corpus scan (C cosine folds per row, no
-    shuffle), search is an equi-join on the centroid id — never a cross
-    join against the corpus.
+    unchanged.  Costs at scale: assignment is ONE row-local argmin over
+    the inlined centroid literals during a single corpus scan (C cosine
+    folds per row — no candidate fan-out, no sort-aggregate, no shuffle:
+    round 11 replaced the ×C cross join + min(struct) groupBy, whose
+    exchange carried every row's embedding payload, with an
+    ``array_min(transform(...))`` over the plan-literal codebook; same
+    comparator, same tie-break, bit-identical output).  Search is an
+    equi-join on the centroid id — never a cross join against the corpus.
     """
     c = _normed(corpus, id_col=id_col, vec_col=vec_col)
     # first n_centroids vectors BY id (orderBy+limit), not filter(id < n):
     # the filter form silently seeds nothing when ids are sparse/offset.
-    # Collected to a LocalRelation once (_seed_local): both broadcasts
-    # below otherwise replay a corpus scan + TakeOrdered each.
-    cents = _seed_local(
-        corpus, id_col=id_col, vec_col=vec_col, n=n_centroids
-    ).select(
-        F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
-    )
-    sim = F.round(
-        F.expr(DOT.format(a="e", b="ce")) / (F.col("nrm") * F.col("cn")), round_to
-    )
-    # corpus-side argmin via min(struct(...)): identical pick to a
-    # row_number window (maximize sim, tie on cent_id — the ordering
-    # keys lead the struct and are unique per group), but PARTIAL-
-    # aggregable: the ×C broadcast expansion collapses map-side, so the
-    # shuffle carries rows, not rows×C, and there is no sort
-    assign = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("sim", sim)
-        .groupBy(id_col)
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("sim")).alias("negsim"),
-                    F.col("cent_id").alias("cent_id"),
-                    F.col("e").alias("e"),
-                    F.col("nrm").alias("nrm"),
-                )
-            ).alias("best")
+    # Collected once (bounded: n rows) and inlined as plan literals.
+    seed_rows = _seed_rows(corpus, id_col=id_col, vec_col=vec_col, n=n_centroids)
+    if not seed_rows:
+        # empty corpus: no centroids, no assignments, no probes — the
+        # typed-empty result the cross-join form produced
+        return (
+            c.select(
+                F.col(id_col).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(None).cast("double").alias("cosine"),
+            ).filter(F.lit(False))
         )
+    id_sql_type = dict(corpus.dtypes)[id_col]
+    cands = _cents_literal(seed_rows, id_sql_type, id_col)
+    dot_c = DOT.format(a="e", b="c.ce")
+    # row-local argmin: one array_min over the literal centroids picks
+    # the SAME struct the old ×C cross join fed into min(struct(...)) —
+    # identical field order, identical interpreted struct ordering
+    # (ascending, NULL fields first), so NULL-embedding rows/centroids
+    # pick identically.  The residual groupBy(id) exists ONLY to keep
+    # the duplicate-ingestion grain (duplicate ids collapse to one
+    # assignment, min across copies, exactly as before): its input is
+    # one struct per ROW, not per row×C, so the map-side sort shrinks
+    # ×C and the exchange payload is unchanged from the old
+    # post-combine state.
+    best = F.expr(
+        f"array_min(transform({cands}, c -> named_struct("
+        f"'negsim', -round(({dot_c}) / (nrm * c.cn), {round_to}), "
+        f"'cent_id', c.cent_id, 'e', e, 'nrm', nrm)))"
+    )
+    assign = (
+        c.select(F.col(id_col), best.alias("best"))
+        .groupBy(id_col)
+        .agg(F.min("best").alias("best"))
         .select(F.col(id_col), F.col("best.e").alias("e"),
                 F.col("best.nrm").alias("nrm"), F.col("best.cent_id").alias("cent_id"))
     )
-    q = _normed(queries, id_col=id_col, vec_col=vec_col)
-    # the query side needs top-NPROBE (not argmin) — a window is right
-    # here, and it runs over the small query set only
-    rn_w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cent_id"))
+    q = _normed(queries, id_col=id_col, vec_col=vec_col, fan=False)
+    # the query side needs top-NPROBE per query ID (not per row: under
+    # duplicate-ingested query ids the rank spans every copy's
+    # candidates, exactly as before) — explode the row-local candidate
+    # structs and keep the original window, whose ORDER BY sim DESC,
+    # cent_id ASC carries the engine's NULL/NaN ordering natively
+    cand_structs = F.expr(
+        f"transform({cands}, c -> named_struct("
+        f"'sim', round(({dot_c}) / (nrm * c.cn), {round_to}), "
+        f"'cent_id', c.cent_id))"
+    )
+    rn_w = W.partitionBy(id_col).orderBy(
+        F.desc("cd.sim"), F.asc("cd.cent_id")
+    )
     qprobe = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("sim", sim)
+        q.select(
+            F.col(id_col), F.col("e"), F.col("nrm"),
+            F.explode(cand_structs).alias("cd"),
+        )
         .withColumn("rn", F.row_number().over(rn_w))
         .filter(F.col("rn") <= nprobe)
         .select(
             F.col(id_col).alias("query_id"),
             F.col("e").alias("qe"),
             F.col("nrm").alias("qn"),
-            "cent_id",
+            F.col("cd.cent_id").alias("cent_id"),
         )
     )
     dot = F.expr(DOT.format(a="qe", b="e"))
@@ -269,7 +334,7 @@ def bucketed_topk(
         F.col("nrm").alias("cn"),
         signbit_bucket("e", n_bits).alias("cbucket"),
     )
-    q = _normed(queries, id_col=id_col, vec_col=vec_col).select(
+    q = _normed(queries, id_col=id_col, vec_col=vec_col, fan=False).select(
         F.col(id_col).alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -337,7 +402,7 @@ def multitable_topk(
             f"lower n_tables/n_bits or random_project to a wider dim"
         )
     c = _normed(corpus, id_col=id_col, vec_col=vec_col)
-    q = _normed(queries, id_col=id_col, vec_col=vec_col)
+    q = _normed(queries, id_col=id_col, vec_col=vec_col, fan=False)
     dot = F.expr(DOT.format(a="qe", b="ce"))
 
     # ONE corpus scan for all L tables: each row computes its L bucket
@@ -595,27 +660,26 @@ def mmr_topk(
 
 def _pq_parts(
     corpus: DataFrame, *, m: int, ks: int, id_col: str, vec_col: str
-) -> tuple[DataFrame, DataFrame, int]:
-    """Shared PQ prep: (prepared vectors, codebook, subdim).
+) -> "tuple[DataFrame, list, int]":
+    """Shared PQ prep: (prepared vectors, codebook rows, subdim).
 
     The codebook is deterministic — for each of the ``m`` subspaces, the
     ``ks`` sub-vectors sliced from the first ``ks`` corpus rows by id
     (same seeding convention as :func:`ivf_topk`; a production index
     trains per-subspace centroids with k-means and the plans below are
-    unchanged).  Codebook size is m·ks rows of subdim doubles — broadcast
-    state, like kmeans' centroid matrix.
+    unchanged).  Codebook size is m·ks entries of subdim doubles —
+    bounded driver state, like kmeans' centroid matrix, returned as
+    plain ``(sub, code, cvec)`` tuples so encode/LUT inline them as
+    plan literals (row-local argmin, see :func:`_pq_encode_with`).
     """
     d = _normed(corpus, id_col=id_col, vec_col=vec_col).select(id_col, "e")
-    id_type = dict(corpus.dtypes)[id_col]
-    cb_schema = f"sub int, code {id_type}, cvec array<double>"
     # ONE bounded collect (ks rows) covers the dim probe AND the
     # codebook: before, a separate first() job probed the dim and the
     # two codebook broadcasts (encode side + query-LUT side) each
     # replayed the corpus scan + TakeOrdered.  The sub-vector slicing
-    # happens in the driver over ks·m tiny lists — the codebook becomes
-    # a LocalRelation plan literal (the _seed_local rationale).  Picked
-    # from the UNFANNED corpus so the collect is a shuffle-free
-    # TakeOrderedAndProject (see _seed_local).
+    # happens in the driver over ks·m tiny lists.  Picked from the
+    # UNFANNED corpus so the collect is a shuffle-free
+    # TakeOrderedAndProject (see _seed_rows).
     seed_rows = (
         corpus.select(F.col(id_col), as_double(vec_col).alias("e"))
         .orderBy(id_col)
@@ -623,10 +687,17 @@ def _pq_parts(
         .collect()
     )
     if not seed_rows:
-        # empty corpus: empty codebook with the right schema — every
-        # downstream join/encode/search then yields a typed empty result
-        return d, corpus.sparkSession.createDataFrame([], cb_schema), 1
-    dim = len(seed_rows[0]["e"])
+        # empty corpus: empty codebook — every downstream encode/search
+        # then yields a typed empty result
+        return d, [], 1
+    # dim from the first seed row whose embedding is present: a NULL
+    # embedding on the minimum-id row must not crash the probe (its
+    # codebook entries are NULL sub-vectors, handled below); an
+    # all-NULL seed set degrades to the empty-codebook path
+    probe = next((r["e"] for r in seed_rows if r["e"] is not None), None)
+    if probe is None:
+        return d, [], 1
+    dim = len(probe)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sd = dim // m
@@ -636,8 +707,7 @@ def _pq_parts(
         for r in seed_rows
         for sub in range(m)
     ]
-    codebook = corpus.sparkSession.createDataFrame(cb_rows, cb_schema)
-    return d, codebook, sd
+    return d, cb_rows, sd
 
 
 def _sqd_micro(a: str, b: str) -> Column:
@@ -651,17 +721,71 @@ def _sqd_micro(a: str, b: str) -> Column:
     return F.round(F.expr(sqd) * 1e6, 0).cast("long")
 
 
+def _pq_cb_literal(cb_rows, sub: int, id_sql_type: str) -> str:
+    """array(named_struct('code', ..., 'cvec', ...), ...) for one subspace."""
+    entries = [
+        "named_struct('code', "
+        + _sql_scalar(code, id_sql_type)
+        + ", 'cvec', "
+        + _sql_vec(cvec)
+        + ")"
+        for s, code, cvec in cb_rows
+        if s == sub
+    ]
+    return "array(" + ",".join(entries) + ")"
+
+
 def _pq_encode_with(
-    d: DataFrame, codebook: DataFrame, sd: int, *, m: int, id_col: str
+    d: DataFrame, cb_rows: list, sd: int, *, m: int, id_col: str,
+    id_sql_type: str
 ) -> DataFrame:
-    exploded = d.select(
-        id_col, F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"), "e"
-    ).withColumn("sv", F.expr(f"slice(e, sub * {sd} + 1, {sd})"))
+    """(id, sub, code): row-local PQ encode against the inlined codebook.
+
+    Round 11: the former shape exploded every row ×m, broadcast-joined
+    the codebook (×ks entries) and ran the argmin as a min(struct)
+    SORT-aggregate over rows×m×ks candidate structs.  The codebook is
+    bounded driver state, so each subspace's argmin is now an
+    ``array_min(transform(...))`` over its plan-literal entries —
+    the per-row work is one narrow projection, and the surviving
+    groupBy(id, sub) exists ONLY to keep the duplicate-ingestion grain
+    (duplicate ids collapse to one code per (id, sub), min across
+    copies, exactly as before); its input is rows×m one-struct rows, a
+    ×ks reduction of the sorted/agg'd volume.  Comparator and tie-break
+    (min struct(sqd, code), ascending, NULL sqd first) are identical,
+    so output is bit-identical — including NULL-embedding rows, whose
+    sqd is NULL for every entry.
+    """
+    if not cb_rows:
+        # empty codebook (empty corpus): the old inner join produced a
+        # typed empty result — preserve it
+        return d.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("sub"),
+            F.lit(None).cast(dict(d.dtypes)[id_col]).alias("code"),
+        ).filter(F.lit(False))
+    per_sub = []
+    for sub in range(m):
+        cands = _pq_cb_literal(cb_rows, sub, id_sql_type)
+        sqd = (
+            f"cast(round(({SQDIST.format(a=f'slice(e, {sub * sd + 1}, {sd})', b='c.cvec')})"
+            f" * 1e6, 0) as bigint)"
+        )
+        per_sub.append(
+            F.expr(
+                f"array_min(transform({cands}, c -> "
+                f"named_struct('sqd', {sqd}, 'code', c.code)))"
+            ).alias(f"__pq{sub}")
+        )
     return (
-        exploded.join(F.broadcast(codebook), "sub")
-        .withColumn("sqd", _sqd_micro("sv", "cvec"))
+        d.select(id_col, *per_sub)
+        .select(
+            id_col,
+            F.posexplode(F.array(*[f"__pq{s}" for s in range(m)])).alias(
+                "sub", "best"
+            ),
+        )
         .groupBy(id_col, "sub")
-        .agg(F.min(F.struct("sqd", "code")).alias("best"))
+        .agg(F.min("best").alias("best"))
         .select(id_col, "sub", F.col("best.code").alias("code"))
     )
 
@@ -683,13 +807,17 @@ def pq_encode(
     ADC search join consumes; the compact ``array<int>`` storage form is
     one ``groupBy(id).agg(sort_array(collect_list(...)))`` away.
 
-    Distributed shape: explode to rows×m sub-vectors, equi-join the
-    broadcast codebook on ``sub``, argmin per (id, sub) via
-    ``min(struct(dist, code))`` — a partial-aggregating groupBy, ONE
-    shuffle linear in rows×m, no window, no cross join against data.
+    Distributed shape: a row-local argmin per subspace against the
+    plan-literal codebook (``array_min(transform(...))``) — ZERO
+    shuffles, no window, no join; the encode runs at scan speed (the
+    round-11 rewrite of the explode ×m + broadcast join + min(struct)
+    sort-aggregate, which shuffled rows×m).
     """
-    d, codebook, sd = _pq_parts(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
-    return _pq_encode_with(d, codebook, sd, m=m, id_col=id_col)
+    d, cb_rows, sd = _pq_parts(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    return _pq_encode_with(
+        d, cb_rows, sd, m=m, id_col=id_col,
+        id_sql_type=dict(corpus.dtypes)[id_col],
+    )
 
 
 def pq_topk(
@@ -719,17 +847,45 @@ def pq_topk(
     """
     # one shared prep: the encode path and the query LUT both use the
     # same corpus codebook (and its single dim-probe job)
-    d, corpus_cb, sd = _pq_parts(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
-    codes = _pq_encode_with(d, corpus_cb, sd, m=m, id_col=id_col)
-    q = _normed(queries, id_col=id_col, vec_col=vec_col).select(id_col, "e")
-    q_exploded = q.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"),
-        "e",
-    ).withColumn("qv", F.expr(f"slice(e, sub * {sd} + 1, {sd})"))
-    lut = q_exploded.join(F.broadcast(corpus_cb), "sub").select(
-        "query_id", "sub", "code", _sqd_micro("qv", "cvec").alias("pd")
+    id_sql_type = dict(corpus.dtypes)[id_col]
+    d, cb_rows, sd = _pq_parts(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    codes = _pq_encode_with(
+        d, cb_rows, sd, m=m, id_col=id_col, id_sql_type=id_sql_type
     )
+    q = _normed(queries, id_col=id_col, vec_col=vec_col, fan=False).select(
+        id_col, "e"
+    )
+    # the per-query LUT is |queries|·m·ks rows of partial distances:
+    # built row-locally by exploding one flat (sub, code, cvec) literal
+    # — the former explode ×m + broadcast codebook join cost an extra
+    # exchange and a broadcast build per run for the same values
+    if cb_rows:
+        flat_entries = ",".join(
+            "named_struct('sub', cast(" + str(s) + " as int), 'code', "
+            + _sql_scalar(code, id_sql_type)
+            + ", 'pd_vec', " + _sql_vec(cvec) + ")"
+            for s, code, cvec in cb_rows
+        )
+        pd_expr = (
+            f"cast(round(({SQDIST.format(a=f'slice(e, c.sub * {sd} + 1, {sd})', b='c.pd_vec')})"
+            f" * 1e6, 0) as bigint)"
+        )
+        lut = q.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.expr(
+                    f"transform(array({flat_entries}), c -> named_struct("
+                    f"'sub', c.sub, 'code', c.code, 'pd', {pd_expr}))"
+                )
+            ).alias("c"),
+        ).select("query_id", "c.sub", "c.code", "c.pd")
+    else:
+        lut = q.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(0).cast("int").alias("sub"),
+            F.lit(None).cast(id_sql_type).alias("code"),
+            F.lit(None).cast("bigint").alias("pd"),
+        ).filter(F.lit(False))
     dist = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col(id_col) != F.col("query_id"))
@@ -833,33 +989,38 @@ def semantic_dedup(
     the rest of the plan is unchanged.
     """
     c = _normed(corpus, id_col=id_col, vec_col=vec_col)
-    # first n_clusters BY id — see ivf_topk seeding note.  NOT
-    # _seed_local here: unlike ivf_topk/pq (two consumers each), this
-    # operator broadcasts the seeds exactly ONCE, so the lazy subtree
-    # costs the same single corpus pass and overlaps with the assign
-    # scan — localizing it measurably lost 0.35 s on dd12 at sf0.1 for
-    # zero scans saved.
-    cents = c.orderBy(id_col).limit(n_clusters).select(
-        F.col(id_col).alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    # first n_clusters BY id — see ivf_topk seeding note.  Round 11:
+    # the seeds ARE collected here now (round 10 kept them lazy because
+    # a single broadcast consumer saved no scans) — the row-local
+    # argmin this enables removes the ×k candidate expansion and the
+    # min(struct) SORT-aggregate whose exchange carried every row's
+    # full embedding payload; that trade-off dwarfs the bounded collect.
+    seed_rows = _seed_rows(corpus, id_col=id_col, vec_col=vec_col, n=n_clusters)
+    if not seed_rows:
+        # empty corpus: typed-empty result, as the cross-join form gave
+        return c.select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster"),
+            F.lit(True).alias("kept"),
+        ).filter(F.lit(False))
+    id_sql_type = dict(corpus.dtypes)[id_col]
+    cands = _cents_literal(seed_rows, id_sql_type, id_col)
+    dot_c = DOT.format(a="e", b="c.ce")
+    # row-local argmin over the plan-literal centroids — the struct and
+    # its interpreted ordering (ascending, NULL sim first) are exactly
+    # what the former ×k cross join fed into min(struct(...)).  The
+    # residual groupBy(id) keeps the duplicate-ingestion grain (one
+    # assignment per id, min across copies) on 1 struct per ROW instead
+    # of per row×k.
+    best = F.expr(
+        f"array_min(transform({cands}, c -> named_struct("
+        f"'negsim', -round(({dot_c}) / (nrm * c.cn), {round_to}), "
+        f"'cent_id', c.cent_id, 'e', e, 'nrm', nrm)))"
     )
-    sim = F.round(
-        F.expr(DOT.format(a="e", b="ce")) / (F.col("nrm") * F.col("cn")), round_to
-    )
-    # argmin via min(struct) — partial-aggregable, no sort; see ivf_topk
     assign = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("sim", sim)
+        c.select(F.col(id_col), best.alias("best"))
         .groupBy(id_col)
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("sim")).alias("negsim"),
-                    F.col("cent_id").alias("cent_id"),
-                    F.col("e").alias("e"),
-                    F.col("nrm").alias("nrm"),
-                )
-            ).alias("best")
-        )
+        .agg(F.min("best").alias("best"))
         .select(F.col(id_col), F.col("best.e").alias("e"),
                 F.col("best.nrm").alias("nrm"), F.col("best.cent_id").alias("cluster"))
         # three consumers below (both pair sides + the final labeling

@@ -580,9 +580,20 @@ def bm25_topk(
     toked = base.select(
         id_col, "dl", F.explode("hits").alias("term")
     )
-    tf = toked.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf"),
-        F.first("dl").alias("dl"),
+    # materialized once (round 11): both the scoring join AND the
+    # per-term document frequency consume tf, and without the
+    # checkpoint the dfreq branch replayed the whole explode +
+    # (doc, term) aggregation over the corpus checkpoint (two of the
+    # r10 plan's five exchanges were that duplicate).  tf is bounded by
+    # query-term HITS — |terms|·matching docs, tiny relative to the
+    # corpus at any scale.
+    tf = (
+        toked.groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+        .localCheckpoint(eager=False)
     )
     corpus = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

@@ -280,6 +280,14 @@ def hist_quantiles(
     reaches target, and the estimate interpolates linearly inside it:
     ``bin·w + w·(target − cum_before)/cnt_bin``.  The per-(bucket, q)
     window ranks occupied bins — bounded by the bin count, never by rows.
+
+    NULL-bucket semantics (round 10's window form): a NULL bucket IS a
+    window partition, so partials with a NULL bucket produce quantile
+    rows for it (the pre-r10 groupBy+equi-join silently dropped them).
+    Callers whose bucket can be NULL must pre-filter if they want the
+    old behavior — audited: pipe03 filters ``bin IS NOT NULL`` and
+    re-keys on non-null sources; et24's NULL event_type rows would drop
+    in its downstream equi-join on both engines either way.
     """
     from pyspark.sql import Window
 

@@ -1379,7 +1379,13 @@ def pipe01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read it instead of re-tokenizing (3 passes → 1), and the quality
     # gate is a row-local FILTER instead of a score + semi-join back
     # (doc_id is the dedup keeper key — filter ≡ semi join on a key
-    # column, minus one exchange).
+    # column, minus one exchange).  Invariant the equivalence leans on:
+    # after drop_exact_duplicates the fixture corpus has one row per
+    # doc_id (duplicate ingests are exact full-row copies, so the
+    # keeper semi-join collapses them).  A corpus with the SAME doc_id
+    # on DIFFERENT texts would diverge — there the old semi-join kept
+    # every copy once any copy passed; the t76/d31 dup corpora pin the
+    # exact-copy case.
     deduped = (
         dedup.drop_exact_duplicates(train)
         .withColumn("toks", dedup.tokens("text"))

@@ -919,17 +919,23 @@ def upsert_latest_versioned(
             if {(x.name, x.dataType) for x in cur_s.fields} != {
                 (x.name, x.dataType) for x in new_s.fields
             }:
-                # union schema first: a type change raises regardless
-                union_s = _merge_schemas(cur_s, new_s)
-                if not merge_schema:
-                    refusal = SchemaEvolutionError(
-                        f"batch schema {new_s.simpleString()} drifted "
-                        f"from stored state {cur_s.simpleString()}; pass "
-                        "merge_schema=True to evolve at this batch "
-                        "boundary (the checkpoint has not advanced)"
-                    )
+                # union schema first: a type change raises regardless —
+                # record EITHER refusal path (drift with
+                # merge_schema=False, or _merge_schemas' type-change
+                # error) so both unwrap identically at awaitTermination,
+                # honoring the docstring's "refuses either way" contract
+                try:
+                    union_s = _merge_schemas(cur_s, new_s)
+                    if not merge_schema:
+                        raise SchemaEvolutionError(
+                            f"batch schema {new_s.simpleString()} drifted "
+                            f"from stored state {cur_s.simpleString()}; pass "
+                            "merge_schema=True to evolve at this batch "
+                            "boundary (the checkpoint has not advanced)"
+                        )
+                except SchemaEvolutionError as refusal:
                     drift_refusal.append(refusal)
-                    raise refusal
+                    raise
                 merged = latest_per_key(
                     cur.unionByName(fresh, allowMissingColumns=True)
                     .select(*union_s.fieldNames())

@@ -1439,3 +1439,82 @@ class TestPslReferenceCross:
             ).collect()
         }
         assert got_col == got_join
+
+
+class TestRowLocalArgminRewrite:
+    """Round-11 rewrite: ivf/pq/semantic-dedup assignment argmin runs
+    row-locally against plan-literal codebooks.  These pin the edge
+    contracts the rewrite had to preserve (and the ADVICE fix)."""
+
+    def _adv_corpus(self, spark):
+        # NULL embedding at the MIN id (the old _pq_parts dim probe
+        # crashed on len(None)), a NULL vector element, duplicate ids
+        # (exact copies — the collapse grain), and normal rows
+        base = [float(i) / 7.0 + 0.1 for i in range(64)]
+        rows = [
+            (0, None),
+            (1, base),
+            (2, [x * 0.5 for x in base]),
+            (3, [None] + base[1:]),
+            (2, [x * 0.5 for x in base]),  # exact duplicate ingest
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+
+    def test_pq_parts_null_min_id_seed(self, spark):
+        """ADVICE item: dim probe must read the first NON-NULL seed."""
+        from etl_batch_spark.llmops import similarity
+
+        corp = self._adv_corpus(spark)
+        codes = similarity.pq_encode(corp, m=8, ks=4).collect()
+        # every distinct id encodes once per subspace (dup id collapsed)
+        assert len(codes) == 4 * 8
+        assert {r["vec_id"] for r in codes} == {0, 1, 2, 3}
+
+    def test_pq_parts_all_null_seeds_degrade_empty(self, spark):
+        from etl_batch_spark.llmops import similarity
+
+        corp = spark.createDataFrame(
+            [(0, None), (1, None)], "vec_id bigint, embedding array<double>"
+        )
+        assert similarity.pq_encode(corp, m=8, ks=2).count() == 0
+
+    def test_ivf_assign_collapses_duplicate_ids(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_batch_spark.llmops import similarity
+
+        corp = self._adv_corpus(spark)
+        out = similarity.ivf_topk(
+            corp, corp.filter(F.col("vec_id") == 1), k=3, n_centroids=4, nprobe=2
+        )
+        # duplicate corpus ids must yield at most one candidate row each
+        rows = out.collect()
+        assert len({(r["query_id"], r["neighbor_id"]) for r in rows}) == len(rows)
+
+    def test_semantic_dedup_one_row_per_id(self, spark):
+        from etl_batch_spark.llmops import similarity
+
+        corp = self._adv_corpus(spark)
+        out = similarity.semantic_dedup(corp, n_clusters=4, threshold=0.35).collect()
+        assert len(out) == 4  # 5 input rows, one duplicate id collapsed
+        assert {r["vec_id"] for r in out} == {0, 1, 2, 3}
+
+    def test_sql_double_roundtrip(self, spark):
+        """The literal formatter must round-trip IEEE doubles exactly."""
+        import math
+
+        from etl_batch_spark.llmops.similarity import _sql_double
+
+        vals = [0.1, 1.0 / 3.0, -0.0, 5e-324, 1.7976931348623157e308,
+                float("nan"), float("inf"), float("-inf"), None]
+        exprs = ",".join(_sql_double(v) for v in vals)
+        got = spark.sql(f"select array({exprs}) as a").collect()[0]["a"]
+        for v, g in zip(vals, got):
+            if v is None:
+                assert g is None
+            elif isinstance(v, float) and math.isnan(v):
+                assert math.isnan(g)
+            else:
+                assert g == v and math.copysign(1, g) == math.copysign(1, v)

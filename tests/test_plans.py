@@ -311,15 +311,21 @@ def test_pipe03_composes_without_cartesian_or_python(spark, sf_dir):
 
 
 def test_ss10_pq_searches_codes_via_broadcast_joins(spark, sf_dir):
-    """PQ's whole point is that search touches only codes: the LUT and
-    codebook joins must broadcast (never shuffle the code table against
-    a sort-merge join), with no cartesian against data and no Python."""
+    """PQ's whole point is that search touches only codes: the LUT join
+    must broadcast (never shuffle the code table against a sort-merge
+    join), with no cartesian against data and no Python.  Round 11: the
+    ENCODE side no longer joins at all — the per-subspace argmin runs
+    row-locally against the plan-literal codebook (array_min over
+    transform), so exactly one broadcast (the LUT) remains and the
+    codebook appears nowhere as a join."""
     df = QUERIES["ss10_pq_ann"].build(spark, sf_dir)
     s = plans.formatted_plan(df)
-    plans.assert_broadcast(df, at_least=2)  # codebook join + LUT join
+    plans.assert_broadcast(df, at_least=1)  # LUT join
     assert plans.count_ops(df, "CartesianProduct") == 0
     assert "SortMergeJoin" not in s
     assert "BatchEvalPython" not in s
+    # the encode argmin is a row-local expression, not a join
+    assert "array_min" in s
     assert plans.unpartitioned_windows(df) == 0  # top-k partitioned by query
 
 
