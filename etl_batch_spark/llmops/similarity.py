@@ -763,17 +763,23 @@ def _pq_encode_with(
             F.lit(0).cast("int").alias("sub"),
             F.lit(None).cast(dict(d.dtypes)[id_col]).alias("code"),
         ).filter(F.lit(False))
+    # each sub-vector slice is bound ONCE per (row, sub) via a
+    # one-element transform lambda (`sv`): written inline in the argmin
+    # lambda it would re-slice per codebook entry — ×ks the slice
+    # allocations, measured 2× slower at sf10 — and a separate
+    # projection column would just be re-inlined by CollapseProject
     per_sub = []
     for sub in range(m):
         cands = _pq_cb_literal(cb_rows, sub, id_sql_type)
         sqd = (
-            f"cast(round(({SQDIST.format(a=f'slice(e, {sub * sd + 1}, {sd})', b='c.cvec')})"
+            f"cast(round(({SQDIST.format(a='sv', b='c.cvec')})"
             f" * 1e6, 0) as bigint)"
         )
         per_sub.append(
             F.expr(
+                f"transform(array(slice(e, {sub * sd + 1}, {sd})), sv -> "
                 f"array_min(transform({cands}, c -> "
-                f"named_struct('sqd', {sqd}, 'code', c.code)))"
+                f"named_struct('sqd', {sqd}, 'code', c.code))))[0]"
             ).alias(f"__pq{sub}")
         )
     return (
