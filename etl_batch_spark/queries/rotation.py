@@ -30,74 +30,70 @@ from __future__ import annotations
 # a real value-hash oracle.
 ROWS_ONLY_OK: frozenset[str] = frozenset()
 
-# Round 9 window (rotated from CORRECTNESS_r08.json, 50/50 green —
-# cumulative 247/247 driver-green at latest check).  Leads: the five
-# round-9 changed/new entries — tx22 (switched to the broadcast-join
-# full-PSL registered_domain), tx23 (full Public Suffix List rule
-# classes: private/3-label/wildcard/exception/default), et41 (TxTable
-# commit-log checkpointing), st12 (mid-stream schema evolution:
-# refuse-then-evolve at the batch boundary), et42 (data skipping from
-# commit-log statistics).  Then the round-8 verdict's staleness
-# refill: q78_bloom_semi_filter (the last round-3 row) followed by 44
-# of the 50 rows whose latest driver check is round 4
-# (et07/dd13/dd09/et23-et28 sketches, ev06/ev13-ev17, ss12-ss14,
-# tx03-tx10, sm03/sm04, pipe01, q01/q09/q35/q39, q79-q92 block) —
-# four-plus rounds of rewrites sit between those checks and HEAD.
-# Six r4 rows did not fit and lead the round-10 refill:
-# q94_rolling_median, q95_salted_skew_join, q96_pandas_udaf_geomean,
-# q98_grouped_regression, q99_merged_order_spans,
-# q100_window_rank_surface.
+# Round 11 window (rotated from CORRECTNESS_r10.json, 50/50 green —
+# cumulative 251/251 driver-green at latest check).  Leads: the 13
+# queries whose EXECUTED PLANS changed in the round-11 optimization
+# pass and must re-verify under the driver's stock session — the
+# similarity argmin family rewritten to row-local argmin over
+# plan-literal codebooks (ss10/ss03/dd12 + the fan_out-trimmed
+# ss01/ss02/ss12/ss13), the checkpoint-fused pipelines
+# (pipe04/sm03/dd11/tx14), and the session-isolated
+# connected-components loop (dd07/sm09).  Then the staleness refill:
+# q94 (carried from the round-10 prep note) plus the 36 rows whose
+# latest driver check is oldest (q95-q100 block, dd03/dd04/dd08/dd10,
+# et01-et20 cohort, ev01-ev12 cohort, mm02-mm07, pipe03/pipe05, q38)
+# — computed mechanically from the CORRECTNESS_r* files.
 DRIVER_WINDOW: list[str] = [
-    "tx22_url_curation",
-    "tx23_registered_domain_psl",
-    "et41_log_checkpoint_reads",
-    "st12_streaming_schema_evolution",
-    "et42_data_skipping",
-    "q78_bloom_semi_filter",
-    "et07_sketch_rollup",
-    "dd13_lsh_dedup_recall",
-    "dd09_containment",
-    "et23_portable_hll",
-    "et24_histogram_quantiles",
-    "et26_psi_drift",
-    "et27_cusum_changepoints",
-    "et28_audience_bitmap_ops",
-    "ev06_interpolate_at_clicks",
-    "ev13_last_touch_attribution",
-    "ev14_linear_attribution",
-    "ev16_ab_test_zscore",
-    "ev17_markov_attribution",
-    "ss13_multitable_ann",
-    "ss14_hard_negatives",
+    "ss10_pq_ann",
+    "ss03_ivf_ann",
+    "ss01_cosine_topk",
+    "ss02_lsh_bucketed_ann",
     "ss12_ann_recall",
-    "tx03_token_count",
-    "tx05_winnow_fingerprints",
-    "tx06_redact_pii",
-    "tx04_quality_score",
-    "tx07_repetition_stats",
-    "tx08_token_entropy",
-    "tx09_decontaminate",
-    "tx10_sequence_packing",
+    "ss13_multitable_ann",
+    "dd12_semantic_dedup",
     "sm03_temperature_mix",
-    "pipe01_training_mix",
-    "sm04_quality_weighted_sample",
-    "q01_pricing_summary",
-    "q09_multiway_join_revenue",
-    "q35_shipping_priority",
-    "q39_decimal_exact",
-    "q79_string_surface",
-    "q80_null_safe_join",
-    "q81_posexplode_words",
-    "q82_not_in_null_semantics",
-    "q83_variant_props",
-    "q84_udtf_split_fields",
-    "q86_aggregate_surface",
-    "q87_lateral_topn",
-    "q88_union_evolving_schema",
-    "q89_recursive_cte",
-    "q90_xml_roundtrip",
-    "q91_running_distinct",
-    "q92_period_over_period",
+    "pipe04_pretraining_mix",
+    "dd11_hot_span_scrub",
+    "tx14_bm25_search",
+    "dd07_neardup_clusters",
+    "sm09_cluster_safe_split",
+    "q94_rolling_median",
+    "q100_window_rank_surface",
+    "q95_salted_skew_join",
+    "q96_pandas_udaf_geomean",
+    "q98_grouped_regression",
+    "q99_merged_order_spans",
+    "dd03_ngram_jaccard",
+    "dd04_minhash_lsh",
+    "dd08_incremental_dedup",
+    "dd10_winnow_pairs",
+    "et01_scd2_merge",
+    "et04_rollup_cascade",
+    "et06_table_checksum",
+    "et10_apply_changelog",
+    "et11_fuzzy_match",
+    "et12_fifo_allocation",
+    "et13_incremental_agg",
+    "et20_point_in_time_join",
+    "ev01_funnel",
+    "ev02_retention_cohorts",
+    "ev03_active_users",
+    "ev04_top_paths",
+    "ev05_asof_operator",
+    "ev07_session_window_builtin",
+    "ev08_time_weighted_avg",
+    "ev09_ohlc_bars",
+    "ev10_markov_transitions",
+    "ev11_time_since_purchase",
+    "ev12_windowed_funnel",
+    "mm02_frame_sample",
+    "mm03_window_energy",
+    "mm04_phash_neardup",
+    "mm06_decode_audio_stats",
+    "mm07_media_triage",
+    "pipe03_curation_report",
+    "pipe05_multimodal_curation",
+    "q38_approx_aggregates",
 ]
 
 # ROUND 10 PREP: once CORRECTNESS_r09.json lands, run
@@ -115,38 +111,31 @@ DRIVER_WINDOW: list[str] = [
 DRIVER_GREEN: list[str] = [
     "dd01_dedup_exact",
     "dd02_fingerprint",
-    "dd03_ngram_jaccard",
-    "dd04_minhash_lsh",
     "dd05_simhash",
     "dd06_embedding_neardup",
-    "dd07_neardup_clusters",
-    "dd08_incremental_dedup",
-    "dd10_winnow_pairs",
-    "dd11_hot_span_scrub",
-    "dd12_semantic_dedup",
+    "dd09_containment",
+    "dd13_lsh_dedup_recall",
     "dd14_line_dedup",
-    "et01_scd2_merge",
     "et02_profile_columns",
     "et03_fk_audit",
-    "et04_rollup_cascade",
     "et05_hierarchy_levels",
-    "et06_table_checksum",
+    "et07_sketch_rollup",
     "et08_snapshot_diff",
     "et09_expectations",
-    "et10_apply_changelog",
-    "et11_fuzzy_match",
-    "et12_fifo_allocation",
-    "et13_incremental_agg",
     "et14_mad_outliers",
     "et15_triangle_count",
     "et16_lttb_downsample",
     "et17_skew_profile",
     "et18_sequence_gaps",
     "et19_benford_audit",
-    "et20_point_in_time_join",
     "et21_bitmap_distinct",
     "et22_ewma_smoothing",
+    "et23_portable_hll",
+    "et24_histogram_quantiles",
     "et25_count_min_freq",
+    "et26_psi_drift",
+    "et27_cusum_changepoints",
+    "et28_audience_bitmap_ops",
     "et29_ivm_apply_feed",
     "et30_time_travel",
     "et31_merge_upsert",
@@ -159,38 +148,28 @@ DRIVER_GREEN: list[str] = [
     "et38_versioned_rollup_maintenance",
     "et39_concurrent_merge_conflict",
     "et40_schema_evolution",
-    "ev01_funnel",
-    "ev02_retention_cohorts",
-    "ev03_active_users",
-    "ev04_top_paths",
-    "ev05_asof_operator",
-    "ev07_session_window_builtin",
-    "ev08_time_weighted_avg",
-    "ev09_ohlc_bars",
-    "ev10_markov_transitions",
-    "ev11_time_since_purchase",
-    "ev12_windowed_funnel",
+    "et41_log_checkpoint_reads",
+    "et42_data_skipping",
+    "ev06_interpolate_at_clicks",
+    "ev13_last_touch_attribution",
+    "ev14_linear_attribution",
     "ev15_peak_concurrency",
+    "ev16_ab_test_zscore",
+    "ev17_markov_attribution",
     "ev18_rfm_segments",
     "ev19_interarrival_stats",
     "ev20_time_decay_attribution",
     "mm01_decode_resize",
-    "mm02_frame_sample",
-    "mm03_window_energy",
-    "mm04_phash_neardup",
     "mm05_patch_grid",
-    "mm06_decode_audio_stats",
-    "mm07_media_triage",
     "mm08_mp3_frame_census",
     "mm09_ogg_metadata_census",
     "mm10_flac_frame_census",
     "mm11_mp4_track_census",
     "mm12_webp_structure_census",
+    "pipe01_training_mix",
     "pipe02_rag_corpus",
-    "pipe03_curation_report",
-    "pipe04_pretraining_mix",
-    "pipe05_multimodal_curation",
     "pipe06_audio_curation",
+    "q01_pricing_summary",
     "q02_point_lookup",
     "q03_min_default",
     "q04_next_run_id",
@@ -198,7 +177,7 @@ DRIVER_GREEN: list[str] = [
     "q06_latest_order_per_customer",
     "q07_exists_semi_join",
     "q08_not_exists_anti_join",
-    "q100_window_rank_surface",
+    "q09_multiway_join_revenue",
     "q10_decode_status_matrix",
     "q11_prefix_match",
     "q12_topk_orders",
@@ -222,9 +201,10 @@ DRIVER_GREEN: list[str] = [
     "q32_atoi_priority",
     "q33_datediff_hms",
     "q34_check_date_codes",
+    "q35_shipping_priority",
     "q36_forecast_revenue",
     "q37_from_json_map",
-    "q38_approx_aggregates",
+    "q39_decimal_exact",
     "q40_grouping_sets",
     "q41_lag_lead",
     "q42_small_qty_revenue",
@@ -263,33 +243,40 @@ DRIVER_GREEN: list[str] = [
     "q75_revenue_share",
     "q76_calendar_breakdown",
     "q77_topk_per_group",
+    "q78_bloom_semi_filter",
+    "q79_string_surface",
+    "q80_null_safe_join",
+    "q81_posexplode_words",
+    "q82_not_in_null_semantics",
+    "q83_variant_props",
+    "q84_udtf_split_fields",
     "q85_null_ordering",
+    "q86_aggregate_surface",
+    "q87_lateral_topn",
+    "q88_union_evolving_schema",
+    "q89_recursive_cte",
+    "q90_xml_roundtrip",
+    "q91_running_distinct",
+    "q92_period_over_period",
     "q93_try_function_surface",
-    "q95_salted_skew_join",
-    "q96_pandas_udaf_geomean",
     "q97_skyline_pareto",
-    "q98_grouped_regression",
-    "q99_merged_order_spans",
     "sm01_hash_sample",
     "sm02_stratified_sample",
+    "sm04_quality_weighted_sample",
     "sm05_fixed_quota_sample",
     "sm06_training_shards",
     "sm07_weighted_topk_sample",
     "sm08_train_val_test_split",
-    "sm09_cluster_safe_split",
     "sm10_calibrated_quality",
     "sm11_shuffle_order",
-    "ss01_cosine_topk",
-    "ss02_lsh_bucketed_ann",
-    "ss03_ivf_ann",
     "ss04_kmeans_clusters",
     "ss05_doc_pagerank",
     "ss06_array_lambda_surface",
     "ss07_mmr_topk",
     "ss08_label_centroids",
     "ss09_centroid_confusion",
-    "ss10_pq_ann",
     "ss11_random_projection",
+    "ss14_hard_negatives",
     "st01_streaming_window_counts",
     "st02_streaming_dedup",
     "st03_stream_static_enrich",
@@ -301,11 +288,19 @@ DRIVER_GREEN: list[str] = [
     "st09_incremental_ingest_replay",
     "st10_streaming_upsert_tombstones",
     "st11_torn_crash_sink_replay",
+    "st12_streaming_schema_evolution",
     "tx01_text_stats",
     "tx02_langid",
+    "tx03_token_count",
+    "tx04_quality_score",
+    "tx05_winnow_fingerprints",
+    "tx06_redact_pii",
+    "tx07_repetition_stats",
+    "tx08_token_entropy",
+    "tx09_decontaminate",
+    "tx10_sequence_packing",
     "tx12_batch_inference",
     "tx13_regexp_surface",
-    "tx14_bm25_search",
     "tx15_rag_chunks",
     "tx16_inverted_postings",
     "tx17_bigram_lm_score",
@@ -313,6 +308,8 @@ DRIVER_GREEN: list[str] = [
     "tx19_vocab_heavy_hitters",
     "tx20_feature_hashing",
     "tx21_gopher_rules",
+    "tx22_url_curation",
+    "tx23_registered_domain_psl",
 ]
 
 
